@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Loaders for the fixture tables (TPC-H-ish star schema + events stream
+  * table + LLM-pipeline tables). See FIXTURES.md for schemas.
+  *
+  * Scale notes (designed for ~100 TB on a real cluster, tested on local):
+  *  - `region`/`nation` are constant-size dimensions (5/25 rows at every
+  *    scale factor) — always broadcast them into joins.
+  *  - `supplier`/`part`/`customer` grow with SF; leave join strategy to
+  *    Catalyst + AQE (broadcast at small SF, shuffled hash/SMJ at scale).
+  *  - `orders`/`lineitem`/`events` are fact tables — never broadcast;
+  *    filters are written against raw columns so parquet predicate
+  *    pushdown + column pruning apply before any shuffle.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Constant-size dims, pre-hinted for broadcast join. */
+  def regionB(s: SparkSession, d: String): DataFrame = broadcast(region(s, d))
+  def nationB(s: SparkSession, d: String): DataFrame = broadcast(nation(s, d))
+}

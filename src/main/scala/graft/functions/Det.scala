@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers for oracle-compared aggregates.
+  *
+  * Floating-point `sum()` is order-dependent: at cluster scale the partial
+  * aggregation order differs run-to-run (and engine-to-engine), so a raw
+  * double sum can differ from the DuckDB oracle in the last few ulps — and
+  * occasionally across a `round()` boundary. Casting to DECIMAL first makes
+  * the aggregation exact and order-independent in BOTH engines; the final
+  * cast back to double is then a single deterministic conversion.
+  *
+  * The same pattern is what you'd use on a 1000-executor cluster to make
+  * money aggregates reproducible across reruns with different partitioning.
+  */
+object Det {
+  /** Exact 4-decimal fixed-point view of a double column. */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent sum of a money-ish double column → double, 2 dp. */
+  def dsum(c: Column): Column = round(sum(dec4(c)).cast("double"), 2)
+
+  /** Order-independent sum, custom rounding. */
+  def dsum(c: Column, scale: Int): Column =
+    round(sum(dec4(c)).cast("double"), scale)
+
+  /** Order-independent average (exact decimal sum / long count) → 4 dp. */
+  def davg(c: Column): Column =
+    round(sum(dec4(c)).cast("double") / count(lit(1)), 4)
+
+  /** SQL fragments for the DuckDB oracle, mirroring the above exactly. */
+  object sql {
+    def dec4(e: String): String = s"CAST($e AS DECIMAL(18,4))"
+    def dsum(e: String, alias: String, scale: Int = 2): String =
+      s"round(CAST(sum(${dec4(e)}) AS DOUBLE), $scale) AS $alias"
+    def davg(e: String, alias: String): String =
+      s"round(CAST(sum(${dec4(e)}) AS DOUBLE) / count(*), 4) AS $alias"
+  }
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+import graft.functions.Det.{dec4, dsum, davg}
+
+/** Batch relational operators: scan→filter→aggregate, star joins,
+  * semi/anti joins, grouped top-N, rollup, conditional/string/date/math
+  * scalar functions.
+  *
+  * Scale design: filters sit directly on scanned columns (parquet
+  * predicate pushdown), constant dims are broadcast, fact-fact joins are
+  * left to Catalyst/AQE (SMJ with skew handling at scale), and every
+  * aggregate is a two-phase hash aggregate with map-side partials.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg →
+    * sort. The heart of the engine's batch path. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1999-06-30").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        round(sum(dec4($"l_extendedprice") *
+          (lit(1).cast("decimal(18,4)") - dec4($"l_discount"))).cast("double"), 2)
+          .as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Star join: lineitem ⋈ orders ⋈ customer ⋈ nation(bcast) ⋈
+    * region(bcast), revenue per nation in ASIA. */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val n  = Tables.nationB(spark, sfDir)
+    val r  = Tables.regionB(spark, sfDir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(round(sum(dec4($"l_extendedprice") *
+        (lit(1).cast("decimal(18,4)") - dec4($"l_discount"))).cast("double"), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), $"n_name")
+  }
+
+  /** Top-10 customers by revenue (global top-k → TakeOrderedAndProject). */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(round(sum(dec4($"l_extendedprice") *
+        (lit(1).cast("decimal(18,4)") - dec4($"l_discount"))).cast("double"), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), $"c_custkey")
+      .limit(10)
+  }
+
+  /** Grouped top-N: 3 priciest parts per brand via ranking window. */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand")
+      .orderBy(desc("p_retailprice"), $"p_partkey")
+    Tables.part(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"rn", $"p_partkey", $"p_name",
+        round($"p_retailprice", 2).as("price"))
+      .orderBy($"p_brand", $"rn")
+  }
+
+  /** Left-semi join: stats over customers that have at least one order. */
+  def segmentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum($"c_acctbal").as("sum_bal"),
+        davg($"c_acctbal").as("avg_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join: customers with no order since 2001, per nation.
+    * The date filter is pushed into the orders scan before the anti join. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+    val n = Tables.nationB(spark, sfDir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  /** ROLLUP over (returnflag, linestatus) — subtotal/grand-total rows. */
+  def rollupReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** CASE-bucketed conditional aggregation over orders. */
+  def priorityCase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket",
+        when($"o_totalprice" > 300000, "large")
+          .when($"o_totalprice" > 100000, "medium")
+          .otherwise("small"))
+      .groupBy($"o_orderpriority", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority", $"bucket")
+  }
+
+  /** Per-row string functions over part (upper/substr/length/concat/split). */
+  def partStrings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        lower($"p_type").as("type_l"),
+        substring($"p_type", 1, 6).as("type6"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        element_at(split($"p_type", " "), 1).as("type_head"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time functions: orders bucketed by year/month. */
+  def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"y", $"m")
+  }
+
+  /** Math functions + histogram: group by integer quantity. */
+  def qtyHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("int").as("qty"))
+      .agg(count(lit(1)).as("n"),
+        davg($"l_extendedprice").as("avg_price"),
+        round(sqrt(abs(sum(dec4($"l_extendedprice")).cast("double"))), 4)
+          .as("sqrt_sum"))
+      .orderBy($"qty")
+  }
+
+  /** Set ops (intersect/except, set semantics): (nation, segment) pairs
+    * with vs without a recent purchaser. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-06-01").cast("timestamp"))
+    val recent = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_nationkey", $"c_mktsegment")
+    val all = c.select($"c_nationkey", $"c_mktsegment")
+    val both = all.intersect(recent).withColumn("tag", lit("has_recent"))
+    val only = all.except(recent).withColumn("tag", lit("no_recent"))
+    both.unionByName(only)
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"tag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> pricingSummary _,
+    "q02_region_revenue"     -> regionRevenue _,
+    "q03_top_customers"      -> topCustomers _,
+    "q04_top_parts_per_brand" -> topPartsPerBrand _,
+    "q05_segment_stats"      -> segmentStats _,
+    "q06_customers_without_orders" -> customersWithoutOrders _,
+    "q07_rollup_returns"     -> rollupReturns _,
+    "q08_priority_case"      -> priorityCase _,
+    "q09_part_strings"       -> partStrings _,
+    "q10_orders_by_month"    -> ordersByMonth _,
+    "q11_qty_histogram"      -> qtyHistogram _,
+    "q12_set_ops"            -> setOps _,
+  )
+
+  private val D = Det.sql
+  private val discPrice =
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${D.dsum("l_quantity", "sum_qty")},
+         |${D.dsum("l_extendedprice", "sum_base_price")},
+         |$discPrice AS sum_disc_price,
+         |${D.davg("l_quantity", "avg_qty")},
+         |${D.davg("l_extendedprice", "avg_price")},
+         |${D.davg("l_discount", "avg_disc")},
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_region_revenue" ->
+      s"""SELECT n_name, $discPrice AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q03_top_customers" ->
+      s"""SELECT c_custkey, c_name, $discPrice AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 10""".stripMargin,
+    "q04_top_parts_per_brand" ->
+      """SELECT p_brand, rn, p_partkey, p_name, price FROM (
+        |  SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+    "q05_segment_stats" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |${D.dsum("c_acctbal", "sum_bal")},
+         |${D.davg("c_acctbal", "avg_bal")}
+         |FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    "q06_customers_without_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q07_rollup_returns" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |coalesce(l_linestatus, 'ALL') AS linestatus,
+         |${D.dsum("l_quantity", "sum_qty")}, count(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q08_priority_case" ->
+      s"""SELECT o_orderpriority,
+         |CASE WHEN o_totalprice > 300000 THEN 'large'
+         |     WHEN o_totalprice > 100000 THEN 'medium'
+         |     ELSE 'small' END AS bucket,
+         |count(*) AS n, ${D.dsum("o_totalprice", "sum_price")}
+         |FROM orders
+         |GROUP BY 1, 2
+         |ORDER BY o_orderpriority, bucket""".stripMargin,
+    "q09_part_strings" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |substr(p_type, 1, 6) AS type6, length(p_name) AS name_len,
+        |p_brand || '#' || p_type AS brand_type,
+        |str_split(p_type, ' ')[1] AS type_head
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q10_orders_by_month" ->
+      s"""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         |count(*) AS n_orders, ${D.dsum("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q11_qty_histogram" ->
+      s"""SELECT CAST(l_quantity AS INT) AS qty, count(*) AS n,
+         |${D.davg("l_extendedprice", "avg_price")},
+         |round(sqrt(abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))), 4) AS sqrt_sum
+         |FROM lineitem GROUP BY 1 ORDER BY qty""".stripMargin,
+    "q12_set_ops" ->
+      """WITH recent AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')),
+        |all_p AS (SELECT c_nationkey, c_mktsegment FROM customer),
+        |both_t AS (SELECT c_nationkey, c_mktsegment FROM all_p INTERSECT
+        |           SELECT c_nationkey, c_mktsegment FROM recent),
+        |only_t AS (SELECT c_nationkey, c_mktsegment FROM all_p EXCEPT
+        |           SELECT c_nationkey, c_mktsegment FROM recent)
+        |SELECT tag, count(*) AS n_pairs FROM (
+        |  SELECT 'has_recent' AS tag FROM both_t
+        |  UNION ALL
+        |  SELECT 'no_recent' AS tag FROM only_t) u
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+  )
+}
