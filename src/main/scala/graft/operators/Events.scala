@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+import graft.functions.Det.{dec4, dsum, davg}
+
+/** Stream-shaped operators over the `events` table, expressed in batch
+  * form so the DuckDB oracle can check them. The same logical shapes run
+  * under Structured Streaming in [[graft.streaming.StreamOps]] — the
+  * batch/stream pairing mirrors how a Kafka-Streams-style changelog
+  * pipeline is re-expressed Spark-first.
+  *
+  * Scale design: all event aggregations key on (window, type) or
+  * user_id, which are high-cardinality enough to parallelize and are
+  * map-side combined; the interval self-join is an equi-join on user_id
+  * with a range predicate — at 100 TB that's a shuffled hash join on
+  * user_id where each key group stays small (per-user event counts), so
+  * no skew blowup.
+  */
+object Events {
+
+  /** JSON extraction (get_json_object) + aggregation per event_type. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        round(sum($"k") / count(lit(1)).cast("double"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Tumbling 1-day event-time windows (epoch/UTC-aligned). */
+  def tumblingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Hopping windows: 1-hour size, 30-min slide — each event lands in
+    * exactly 2 windows. */
+  def hoppingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Session windows with a 2-hour inactivity gap, per user. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "2 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("s_start"), $"w.end".as("s_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  /** KTable materialization: latest event per user (changelog compaction). */
+  def latestByKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"user_id")
+  }
+
+  /** Stream-stream-style interval join: purchase within 60 min after a
+    * view by the same user. */
+  def viewToPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    v.join(p, $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 60 MINUTES"))
+      .select($"view_id", $"purchase_id", $"user_id",
+        round($"purchase_value", 2).as("purchase_value"))
+      .orderBy($"view_id", $"purchase_id")
+  }
+
+  /** Running per-user cumulative total (exact decimal accumulation). */
+  def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts",
+        round(sum(dec4($"value")).over(w).cast("double"), 2)
+          .as("running_total"))
+      .orderBy($"event_id")
+  }
+
+  /** lag/lead: microsecond-exact gap to the previous event per user. */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type",
+        lag($"event_id", 1).over(w).as("prev_event_id"),
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+          .as("gap_us"),
+        lead($"event_id", 1).over(w).as("next_event_id"))
+      .orderBy($"event_id")
+  }
+
+  /** Exact per-key distinct cardinality (the oracle-checkable side of a
+    * Kafka-Streams-style per-key HLL; approx variant in x-queries). */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** Pivot event_type → per-user activity profile columns. */
+  def userPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val p = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(p) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }.orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_json_extract"   -> jsonExtract _,
+    "e02_tumbling_daily" -> tumblingDaily _,
+    "e03_hopping_hourly" -> hoppingHourly _,
+    "e04_session_windows" -> sessionWindows _,
+    "e05_latest_by_key"  -> latestByKey _,
+    "e06_view_to_purchase" -> viewToPurchase _,
+    "e07_running_totals" -> runningTotals _,
+    "e08_event_gaps"     -> eventGaps _,
+    "e09_distinct_users" -> distinctUsers _,
+    "e10_user_pivot"     -> userPivot _,
+  )
+
+  private val D = Det.sql
+
+  val oracles: Map[String, String] = Map(
+    "e01_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e02_tumbling_daily" ->
+      s"""SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
+         |event_type, count(*) AS n, ${D.dsum("value", "sum_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "e03_hopping_hourly" ->
+      """WITH hopped AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // (1800*1000000)) - k) * 1800*1000000) AS w_start,
+        |    event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM hopped GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "e04_session_windows" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+         |  count(*) AS n_events, ${D.dsum("value", "sum_value")}
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin,
+    "e05_latest_by_key" ->
+      """SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e06_view_to_purchase" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |round(p.value, 2) AS purchase_value
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "e07_running_totals" ->
+      """SELECT event_id, user_id, ts,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        |  AS running_total
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e08_event_gaps" ->
+      """SELECT event_id, user_id, event_type,
+        |lag(event_id, 1) OVER w AS prev_event_id,
+        |epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        |lead(event_id, 1) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "e09_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e10_user_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
