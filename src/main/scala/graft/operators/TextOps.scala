@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * training-data-pipeline surface: exact dedup, MinHash+LSH near-dup,
+  * SimHash, n-gram Jaccard, token/TF-IDF analytics, quality scoring,
+  * marker-based language ID, and fingerprinting.
+  *
+  * Scale design (100 TB of documents):
+  *  - all hashing (md5-based minhash/simhash) happens per-row inside
+  *    whole-stage codegen via higher-order functions — no UDFs, no
+  *    driver-side state;
+  *  - near-dup candidate generation goes through LSH band buckets, so
+  *    the self-join is on (band, band_hash) — never the O(n²) cross
+  *    join; the verify step only touches candidate pairs;
+  *  - the shingle join for exact Jaccard keys on the shingle string;
+  *    frequent-shingle skew at scale is bounded by first taking
+  *    DISTINCT (doc, shingle) and would be salted/AQE-skew-split on a
+  *    real cluster.
+  */
+object TextOps {
+
+  private def docsWithToks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+
+  /** Exact dedup under bag-of-words normalization: documents whose
+    * sorted distinct-token set is identical form one dup group. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .withColumn("norm_hash",
+        md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
+      .groupBy($"norm_hash")
+      .agg(min($"doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        expr("array_join(transform(array_sort(collect_set(doc_id)), x -> cast(x as string)), ',')")
+          .as("members"))
+      .orderBy($"keep_id")
+  }
+
+  /** Corpus term frequencies: top-50 tokens with doc frequencies. */
+  def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+      .orderBy(desc("n"), $"term")
+      .limit(50)
+  }
+
+  /** Per-language corpus stats. */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        round(sum($"n_chars") / count(lit(1)).cast("double"), 2).as("avg_chars"),
+        sum(size($"toks")).as("total_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Per-document quality scoring: type-token ratio, stopword ratio,
+    * average token length, length factor → composite score. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_uniq", size(array_distinct($"toks")))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))")))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"n_uniq",
+        round($"n_uniq" / $"n_tokens".cast("double"), 4).as("ttr"),
+        round(($"n_chars" - ($"n_tokens" - 1)) / $"n_tokens".cast("double"), 4)
+          .as("avg_tok_len"),
+        round($"n_stop" / $"n_tokens".cast("double"), 4).as("stop_ratio"),
+        round(
+          ($"n_uniq" / $"n_tokens".cast("double")) * 0.4 +
+          (lit(1.0) - $"n_stop" / $"n_tokens".cast("double")) * 0.3 +
+          least(lit(1.0), $"n_tokens" / lit(100.0)) * 0.3, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: whole-text md5/sha256 + winnowing-style
+    * min-shingle fingerprint (min md5 over 5-token shingles). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .select($"doc_id",
+        md5($"text").as("md5_text"),
+        sha2($"text", 256).as("sha256_text"),
+        expr("""array_min(transform(sequence(0, size(toks)-5),
+               g -> md5(concat_ws(' ', toks[g], toks[g+1], toks[g+2], toks[g+3], toks[g+4]))))""")
+          .as("min_shingle_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash signatures (16 md5-permutations over distinct 3-token
+    * shingles) + LSH banding (4 bands × 4 rows): candidate pairs from
+    * band-bucket collisions, estimated Jaccard = matching signature
+    * fraction. Shingling (not raw tokens) is what makes MinHash
+    * discriminative when the vocabulary is small relative to the
+    * corpus. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))"""))
+      .select($"doc_id",
+        expr("""transform(sequence(0, 15),
+               s -> array_min(transform(shingles,
+                    t -> md5(concat(cast(s as string), ':', t)))))""").as("sig"))
+    val bands = sig.select($"doc_id", $"sig",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b*4+1, 4)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(first($"a.sig").as("sig1"), first($"b.sig").as("sig2"))
+    cand
+      .select($"d1", $"d2",
+        round(expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))") / lit(16.0), 4)
+          .as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
+    * signatures bucket together (n_bucket = docs sharing the hash). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsWithToks(spark, sfDir)
+      .select($"doc_id",
+        expr("""array_join(transform(sequence(1, 16),
+               i -> case when aggregate(toks, 0,
+                 (acc, t) -> acc + (case when instr('89abcdef', substr(md5(t), i, 1)) > 0
+                                    then 1 else -1 end)) > 0
+                 then '1' else '0' end), '')""").as("simhash"))
+    sh.withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy($"simhash")))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5,
+    * candidates generated by the shared-shingle join. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sz.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .select($"d1", $"d2",
+        round($"common" / ($"n1" + $"n2" - $"common").cast("double"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** TF-IDF: top-3 terms per document (tf × ln(N/df), deterministic
+    * tie-break on term). */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docsWithToks(spark, sfDir)
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct($"doc_id").as("n_total"))
+    val w = Window.partitionBy($"doc_id").orderBy(desc("score"), $"term")
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round($"tf" * log($"n_total" / $"df".cast("double")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"term", $"score")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** Marker-token language ID (n-gram-profile heuristic shape): score
+    * each language by marker overlap, argmax with deterministic
+    * preference order; reported as a confusion matrix against the
+    * labeled lang. (The fixture vocabulary is shared across langs, so
+    * accuracy is incidental — the operator shape is what matters.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .withColumn("dtoks", array_distinct($"toks"))
+      .withColumn("s_en", size(expr("array_intersect(dtoks, array('the', 'a'))")))
+      .withColumn("s_es", size(expr("array_intersect(dtoks, array('data', 'table'))")))
+      .withColumn("s_de", size(expr("array_intersect(dtoks, array('key', 'value'))")))
+      .withColumn("s_fr", size(expr("array_intersect(dtoks, array('join', 'merge'))")))
+      .withColumn("s_zh", size(expr("array_intersect(dtoks, array('spark', 'hash'))")))
+      .withColumn("predicted",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+          .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+          .when($"s_fr" >= $"s_zh", "fr")
+          .otherwise("zh"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"   -> exactDedup _,
+    "d02_top_terms"     -> topTerms _,
+    "d03_lang_stats"    -> langStats _,
+    "d04_quality_score" -> qualityScore _,
+    "d05_fingerprint"   -> fingerprint _,
+    "d06_minhash_lsh"   -> minhashLsh _,
+    "d07_simhash"       -> simhash _,
+    "d08_ngram_jaccard" -> ngramJaccard _,
+    "d09_tfidf"         -> tfidf _,
+    "d10_langid"        -> langId _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS norm_hash,
+        |min(doc_id) AS keep_id, count(*) AS n_copies,
+        |string_agg(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d02_top_terms" ->
+      """SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "d03_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |round(sum(n_chars) / CAST(count(*) AS DOUBLE), 2) AS avg_chars,
+        |sum(len(str_split(text, ' '))) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "d04_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_uniq,
+        |round(n_uniq / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+        |round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS avg_tok_len,
+        |round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+        |round((n_uniq / CAST(n_tokens AS DOUBLE)) * 0.4 +
+        |  (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.3 +
+        |  least(1.0, n_tokens / 100.0) * 0.3, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "d05_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, md5(text) AS md5_text, sha256(text) AS sha256_text,
+        |list_min([md5(toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' || toks[g+4])
+        |  for g in range(1, len(toks) - 3)]) AS min_shingle_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d06_minhash_lsh" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
+        |sig AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || t)) AS h
+        |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY doc_id, s),
+        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h, '|' ORDER BY s) AS bh
+        |  FROM sig GROUP BY doc_id, s // 4),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)
+        |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
+        |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "d07_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+        |bits AS (SELECT doc_id, i,
+        |  CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(t), i, 1)) > 0
+        |    THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 17)) AS i) GROUP BY doc_id, i),
+        |sh AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "d08_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS s FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+        |WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "d09_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents) x
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln(n.n_total / CAST(df.df AS DOUBLE)), 4) AS score,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * ln(n.n_total / CAST(df.df AS DOUBLE)) DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rn, term, score FROM scored WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "d10_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS dtoks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_intersect(dtoks, ['the', 'a'])) AS s_en,
+        |  len(list_intersect(dtoks, ['data', 'table'])) AS s_es,
+        |  len(list_intersect(dtoks, ['key', 'value'])) AS s_de,
+        |  len(list_intersect(dtoks, ['join', 'merge'])) AS s_fr,
+        |  len(list_intersect(dtoks, ['spark', 'hash'])) AS s_zh
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+  )
+}
