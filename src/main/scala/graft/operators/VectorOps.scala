@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Embedding / similarity-search operators over `embeddings`
+  * (Array[Float], dim 64): brute-force cosine top-k, per-label
+  * centroids, nearest-centroid classification, cosine near-dup pairs,
+  * and sign-LSH bucketed ANN.
+  *
+  * Scale path (100 TB of embeddings):
+  *  - the query vector / centroid set is always the broadcast side —
+  *    the big table streams through a codegen'd cosine loop
+  *    ([[graft.functions.VectorExpressions]]) with no shuffle at all;
+  *  - global top-k goes through TakeOrderedAndProject (per-partition
+  *    heap + driver merge), never a full sort;
+  *  - all-pairs near-dup is the one genuinely quadratic op — the ANN
+  *    query shows the bucketed alternative (hash vectors into sign
+  *    buckets, join within buckets only), which is how you'd bound it
+  *    on a cluster.
+  */
+object VectorOps {
+
+  private def embDouble(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+  }
+
+  /** Brute-force cosine top-20 against the vec_id=0 query vector. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(20)
+  }
+
+  /** Per-label centroids, one row per (label, dimension). */
+  def centroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embDouble(spark, sfDir)
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 6).as("c"), count(lit(1)).as("n"))
+      .orderBy($"label", $"pos")
+  }
+
+  /** Nearest-centroid classification → confusion matrix
+    * (true label × predicted label). Centroids are broadcast; each
+    * vector scans the 10 centroids in one codegen'd pass. */
+  def nearestCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val cent = e
+      .select($"label".as("c_label"), posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"c_label", $"pos")
+      .agg(avg($"x").as("c"))
+      .groupBy($"c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+    val w = Window.partitionBy($"vec_id").orderBy(desc("cos"), $"c_label")
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"label", $"c_label".as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"predicted")
+  }
+
+  /** Cosine near-duplicate pairs (≥ 0.4). Brute-force triangular join —
+    * correct baseline; the ANN query below is the scale path. */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = embDouble(spark, sfDir).select($"vec_id".as("d1"), $"v".as("v1"))
+    val b = embDouble(spark, sfDir).select($"vec_id".as("d2"), $"v".as("v2"))
+    a.join(b, $"d1" < $"d2")
+      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+      .filter($"cos" >= 0.4)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** ANN via sign-LSH: bucket every vector by the sign pattern of its
+    * first 4 dims, then search only the query's bucket (cosine top-10).
+    * At scale the bucket join replaces the quadratic all-pairs scan. */
+  def annSignLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      """array_join(transform(slice(v, 1, 4),
+        x -> case when x >= 0D then '1' else '0' end), '')""")
+    val e = embDouble(spark, sfDir).withColumn("bucket", bucketExpr)
+    val q = e.filter($"vec_id" === 0)
+      .select($"bucket".as("q_bucket"), $"v".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(q), $"bucket" === $"q_bucket")
+      .select($"vec_id", $"bucket",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+  }
+
+  /** Per-vector stats: dimension, L2 norm, mean/min/max component. */
+  def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embDouble(spark, sfDir)
+      .select($"vec_id",
+        size($"v").as("dim"),
+        round(call_function("graft_norm", $"v"), 6).as("norm"),
+        round(expr("aggregate(v, 0D, (s, x) -> s + x)") / size($"v"), 6)
+          .as("mean"),
+        round(array_min($"v"), 6).as("mn"),
+        round(array_max($"v"), 6).as("mx"))
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_cosine_topk"     -> cosineTopK _,
+    "v02_centroids"       -> centroids _,
+    "v03_nearest_centroid" -> nearestCentroid _,
+    "v04_embed_neardup"   -> embedNearDup _,
+    "v05_ann_sign_lsh"    -> annSignLsh _,
+    "v06_vector_stats"    -> vectorStats _,
+  )
+
+  private val cosSql =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+  private def cos(a: String, b: String): String =
+    cosSql.format(a, b, a, a, b, b)
+
+  val oracles: Map[String, String] = Map(
+    "v01_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, round(${cos("v", "qv")}, 6) AS cos
+         |FROM e CROSS JOIN q
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "v02_centroids" ->
+      """SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c,
+        |count(*) AS n
+        |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "v03_nearest_centroid" ->
+      s"""WITH cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+         |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT e.vec_id, e.label, cv.c_label, ${cos("e.v", "cv.cvv")} AS cos
+         |  FROM e CROSS JOIN cv),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, c_label) AS rn FROM sc)
+         |SELECT label, c_label AS predicted, count(*) AS n FROM r WHERE rn = 1
+         |GROUP BY label, predicted ORDER BY label, predicted""".stripMargin,
+    "v04_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2, round(${cos("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cos("a.v", "b.v")} >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
+    "v05_ann_sign_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  array_to_string([CASE WHEN embedding[g] >= 0 THEN '1' ELSE '0' END
+         |    for g in range(1, 5)], '') AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT bucket AS q_bucket, v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket, round(${cos("v", "qv")}, 6) AS cos
+         |FROM e CROSS JOIN q
+         |WHERE vec_id <> 0 AND bucket = q_bucket
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "v06_vector_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |round(sqrt(list_dot_product(v, v)), 6) AS norm,
+        |round(list_sum(v) / len(v), 6) AS mean,
+        |round(list_min(v), 6) AS mn,
+        |round(list_max(v), 6) AS mx
+        |FROM e ORDER BY vec_id""".stripMargin,
+  )
+}
