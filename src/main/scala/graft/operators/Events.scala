@@ -166,7 +166,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "e01_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 4) AS avg_k

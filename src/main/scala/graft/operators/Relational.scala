@@ -84,7 +84,7 @@ object Relational {
     Tables.part(spark, sfDir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"p_brand", $"rn", $"p_partkey", $"p_name",
+      .select($"p_brand", $"rn".cast("long").as("rn"), $"p_partkey", $"p_name",
         round($"p_retailprice", 2).as("price"))
       .orderBy($"p_brand", $"rn")
   }
@@ -152,7 +152,7 @@ object Relational {
         upper($"p_brand").as("brand_u"),
         lower($"p_type").as("type_l"),
         substring($"p_type", 1, 6).as("type6"),
-        length($"p_name").as("name_len"),
+        length($"p_name").cast("long").as("name_len"),
         concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
         element_at(split($"p_type", " "), 1).as("type_head"))
       .orderBy($"p_partkey")
@@ -162,7 +162,7 @@ object Relational {
   def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
-      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .groupBy(year($"o_orderdate").cast("long").as("y"), month($"o_orderdate").cast("long").as("m"))
       .agg(count(lit(1)).as("n_orders"),
         dsum($"o_totalprice").as("sum_price"))
       .orderBy($"y", $"m")

@@ -71,8 +71,8 @@ object TextOps {
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docsWithToks(spark, sfDir)
-      .withColumn("n_tokens", size($"toks"))
-      .withColumn("n_uniq", size(array_distinct($"toks")))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
       .withColumn("n_stop",
         size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))")))
       .select(
@@ -195,7 +195,7 @@ object TextOps {
         round($"tf" * log($"n_total" / $"df".cast("double")), 4))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"doc_id", $"rn", $"term", $"score")
+      .select($"doc_id", $"rn".cast("long").as("rn"), $"term", $"score")
       .orderBy($"doc_id", $"rn")
   }
 
@@ -250,7 +250,7 @@ object TextOps {
     "d03_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         |round(sum(n_chars) / CAST(count(*) AS DOUBLE), 2) AS avg_chars,
-        |sum(len(str_split(text, ' '))) AS total_tokens
+        |CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d04_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents),

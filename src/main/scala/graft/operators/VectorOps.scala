@@ -48,7 +48,7 @@ object VectorOps {
     import spark.implicits._
     embDouble(spark, sfDir)
       .select($"label", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos")
+      .groupBy($"label", $"pos".cast("long").as("pos"))
       .agg(round(avg($"x"), 6).as("c"), count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
   }
@@ -113,7 +113,7 @@ object VectorOps {
     import spark.implicits._
     embDouble(spark, sfDir)
       .select($"vec_id",
-        size($"v").as("dim"),
+        size($"v").cast("long").as("dim"),
         round(call_function("graft_norm", $"v"), 6).as("norm"),
         round(expr("aggregate(v, 0D, (s, x) -> s + x)") / size($"v"), 6)
           .as("mean"),
@@ -144,7 +144,7 @@ object VectorOps {
          |FROM e CROSS JOIN q
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "v02_centroids" ->
-      """SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c,
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c,
         |count(*) AS n
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,

@@ -40,6 +40,11 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             n_fail += 1; continue
+        dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
+                       for c in got.columns
+                       if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_mismatch:
+            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
         mismatch = None
