@@ -1,0 +1,141 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * stages.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic stub ([[StubDecoder]]) — but everything Spark-side is
+  * real: the binary column schema, the `Dataset[MediaRow].mapPartitions`
+  * batch shape (one decoder instance per partition, exactly how a JNI /
+  * native-codec decoder would be initialized once per task at scale),
+  * and the frame-sampling layout.
+  *
+  * Scale notes: media blobs at 100 TB should be stored in their own
+  * parquet column (dictionary/off by default for binary) or external
+  * object store with the DataFrame carrying (uri, byte_range); decode is
+  * embarrassingly parallel map work — no shuffle — so partition count is
+  * sized by payload bytes (`spark.sql.files.maxPartitionBytes`), not row
+  * count.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Decoded media metadata (what a real image decoder would emit). */
+  case class Decoded(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_frames: Long)
+
+  /** Media decoder contract: one instance per partition. */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): Decoded
+  }
+
+  /** Deterministic stand-in for a native codec: derives "dimensions"
+    * from the first payload bytes. A real implementation would replace
+    * exactly this class (JNI into libjpeg/ffmpeg) — the surrounding
+    * plumbing is unchanged. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(row: MediaRow): Decoded = {
+      val b = row.content
+      val w = 1 + (if (b.length > 0) (b(0) & 0xff) % 64 else 0)
+      val h = 1 + (if (b.length > 1) (b(1) & 0xff) % 64 else 0)
+      Decoded(row.doc_id, w, h, 3, (b.length + 255L) / 256L)
+    }
+  }
+
+  /** The fixture corpus as a media table: utf-8 payload bytes standing in
+    * for encoded media (schema/partitioning identical to the real case). */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", lit("text/plain").as("media_type"),
+        encode($"text", "UTF-8").as("content"))
+  }
+
+  /** Decode stage: typed mapPartitions — decoder initialized once per
+    * partition, rows streamed through it. */
+  def decodeAll(media: Dataset[MediaRow], decoder: MediaDecoder): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder setup would happen here (codec init, JNI)
+      it.map(decoder.decode)
+    }
+  }
+
+  /** Binary metadata projection (oracle-checkable). */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select($"doc_id",
+        length($"content").cast("long").as("n_bytes"),
+        expr("cast((length(content) + 255) div 256 as bigint)").as("n_chunks"),
+        sha2($"content", 256).as("sha256_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Decode stage as a query: runs the real mapPartitions path with the
+    * stub codec; output is deterministic so the oracle can replicate it
+    * (payload bytes are ascii text → byte k == character k). */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir).as[MediaRow]
+    decodeAll(media, StubDecoder)
+      .toDF()
+      .select($"doc_id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"), $"n_frames")
+      .orderBy($"doc_id")
+  }
+
+  /** Frame sampling: split each payload into 256-byte frames, emit
+    * per-frame offsets and content fingerprints. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .withColumn("frame", explode(expr(
+        """transform(sequence(0, cast((length(content) + 255) div 256 as int) - 1),
+          f -> named_struct(
+            'frame_id', cast(f as bigint),
+            'off', cast(f * 256 + 1 as bigint),
+            'frame_md5', md5(substring(content, f * 256 + 1, 256))))""")))
+      .select($"doc_id", $"frame.frame_id", $"frame.off",
+        $"frame.frame_md5")
+      .orderBy($"doc_id", $"frame_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_binary_meta"  -> binaryMeta _,
+    "m02_media_decode" -> mediaDecode _,
+    "m03_frame_sample" -> frameSample _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
+        |sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_media_decode" ->
+      """SELECT doc_id,
+        |CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+        |CAST(1 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
+        |CAST(3 AS BIGINT) AS channels,
+        |CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+        |CAST(f * 256 + 1 AS BIGINT) AS off,
+        |md5(substr(text, (f * 256 + 1)::INT, 256)) AS frame_md5
+        |FROM t CROSS JOIN generate_series(0, 63) gs(f)
+        |WHERE f < nf
+        |ORDER BY doc_id, frame_id""".stripMargin,
+  )
+}
