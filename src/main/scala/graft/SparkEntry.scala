@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextOps.queries ++
-      VectorOps.queries ++ graft.multimodal.Multimodal.queries
+      VectorOps.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ graft.multimodal.Multimodal.oracles
+      VectorOps.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** The Structured Streaming runtime: the Kafka-Streams-shaped pipelines
+  * (KStream aggregation, KTable materialization, windowing, dedup,
+  * sessionization) expressed as `readStream` → transform → `writeStream`.
+  *
+  * Source contract: `eventsStream` reads the fixture parquet as a file
+  * stream — the sandbox has no broker, so the source is swappable: in
+  * production replace with
+  * `spark.readStream.format("kafka").option("subscribe", topic)` +
+  * `from_json(value)`; every transform below is source-agnostic.
+  *
+  * Scale notes: stateful operators keep per-key state in the state store
+  * (RocksDB provider on a real cluster); watermarks bound state size, so
+  * every stateful pipeline here requires one. Shuffle partitioning of
+  * the state is by the grouping key — the same partition-by-key model as
+  * Kafka Streams tasks, minus the fixed topic-partition coupling.
+  */
+object StreamOps {
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionOut(user_id: Long, s_start: Timestamp, s_end: Timestamp,
+      n_events: Long)
+
+  /** File-source stand-in for the Kafka source, with the same ns→µs
+    * timestamp normalization as the batch path. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source needs a directory; scope it to the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling event-time window aggregation (KGroupedStream.windowedBy
+    * + count/aggregate). */
+  def tumblingAgg(events: DataFrame, size: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** KTable materialization: latest value per key as a changelog
+    * aggregation (struct-max rides the whole row on a unique
+    * (ts, event_id) ordering). */
+  def latestByKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.ts").as("ts"), col("m.event_type").as("event_type"),
+        round(col("m.value"), 2).as("value"))
+
+  /** Exactly-once-per-key dedup with bounded state. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Windowed stream-stream inner join (KStream⋈KStream with
+    * JoinWindows): purchase within [view_ts, view_ts + Δ]. */
+  def viewPurchaseJoin(events: DataFrame, joinWindow: String): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", joinWindow)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", joinWindow)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
+  /** Arbitrary stateful processing (Processor-API analogue):
+    * sessionization via flatMapGroupsWithState with event-time timeout.
+    * Sessions close when the watermark passes last_ts + gap. */
+  def sessionize(events: Dataset[EventRow], gapMs: Long,
+      watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+
+    // java.sql.Timestamp keeps microseconds in the nanos field;
+    // session bounds must stay µs-exact to match batch session_window
+    def toMicros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def fn(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[List[(Long, Long, Long)]]): Iterator[SessionOut] = {
+      // state: open sessions as (startUs, lastUs, count)
+      val sorted = rows.map(r => toMicros(r.ts)).toSeq.sorted
+      var sessions = state.getOption.getOrElse(Nil)
+      for (t <- sorted) {
+        sessions = sessions match {
+          case (s, e, n) :: rest if t - e < gapUs => (s, math.max(e, t), n + 1) :: rest
+          case _ => (t, t, 1L) :: sessions
+        }
+      }
+      if (state.hasTimedOut || sorted.nonEmpty) {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (closed, open) = sessions.partition { case (_, e, _) => e + gapUs <= wmUs }
+        state.update(open)
+        if (open.isEmpty && state.exists) state.remove()
+        else if (open.nonEmpty)
+          state.setTimeoutTimestamp(open.map(_._2).max / 1000L + gapMs + 1)
+        closed.sortBy(_._1).iterator.map { case (s, e, n) =>
+          SessionOut(userId, fromMicros(s), fromMicros(e + gapUs), n)
+        }
+      } else Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (available-now semantics). */
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  // ---- oracle-checked streaming roundtrips -------------------------------
+
+  /** Streaming tumbling daily aggregation, Complete mode (all windows
+    * emitted at end-of-stream) — must equal the batch/DuckDB answer. */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      tumblingAgg(eventsStream(spark, sfDir), "1 day", "10 minutes"),
+      "graft_s01", "complete")
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Streaming KTable materialization, Complete mode. */
+  def streamLatest(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(latestByKey(eventsStream(spark, sfDir)),
+      "graft_s02", "complete")
+      .orderBy(col("user_id"))
+
+  /** Streaming dedup by event_id (all fixture ids are unique → output
+    * equals input projection, proving pass-through + state plumbing). */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      dedupWithinWatermark(eventsStream(spark, sfDir), "10 minutes")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+      "graft_s03", "append")
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_tumbling" -> streamTumbling _,
+    "s02_stream_latest"   -> streamLatest _,
+    "s03_stream_dedup"    -> streamDedup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_stream_tumbling" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
+        |event_type, count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "s02_stream_latest" ->
+      """SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "s03_stream_dedup" ->
+      """SELECT event_id, user_id, ts, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + correctness specs for the operator modules at sf0.001.
+  * The DuckDB oracle (driver-run) is the primary gate; these specs cover
+  * the non-oracle surfaces: entry(), custom expressions, streaming
+  * equivalences, the decoder plumbing, and property-style invariants. */
+class GraftSpec extends AnyFunSuite {
+  import graft.operators._
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and every oracle key exists") {
+    val qs = SparkEntry.queries
+    val missing = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("pricing summary matches a hand-computed slice") {
+    import spark.implicits._
+    val row = Relational.pricingSummary(spark, sf)
+      .filter($"l_returnflag" === "A" && $"l_linestatus" === "F")
+      .collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("count_order") > 0)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = TextOps.exactDedup(spark, sf)
+    // dedup keeps one representative per norm_hash: re-grouping the
+    // representatives must be a no-op
+    assert(once.groupBy("norm_hash").count().filter("count > 1").count() == 0)
+  }
+
+  test("rollup grand total equals table count") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf).count()
+    val total = Relational.rollupReturns(spark, sf)
+      .filter($"returnflag" === "ALL" && $"linestatus" === "ALL")
+      .collect()(0).getAs[Long]("n")
+    assert(total == li)
+  }
+}
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSession.spark
+
+  test("graft_dot/graft_cosine/graft_norm match hand values and HOF equivalents") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(2.0, 0.0, 0.0), Array(2.0, 0.0, 0.0))
+    ).toDF("a", "b")
+    val got = df.select(
+      call_function("graft_dot", $"a", $"b").as("dot"),
+      call_function("graft_cosine", $"a", $"b").as("cos"),
+      call_function("graft_norm", $"a").as("norm")).collect()
+    assert(got(0).getDouble(0) == 32.0)
+    assert(math.abs(got(1).getDouble(1)) < 1e-12)        // orthogonal
+    assert(math.abs(got(2).getDouble(1) - 1.0) < 1e-12)  // identical
+    assert(math.abs(got(0).getDouble(2) - math.sqrt(14.0)) < 1e-12)
+    // HOF equivalence on float arrays (the implicit-cast path)
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val Array(r) = f.select(
+      call_function("graft_dot", $"a", $"b").as("d1"),
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, x) -> s + x)").as("d2"))
+      .collect()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("flatMapGroupsWithState sessionization equals batch session_window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gap = "2 hours"
+    val batch = graft.operators.Events.sessionWindows(spark, sf)
+      .select($"user_id", $"s_start", $"s_end", $"n_events")
+    val events = Tables.events(spark, sf).as[StreamOps.EventRow]
+    // batch Dataset through the same FMGWS logic (single "batch" = one
+    // group invocation; watermark far past the data closes all sessions)
+    val streamed = StreamOps.sessionize(
+      StreamOps.eventsStream(spark, sf).as[StreamOps.EventRow],
+      gapMs = 2 * 3600 * 1000L, watermark = "0 seconds")
+    val q = streamed.writeStream.format("memory")
+      .queryName("fmgws_sessions").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fmgws_sessions")
+      .select($"user_id", $"s_start", $"s_end", $"n_events")
+    // append mode emits only watermark-closed sessions; every emitted
+    // session must exist identically in the batch result, and most
+    // sessions (all but the tail beyond the final watermark) must emit
+    val missing = got.exceptAll(batch).count()
+    assert(missing == 0, s"$missing streamed sessions not in batch result")
+    val batchN = batch.count()
+    val gotN = got.count()
+    assert(gotN >= batchN / 2, s"only $gotN of $batchN sessions emitted")
+  }
+
+  test("streaming view->purchase join equals batch interval join") {
+    import spark.implicits._
+    val batch = graft.operators.Events.viewToPurchase(spark, sf)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.viewPurchaseJoin(StreamOps.eventsStream(spark, sf), "60 minutes"),
+      "stream_vp", "append")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup drops re-sent rows within the watermark") {
+    import spark.implicits._
+    val e = Tables.events(spark, sf).limit(100)
+    val doubled = e.union(e)
+    // batch analogue of the state logic: one row per event_id survives
+    assert(doubled.dropDuplicates("event_id").count() == 100)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import graft.multimodal.Multimodal
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("mapPartitions decode emits one row per media payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeAll(media, Multimodal.StubDecoder)
+    assert(decoded.count() == media.count())
+    val d = decoded.filter(_.doc_id == 0).collect()(0)
+    assert(d.width >= 1 && d.width <= 64 && d.channels == 3)
+  }
+}
