@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+
+/** The Kafka-Streams-style DSL must reproduce the directly-written
+  * DataFrame pipelines — a reference app migrated operator-by-operator
+  * gets identical results. */
+class KStreamsApiSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def events = Tables.events(spark, sf)
+
+  test("stream → filter/mapValues/branch/merge keeps record semantics") {
+    val s = GraftStreams.stream(events, "user_id", "ts")
+    val Seq(views, purchases) = s.branch(
+      col("event_type") === "view", col("event_type") === "purchase")
+    val merged = views.merge(purchases)
+      .mapValues("v2" -> col("value") * 2)
+      .filterNot(col("value") < 0)
+    val expected = events.filter(
+      col("event_type") === "view" || col("event_type") === "purchase").count()
+    assert(merged.toDF.count() == expected)
+    assert(merged.toDF.columns.contains("v2"))
+  }
+
+  test("windowedBy tumbling count equals direct window aggregation") {
+    val dsl = GraftStreams.stream(events, "user_id", "ts")
+      .groupBy("event_type")
+      .windowedBy("1 day")
+      .count()
+      .select(col("w_start"), col("event_type"), col("count"))
+    val direct = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("count"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("count"))
+    assert(dsl.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(dsl).count() == 0)
+  }
+
+  test("table() compacts to latest-by-key (KTable semantics)") {
+    val t = GraftStreams.table(events, "user_id", "ts")
+    val direct = graft.operators.Events.latestByKey(spark, sf)
+    assert(t.toDF.count() == direct.count())
+    val joined = t.toDF.select(col("user_id"), col("event_id"))
+      .exceptAll(direct.select(col("user_id"), col("event_id")))
+    assert(joined.count() == 0)
+  }
+
+  test("stream ⋈ globalTable is a broadcast join with no stream shuffle") {
+    val orders = Tables.orders(spark, sf)
+    val cust = GraftStreams.globalTable(Tables.customer(spark, sf), "c_custkey")
+    val enriched = GraftStreams.stream(orders, "o_custkey", "o_orderdate")
+      .join(cust)
+    assert(enriched.toDF.count() == orders.count())
+    val plan = enriched.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("joinWithin reproduces the interval join") {
+    val s = GraftStreams.stream(
+      events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts")), "user_id", "ts")
+    val p = GraftStreams.stream(
+      events.filter(col("event_type") === "purchase")
+        .selectExpr("user_id", "ts AS pts"), "user_id", "pts")
+    val n = s.joinWithin(p, "60 minutes")
+      .filter(col("pts") >= col("ts")).count()
+    assert(n == graft.operators.Events.viewToPurchase(spark, sf).count())
+  }
+
+  test("sessionWindowedBy matches session_window op") {
+    val dsl = GraftStreams.stream(events, "user_id", "ts")
+      .groupBy("user_id")
+      .sessionWindowedBy("2 hours")
+      .count()
+    assert(dsl.count() == graft.operators.Events.sessionWindows(spark, sf).count())
+  }
+
+  test("KTable FK join (orders → customer)") {
+    val o = GraftStreams.table(Tables.orders(spark, sf), "o_orderkey", "o_orderdate")
+    val c = GraftStreams.table(
+      Tables.customer(spark, sf).withColumn("v", lit(1)), "c_custkey", "v")
+    val joined = o.join(c, onLeft = "o_custkey")
+    assert(joined.toDF.count() == Tables.orders(spark, sf).count())
+  }
+}
