@@ -112,29 +112,44 @@ object TextOps {
     * corpus. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sig = docsWithToks(spark, sfDir)
+    // documents is one parquet file → one input partition; spread the
+    // shingle/hash work across cores before the heavy transforms (on a
+    // cluster the source would already be many splits)
+    val par = spark.sparkContext.defaultParallelism
+    val docShingle = docsWithToks(spark, sfDir)
+      .repartition(par)
       .filter(size($"toks") >= 3)
-      .withColumn("shingles", expr(
+      .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))"""))
-      .select($"doc_id",
-        expr("""transform(sequence(0, 15),
-               s -> array_min(transform(shingles,
-                    t -> md5(concat(cast(s as string), ':', t)))))""").as("sig"))
-    val bands = sig.select($"doc_id", $"sig",
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b*4+1, 4)))"))
-        .as(Seq("band", "bh")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
+      .persist()  // feeds both the distinct-shingle dim and the join
+    // Shingles repeat heavily across documents — hash each DISTINCT
+    // shingle once for all 16 permutations (~16× less md5 work than
+    // hashing per (doc, shingle)), then share via join and take the
+    // per-(doc, seed) min with map-side partial aggregation.
+    val shingleHashes = docShingle.select($"s").distinct()
+      .withColumn("hs", expr(
+        "transform(sequence(0, 15), k -> md5(concat(cast(k as string), ':', s)))"))
+    val sig = docShingle.join(shingleHashes, "s")
+      .select($"doc_id", posexplode($"hs").as(Seq("seed", "h")))
+      .groupBy($"doc_id", $"seed").agg(min($"h").as("h"))
+      .persist()  // both sides of the candidate self-join read this
+    // Self-join the flat (doc, seed, minhash) table on (seed, h): a pair
+    // appears once per matching signature component. The LSH band
+    // condition (4 consecutive seeds all matching) is then derived from
+    // the matched-seed set — no signature arrays shuffled, and the two
+    // sides of the self-join are identical subtrees (exchange reuse).
+    val pairs = sig.as("a")
+      .join(sig.as("b"),
+        $"a.seed" === $"b.seed" && $"a.h" === $"b.h" &&
           $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(first($"a.sig").as("sig1"), first($"b.sig").as("sig2"))
-    cand
+      .agg(collect_set($"a.seed").as("seeds"))
+    pairs
+      .filter(expr(
+        "exists(sequence(0, 3), b -> size(array_intersect(seeds, sequence(b*4, b*4+3))) = 4)"))
       .select($"d1", $"d2",
-        round(expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))") / lit(16.0), 4)
-          .as("est_jaccard"))
+        round(size($"seeds") / lit(16.0), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
       .orderBy($"d1", $"d2")
   }
@@ -160,6 +175,7 @@ object TextOps {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = docsWithToks(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(size($"toks") >= 3)
       .select($"doc_id",
         explode(expr(
