@@ -22,13 +22,17 @@ import graft.functions.Det.{dec4, dsum, davg}
   */
 object Events {
 
-  /** JSON extraction (get_json_object) + aggregation per event_type. */
+  /** JSON extraction (get_json_object + from_json→MapType/map_keys) +
+    * aggregation per event_type. */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("n_keys",
+        size(map_keys(from_json($"props", "MAP<STRING, BIGINT>"))).cast("long"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
+        sum($"n_keys").as("total_keys"),
         sum($"k").as("sum_k"),
         min($"k").as("min_k"),
         max($"k").as("max_k"),
@@ -166,6 +170,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "e01_json_extract" ->
       """SELECT event_type, count(*) AS n,
+        |CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,

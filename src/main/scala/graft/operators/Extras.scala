@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det.{dec4, dsum}
+
+/** Remaining SURVEY §2 breadth: CUBE, the SQL entry surface with a
+  * correlated subquery (Catalyst decorrelates it into a join), time-range
+  * window frames, and the approximate sketches (HLL++ distinct,
+  * approx quantiles) that back per-key cardinality at 100 TB — exact
+  * `countDistinct` needs a full shuffle of the distinct pairs, while
+  * HLL++ merges constant-size sketches map-side. The approx queries are
+  * declared without oracle SQL (sketch results are engine-specific) and
+  * take the driver's rows-only check; the exact counterparts are the
+  * oracle-verified e09/q-series. */
+object Extras {
+
+  /** CUBE over (priority, status): all grouping-set combinations. */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n", $"sum_price")
+      .orderBy($"priority", $"status")
+  }
+
+  /** SQL entry surface + correlated scalar subquery (decorrelated by
+    * Catalyst into an aggregate-join): customers richer than their
+    * nation's average balance. */
+  def richCustomersSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT n_name, count(*) AS n_rich
+        |FROM graft_customer c JOIN graft_nation n ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM graft_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  /** Time-range window frame: per-user trailing-1-hour average. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts",
+        round(sum(dec4($"value")).over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("avg_1h"))
+      .orderBy($"event_id")
+  }
+
+  /** HLL++ approximate distinct per event_type (rows-only check; the
+    * exact version is e09). */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        approx_count_distinct($"user_id", 0.005).as("approx_users_precise"))
+      .orderBy($"event_type")
+  }
+
+  /** Approximate quantiles of line item prices (rows-only check). */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select($"l_returnflag",
+        $"pcts"(0).as("p50"), $"pcts"(1).as("p90"), $"pcts"(2).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cube_orders"     -> cubeOrders _,
+    "q14_correlated_sql"  -> richCustomersSql _,
+    "e11_moving_avg"      -> movingAvg _,
+    "x01_approx_distinct" -> approxDistinct _,
+    "x02_approx_quantiles" -> approxQuantiles _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_cube_orders" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q14_correlated_sql" ->
+      """SELECT n_name, count(*) AS n_rich
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "e11_moving_avg" ->
+      """SELECT event_id, user_id, ts,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |  / count(*) OVER w, 4) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // x01/x02 deliberately omitted: sketch outputs are engine-specific
+  )
+}
