@@ -29,7 +29,10 @@ object Events {
     Tables.events(spark, sfDir)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .withColumn("n_keys",
-        size(map_keys(from_json($"props", "MAP<STRING, BIGINT>"))).cast("long"))
+        size(map_keys(from_json($"props",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))).cast("long"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"n_keys").as("total_keys"),
