@@ -8,23 +8,12 @@ object Prof {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val wd = "/root/testdata/sf0.001"
-    val sfDir = "/root/testdata/sf0.1"
-    def t(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"PROF $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val sfDir = "/root/testdata/sf0.01"
+    for (q <- Seq("q01_pricing_summary", "q02_region_revenue", "v01_cosine_topk", "e02_tumbling_daily")) {
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
     }
-    // scenario A: only d06 warm
-    graft.operators.TextOps.minhashLsh(spark, wd).count()
-    t("d06 after own warmup")(graft.operators.TextOps.minhashLsh(spark, sfDir).count())
-    // scenario B: full warmup like Bench, then re-time (cache hit on sf0.1? NO -
-    // d06 sf0.1 already persisted above... unpersist everything first)
-    spark.sharedState.cacheManager.clearCache()
-    graft.SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, wd).count() catch { case _: Throwable => () }
-    }
-    spark.sharedState.cacheManager.clearCache()
-    t("d06 after full warmup")(graft.operators.TextOps.minhashLsh(spark, sfDir).count())
     spark.stop()
   }
 }

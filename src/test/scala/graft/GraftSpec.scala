@@ -162,3 +162,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.width >= 1 && d.width <= 64 && d.channels == 3)
   }
 }
+
+case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
+
+class CentroidAggregatorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.CentroidAggregator
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("typed Aggregator centroids equal the relational centroid path") {
+    import spark.implicits._
+    val typed = Tables.embeddings(spark, sf).as[EmbRow]
+      .groupByKey(_.label)
+      .mapValues(_.embedding)
+      .agg(CentroidAggregator.toColumn.name("c"))
+      .map { case (label, out) => (label, out.centroid(0), out.centroid(63), out.n) }
+      .toDF("label", "c0", "c63", "n")
+    val relational = graft.operators.VectorOps.centroids(spark, sf)
+    val rel0 = relational.filter("pos = 0")
+      .select($"label", $"c", $"n").as[(Int, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = typed.as[(Int, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (label, c0, _, n) =>
+      val (expC0, expN) = rel0(label)
+      assert(n == expN, s"label $label count")
+      assert(math.abs(c0 - expC0) < 1e-6, s"label $label centroid[0]: $c0 vs $expC0")
+    }
+  }
+}
