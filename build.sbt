@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of whole-stage-codegen classes fill the default 240m JIT
+  // code cache; once full the JIT disables and compute-heavy queries
+  // (md5 minhash loops) run uncompiled, 3x slower.
+  "-XX:ReservedCodeCacheSize=512m",
 )

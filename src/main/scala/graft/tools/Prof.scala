@@ -8,11 +8,15 @@ object Prof {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_pricing_summary", "q02_region_revenue", "v01_cosine_topk", "e02_tumbling_daily")) {
-      println(s"===== $q =====")
-      val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    val wd = "/root/testdata/sf0.001"
+    val sfDir = "/root/testdata/sf0.1"
+    graft.SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, wd).count() catch { case _: Throwable => () }
+    }
+    val upTo = graft.SparkEntry.queries.toSeq.sortBy(_._1).takeWhile(_._1 <= "d06_minhash_lsh")
+    upTo.foreach { case (name, fn) =>
+      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      println(f"PROF $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
   }
