@@ -171,6 +171,27 @@ object StreamOps {
       "graft_s02", "complete")
       .orderBy(col("user_id"))
 
+  /** Streaming hopping-window aggregation (1 h size / 30 min slide),
+    * Complete mode — equals the batch hopping query e03. */
+  def streamHopping(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n")),
+      "graft_s04", "complete")
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Streaming windowed stream-stream join (append mode; inner joins
+    * emit matches as they arrive) — equals the batch interval join e06. */
+  def streamViewPurchase(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      viewPurchaseJoin(eventsStream(spark, sfDir), "60 minutes"),
+      "graft_s05", "append")
+      .orderBy(col("view_id"), col("purchase_id"))
+
   /** Streaming dedup by event_id (all fixture ids are unique → output
     * equals input projection, proving pass-through + state plumbing). */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -185,6 +206,8 @@ object StreamOps {
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
     "s03_stream_dedup"    -> streamDedup _,
+    "s04_stream_hopping"  -> streamHopping _,
+    "s05_stream_join"     -> streamViewPurchase _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +224,19 @@ object StreamOps {
     "s03_stream_dedup" ->
       """SELECT event_id, user_id, ts, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    "s04_stream_hopping" ->
+      """WITH hopped AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // (1800*1000000)) - k) * 1800*1000000) AS w_start,
+        |    event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM hopped GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "s05_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |round(p.value, 2) AS purchase_value
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
   )
 }

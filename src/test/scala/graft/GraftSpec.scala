@@ -57,6 +57,19 @@ class GraftSpec extends AnyFunSuite {
     assert(once.groupBy("norm_hash").count().filter("count > 1").count() == 0)
   }
 
+  test("approx_count_distinct tracks exact counts within 5%") {
+    import spark.implicits._
+    val exact = operators.Events.distinctUsers(spark, sf)
+      .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
+    val approx = operators.Extras.approxDistinct(spark, sf)
+      .select($"event_type", $"approx_users_precise").as[(String, Long)]
+      .collect().toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n) <= math.max(1, n * 0.05),
+        s"$t: approx ${approx(t)} vs exact $n")
+    }
+  }
+
   test("rollup grand total equals table count") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf).count()
