@@ -141,17 +141,30 @@ object StreamOps {
   }
 
   /** Drive a streaming DataFrame to completion against a memory sink and
-    * return the materialized result (available-now semantics). */
+    * return the materialized result (available-now semantics).
+    *
+    * Streaming shuffles are exempt from AQE partition coalescing, so a
+    * high session `shuffle.partitions` (tuned for batch) means that many
+    * state-store instances per micro-batch — pure overhead at local
+    * fixture scale. Cap the stateful parallelism for the streaming query
+    * and restore the session value afterwards (the knob a Kafka Streams
+    * app would call num.stream.threads). */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
     spark.catalog.dropTempView(name)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    spark.conf.set(key,
+      math.min(8, spark.sparkContext.defaultParallelism).toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
