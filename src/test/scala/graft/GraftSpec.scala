@@ -204,3 +204,35 @@ class CentroidAggregatorSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class TransformWithStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.{LatestEventProcessor, StreamOps}
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("transformWithState latest-by-key equals batch latestByKey") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamOps.eventsStream(spark, sf).as[StreamOps.EventRow]
+      val out = stream
+        .groupByKey(_.user_id)
+        .transformWithState(new LatestEventProcessor,
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[graft.streaming.LatestEvent])
+      val q = out.writeStream.format("memory")
+        .queryName("tws_latest").outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      // single source batch -> exactly one update (the latest) per key
+      val got = spark.table("tws_latest")
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+      val exp = graft.operators.Events.latestByKey(spark, sf)
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+      assert(got == exp)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
