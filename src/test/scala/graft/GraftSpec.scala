@@ -236,3 +236,41 @@ class TransformWithStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
+
+/** Bucketing: the 100 TB fact⋈fact strategy — pre-partition both tables
+  * by the join key at write time so the join needs no exchange at all. */
+class BucketingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_bucketed")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_bucketed")
+      val joined = spark.table("g_lineitem_bucketed")
+        .join(spark.table("g_orders_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // sanity: the same join on plain parquet DOES shuffle
+      val unbucketed = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      unbucketed.count()
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem_bucketed")
+    }
+  }
+}
