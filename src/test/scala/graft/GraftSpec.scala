@@ -274,3 +274,45 @@ class BucketingSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class SkewJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("salted join equals the plain equi-join") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey")
+    val salted = graft.operators.SkewJoin.saltedJoin(
+      li, o, li("l_orderkey"), o("o_orderkey"),
+      li("l_linenumber"), saltFactor = 8)
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
+
+class ForeachBatchSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("foreachBatch parquet sink writes every micro-batch") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = StreamOps.eventsStream(spark, sf)
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$out/data")
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$out/data").count()
+    assert(written == Tables.events(spark, sf).count())
+  }
+}
