@@ -316,3 +316,72 @@ class ForeachBatchSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(written == Tables.events(spark, sf).count())
   }
 }
+
+/** Multi-batch streaming semantics: watermark advancement drops late
+  * rows; checkpointed state survives a query restart. */
+class WatermarkSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSession.spark
+
+  test("rows later than the watermark are dropped from windowed aggs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"k", $"n")
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window
+      input.addData((ts(1), "a"), (ts(5), "a"))
+      q.processAllAvailable()
+      // batch 2: advance event time far ahead -> watermark passes 10:10
+      input.addData((ts(40), "a"))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the already-closed 10:00 window + observer
+      input.addData((ts(2), "a"), (ts(45), "a"))
+      q.processAllAvailable()
+      // batch 4: close the 10:40 window too
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_test")
+      .select($"w_start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    // the 10:00 window must have counted ONLY the 2 on-time rows — the
+    // late ts(2) row arrived after the watermark closed the window
+    assert(rows(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+    // the 10:40 window saw both its rows
+    assert(rows(java.sql.Timestamp.valueOf("2024-01-01 10:40:00")) == 2L)
+  }
+
+  test("streaming aggregation state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[(Long, Double)]
+    val agg = input.toDF().toDF("user", "v")
+      .groupBy($"user")
+      .agg(sum($"v".cast("decimal(18,4)")).cast("double").as("total"))
+
+    def start() = agg.writeStream.format("memory")
+      .queryName("ckpt_test").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint: prior state must be recovered
+    val q2 = start()
+    input.addData((1L, 4.0))
+    q2.processAllAvailable(); q2.stop()
+    val totals = spark.table("ckpt_test")
+      .as[(Long, Double)].collect().toMap
+    assert(totals(1L) == 7.0, s"state lost across restart: $totals")
+    assert(totals(2L) == 5.0)
+  }
+}
