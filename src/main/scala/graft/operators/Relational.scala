@@ -198,6 +198,48 @@ object Relational {
       .orderBy($"tag")
   }
 
+  /** TPC-H Q5 shape: revenue per nation where the customer and supplier
+    * share a nation (local supply chains), one region, one year. */
+  def localSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nationB(spark, sfDir)
+    val r = Tables.regionB(spark, sfDir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .groupBy($"n_name")
+      .agg(round(sum(dec4($"l_extendedprice") *
+        (lit(1).cast("decimal(18,4)") - dec4($"l_discount"))).cast("double"), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), $"n_name")
+  }
+
+  /** lineitem ⋈ part FK join: revenue by part-type family. */
+  def partTypeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(p, $"l_partkey" === $"p_partkey")
+      .groupBy(element_at(split($"p_type", " "), 1).as("type_family"))
+      .agg(round(sum(dec4($"l_extendedprice") *
+        (lit(1).cast("decimal(18,4)") - dec4($"l_discount"))).cast("double"), 2)
+        .as("revenue"),
+        countDistinct($"p_partkey").as("n_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"type_family")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
@@ -211,6 +253,8 @@ object Relational {
     "q10_orders_by_month"    -> ordersByMonth _,
     "q11_qty_histogram"      -> qtyHistogram _,
     "q12_set_ops"            -> setOps _,
+    "q15_local_supplier_revenue" -> localSupplierRevenue _,
+    "q16_part_type_revenue"  -> partTypeRevenue _,
   )
 
   private val D = Det.sql
@@ -318,5 +362,24 @@ object Relational {
         |  UNION ALL
         |  SELECT 'no_recent' AS tag FROM only_t) u
         |GROUP BY tag ORDER BY tag""".stripMargin,
+    "q15_local_supplier_revenue" ->
+      s"""SELECT n_name, $discPrice AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q16_part_type_revenue" ->
+      s"""SELECT str_split(p_type, ' ')[1] AS type_family,
+         |$discPrice AS revenue,
+         |count(DISTINCT p_partkey) AS n_parts, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY type_family""".stripMargin,
   )
 }
