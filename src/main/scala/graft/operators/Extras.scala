@@ -78,12 +78,28 @@ object Extras {
       .orderBy($"l_returnflag")
   }
 
+  /** Pivot → unpivot round trip: wide per-user activity profile melted
+    * back to long form (user_id, event_type, n) including zero cells. */
+  def userUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val wide = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+    wide.unpivot(Array($"user_id"), types.map(col).toArray,
+        "event_type", "n")
+      .orderBy($"user_id", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_cube_orders"     -> cubeOrders _,
     "q14_correlated_sql"  -> richCustomersSql _,
     "e11_moving_avg"      -> movingAvg _,
     "x01_approx_distinct" -> approxDistinct _,
     "x02_approx_quantiles" -> approxQuantiles _,
+    "e12_user_unpivot"    -> userUnpivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,5 +124,13 @@ object Extras {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     // x01/x02 deliberately omitted: sketch outputs are engine-specific
+    "e12_user_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
   )
 }
