@@ -130,10 +130,16 @@ object TextOps {
     val shingleHashes = docShingle.select($"s").distinct()
       .withColumn("hs", expr(
         "transform(sequence(0, 15), k -> md5(concat(cast(k as string), ':', s)))"))
-    val sig = docShingle.join(shingleHashes, "s")
-      .select($"doc_id", posexplode($"hs").as(Seq("seed", "h")))
-      .groupBy($"doc_id", $"seed").agg(min($"h").as("h"))
+    // 16 elementwise min-aggregates in ONE hash-agg pass over the
+    // (doc, shingle-hashes) rows — no 16× posexplode blowup before the
+    // shuffle; the flat (doc, seed, h) view is then derived from the
+    // tiny per-doc signature table.
+    val sigArr = docShingle.join(shingleHashes, "s")
+      .groupBy($"doc_id")
+      .agg(array((0 until 16).map(i => min(expr(s"hs[$i]"))): _*).as("sig"))
       .persist()  // both sides of the candidate self-join read this
+    val sig = sigArr
+      .select($"doc_id", posexplode($"sig").as(Seq("seed", "h")))
     // Self-join the flat (doc, seed, minhash) table on (seed, h): a pair
     // appears once per matching signature component. The LSH band
     // condition (4 consecutive seeds all matching) is then derived from
