@@ -93,6 +93,24 @@ object Extras {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** As-of join (temporal state lookup): each event joined to the
+    * user's most recent signup at-or-before its timestamp. Expressed as
+    * one `last_value(... ignore nulls)` window pass — the scale answer
+    * for as-of joins: no range-join pair explosion, one sort per key
+    * that AQE/exchange reuse can share with adjacent per-user ops. */
+  def asofSignupState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("last_signup_id",
+        last(when($"event_type" === "signup", $"event_id"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"event_type", $"last_signup_id")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_cube_orders"     -> cubeOrders _,
     "q14_correlated_sql"  -> richCustomersSql _,
@@ -100,6 +118,7 @@ object Extras {
     "x01_approx_distinct" -> approxDistinct _,
     "x02_approx_quantiles" -> approxQuantiles _,
     "e12_user_unpivot"    -> userUnpivot _,
+    "e13_asof_signup"     -> asofSignupState _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +151,14 @@ object Extras {
         |FROM u CROSS JOIN t
         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
+    "e13_asof_signup" ->
+      """SELECT event_id, user_id, event_type, last_signup_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+        |  FROM events) t
+        |WHERE event_type <> 'signup'
+        |ORDER BY event_id""".stripMargin,
   )
 }
