@@ -108,6 +108,45 @@ object VectorOps {
       .limit(10)
   }
 
+  /** IVF-style ANN: vectors are assigned to coarse cells (nearest
+    * label-centroid); the query probes its 2 nearest cells and ranks
+    * only those cells' members — the inverted-file pattern that bounds
+    * search cost at 100 TB (cells ≈ k-means lists; here the label
+    * centroids stand in for trained coarse quantizers). */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val cent = e
+      .select($"label".as("c_label"), posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"c_label", $"pos")
+      .agg(avg($"x").as("c"))
+      .groupBy($"c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy(desc("cos"), $"c_label")
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"c_label".as("cell"))
+    val q = assigned.filter($"vec_id" === 0)
+      .select($"v".as("qv"))
+    // the query's 2 nearest cells
+    val qCells = cent.crossJoin(broadcast(q))
+      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
+      .orderBy(desc("qcos"), $"c_label")
+      .limit(2)
+      .select($"c_label".as("probe_cell"))
+    assigned
+      .join(broadcast(qCells), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+  }
+
   /** Per-vector stats: dimension, L2 norm, mean/min/max component. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -129,6 +168,7 @@ object VectorOps {
     "v04_embed_neardup"   -> embedNearDup _,
     "v05_ann_sign_lsh"    -> annSignLsh _,
     "v06_vector_stats"    -> vectorStats _,
+    "v07_ivf_ann"         -> ivfAnn _,
   )
 
   private val cosSql =
@@ -183,5 +223,23 @@ object VectorOps {
         |round(list_min(v), 6) AS mn,
         |round(list_max(v), 6) AS mx
         |FROM e ORDER BY vec_id""".stripMargin,
+    "v07_ivf_ann" ->
+      s"""WITH cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+         |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |assigned AS (SELECT vec_id, v, c_label AS cell FROM (
+         |  SELECT e.vec_id, e.v, cv.c_label,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.v", "cv.cvv")} DESC, cv.c_label) AS rn
+         |  FROM e CROSS JOIN cv) x WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qcells AS (SELECT c_label AS probe_cell FROM cv CROSS JOIN q
+         |  ORDER BY ${cos("cv.cvv", "qv")} DESC, c_label LIMIT 2)
+         |SELECT a.vec_id, a.cell, round(${cos("a.v", "qv")}, 6) AS cos
+         |FROM assigned a JOIN qcells ON a.cell = qcells.probe_cell
+         |CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
   )
 }
