@@ -246,6 +246,21 @@ object TextOps {
       .orderBy($"lang", $"predicted")
   }
 
+  /** BPE-ish token counting: regex word segmentation plus fixed-width
+    * subword chunks (a deterministic stand-in for a learned BPE vocab —
+    * same pipeline shape: word split → subword merge table lookup). */
+  def regexTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        expr("aggregate(words, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as long))")
+          .as("n_subwords"),
+        size(array_distinct($"words")).cast("long").as("n_uniq_words"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d02_top_terms"     -> topTerms _,
@@ -257,6 +272,7 @@ object TextOps {
     "d08_ngram_jaccard" -> ngramJaccard _,
     "d09_tfidf"         -> tfidf _,
     "d10_langid"        -> langId _,
+    "d11_regex_tokens"  -> regexTokens _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +377,14 @@ object TextOps {
         |  FROM s)
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "d11_regex_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '') AS words
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |CAST(coalesce((SELECT sum(CAST(ceil(length(w.x) / 4.0) AS BIGINT))
+        |  FROM unnest(words) AS w(x)), 0) AS BIGINT) AS n_subwords,
+        |CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_words
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
