@@ -29,6 +29,26 @@ object StreamOps {
   case class SessionOut(user_id: Long, s_start: Timestamp, s_end: Timestamp,
       n_events: Long)
 
+  /** Production source: Kafka topic → typed event columns. Compiles
+    * against the stable string-format API; requires the
+    * spark-sql-kafka connector on the classpath at runtime (not shipped
+    * in this sandbox — `eventsStream` below is the drop-in stand-in, and
+    * every downstream transform is source-agnostic). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String,
+      topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS json", "timestamp AS kafka_ts")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")).as("e"))
+      .select(col("e.*"))
+
   /** File-source stand-in for the Kafka source, with the same ns→µs
     * timestamp normalization as the batch path. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -385,3 +385,30 @@ class WatermarkSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(totals(2L) == 5.0)
   }
 }
+
+class TrainingDataPipelineSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.pipeline.TrainingDataPipeline
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("curation pipeline composes quality gate + exact/near dedup") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf).count()
+    val curated = TrainingDataPipeline.curate(spark, sf, minQuality = 0.5)
+    val n = curated.count()
+    assert(n > 0 && n <= all)
+    // survivors are unique and pass the gate
+    assert(curated.select($"doc_id").distinct().count() == n)
+    assert(curated.filter($"quality" < 0.5).count() == 0)
+    // no surviving near-dup pair: both ends of a pair never co-survive
+    val pairs = graft.operators.TextOps.minhashLsh(spark, sf)
+    val surviving = curated.select($"doc_id".as("d2"))
+    assert(pairs.join(surviving, "d2").count() == 0)
+  }
+
+  test("embedding enrichment keeps curated rows that have vectors") {
+    val e = TrainingDataPipeline.curateWithEmbeddings(spark, sf)
+    assert(e.count() > 0)
+    assert(e.columns.contains("embedding") && e.columns.contains("quality"))
+  }
+}
