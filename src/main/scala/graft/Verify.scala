@@ -15,6 +15,10 @@ object Verify {
       // single-file fixture tables would otherwise scan as one task each;
       // split them like a cluster would see many splits
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // coalesce tiny post-shuffle partitions to the advisory size
+      // instead of preserving parallelism (docs-recommended production
+      // setting; cuts per-task overhead when data << cluster)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
