@@ -109,10 +109,76 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_id")
   }
 
+  /** Feature-extraction output: coarse byte-class profile per payload
+    * (what a real extractor would emit as an embedding). */
+  case class MediaFeatures(doc_id: Long, n_letters: Long, n_digits: Long,
+      n_spaces: Long, n_other: Long, letter_ratio: Double)
+
+  /** Feature extraction over raw payload bytes via the same
+    * per-partition batch shape as decode. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        var letters = 0L; var digits = 0L; var spaces = 0L; var other = 0L
+        row.content.foreach { b =>
+          val c = (b & 0xff).toChar
+          if (c >= 'a' && c <= 'z') letters += 1
+          else if (c >= '0' && c <= '9') digits += 1
+          else if (c == ' ') spaces += 1
+          else other += 1
+        }
+        val n = row.content.length.max(1)
+        // floor(x*1e4 + 0.5): HALF_UP like the oracle's round(), NOT
+        // rint (half-even) — ratios with dyadic denominators land on
+        // exact .5 boundaries
+        MediaFeatures(row.doc_id, letters, digits, spaces, other,
+          math.floor(letters.toDouble / n * 10000 + 0.5) / 10000)
+      }
+    }
+  }
+
+  /** Resize stage: stride-subsample the payload (every 4th byte) — the
+    * image-downscale analogue for opaque payloads. */
+  case class Resized(doc_id: Long, n_bytes: Long, resized_md5: String)
+
+  def resize(media: Dataset[MediaRow], stride: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val out = row.content.indices.collect {
+          case i if i % stride == 0 => row.content(i)
+        }.toArray
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        Resized(row.doc_id, out.length.toLong, hex)
+      }
+    }
+  }
+
+  /** m04: feature extraction as a query (byte-class profile). */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, sfDir).as[MediaRow])
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** m05: stride-4 resize with content fingerprint. */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    resize(mediaTable(spark, sfDir).as[MediaRow], 4)
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"  -> binaryMeta _,
     "m02_media_decode" -> mediaDecode _,
     "m03_frame_sample" -> frameSample _,
+    "m04_media_features" -> mediaFeatures _,
+    "m05_media_resize" -> mediaResize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +203,23 @@ object Multimodal {
         |FROM t CROSS JOIN generate_series(0, 63) gs(f)
         |WHERE f < nf
         |ORDER BY doc_id, frame_id""".stripMargin,
+    "m04_media_features" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |  length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_letters,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+        |CAST(n_digits AS BIGINT) AS n_digits,
+        |CAST(n_spaces AS BIGINT) AS n_spaces,
+        |CAST(n - n_letters - n_digits - n_spaces AS BIGINT) AS n_other,
+        |round(n_letters / CAST(greatest(n, 1) AS DOUBLE), 4) AS letter_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "m05_media_resize" ->
+      """SELECT doc_id,
+        |CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes,
+        |md5(array_to_string([substr(text, i, 1)
+        |  for i in range(1, length(text) + 1) if (i - 1) % 4 = 0], '')) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
