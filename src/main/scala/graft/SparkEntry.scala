@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextOps.queries ++
-      Extras.queries ++
+      Extras.queries ++ EventAnalytics.queries ++
       VectorOps.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.StreamOps.queries
 
@@ -26,7 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
-      Extras.oracles ++
+      Extras.oracles ++ EventAnalytics.oracles ++
       VectorOps.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.StreamOps.oracles
 }

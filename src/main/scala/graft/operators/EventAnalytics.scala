@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics queries a high-load event-stream app computes
+  * continuously: windowed ranking (trending), cohort retention, and an
+  * ordered conversion funnel. All expressed as plain grouped/windowed
+  * relational plans — each is a KTable the streaming runtime would keep
+  * updated; here they are oracle-verified in batch form.
+  *
+  * Scale notes: everything keys on (day|cohort|user) — high-cardinality,
+  * map-side-combined aggregations; the funnel's per-user stage
+  * timestamps come from one conditional aggregation pass (no joins). */
+object EventAnalytics {
+
+  /** Top-2 event types per day by volume (windowed group ranking). */
+  def dailyTopTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"day").orderBy(desc("n"), $"event_type")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"day", $"rn".cast("long").as("rn"), $"event_type", $"n")
+      .orderBy($"day", $"rn")
+  }
+
+  /** Cohort retention: users grouped by first-seen day; retained =
+    * active again within the 7 days after the cohort day. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val cohort = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val retained = e.join(cohort, "user_id")
+      .filter($"day" > $"cohort_day" &&
+        $"day" <= $"cohort_day" + expr("INTERVAL 7 DAYS"))
+      .select($"user_id").distinct()
+      .withColumn("is_retained", lit(1L))
+    cohort.join(retained, Seq("user_id"), "left")
+      .groupBy($"cohort_day")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce($"is_retained", lit(0L))).as("n_retained"))
+      .orderBy($"cohort_day")
+  }
+
+  /** Ordered conversion funnel signup → view → purchase: stage
+    * timestamps per user from ONE conditional-aggregation pass, stage
+    * reached only if it happened after the previous stage. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      .select(
+        when($"t_signup".isNotNull, 1L).otherwise(0L).as("s1"),
+        when($"t_signup".isNotNull && $"t_view" > $"t_signup", 1L)
+          .otherwise(0L).as("s2"),
+        when($"t_signup".isNotNull && $"t_view" > $"t_signup" &&
+          $"t_purchase" > $"t_view", 1L).otherwise(0L).as("s3"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"s1").as("n_signup"),
+        sum($"s2").as("n_signup_view"),
+        sum($"s3").as("n_signup_view_purchase"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_daily_top_types" -> dailyTopTypes _,
+    "e15_retention"       -> retentionCohorts _,
+    "e16_funnel"          -> funnel _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e14_daily_top_types" ->
+      """SELECT day, rn, event_type, n FROM (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts)
+        |      ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE rn <= 2 ORDER BY day, rn""".stripMargin,
+    "e15_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |retained AS (SELECT DISTINCT e.user_id
+        |  FROM e JOIN cohort USING (user_id)
+        |  WHERE e.day > cohort_day AND e.day <= cohort_day + INTERVAL 7 DAY)
+        |SELECT cohort_day, count(*) AS n_users,
+        |CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |FROM cohort c LEFT JOIN retained r ON c.user_id = r.user_id
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "e16_funnel" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+        |CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |  AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_purchase
+        |FROM stages""".stripMargin,
+  )
+}
