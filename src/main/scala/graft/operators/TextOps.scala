@@ -261,6 +261,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Duplicate clusters: connected components over the MinHash near-dup
+    * pair graph via iterative min-label propagation (the Pregel pattern
+    * on DataFrames — each iteration is one shuffle; converges in
+    * O(log(component diameter)) rounds). Cluster id = min doc_id in the
+    * component, the representative a dedup pass would keep. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, sfDir).select($"d1", $"d2")
+    // undirected edge list (both directions) over docs in any pair
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .persist()
+    var labels = edges.select($"d1".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(edges("d1").as("doc_id"))
+        .agg(min($"label").as("nb_label"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nb_label", $"label")).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" < $"old").isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select($"doc_id", $"label".as("cluster_id")).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d02_top_terms"     -> topTerms _,
@@ -273,6 +306,7 @@ object TextOps {
     "d09_tfidf"         -> tfidf _,
     "d10_langid"        -> langId _,
     "d11_regex_tokens"  -> regexTokens _,
+    "d12_dup_clusters"  -> dupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +420,28 @@ object TextOps {
         |  FROM unnest(words) AS w(x)), 0) AS BIGINT) AS n_subwords,
         |CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_words
         |FROM t ORDER BY doc_id""".stripMargin,
+    "d12_dup_clusters" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
+        |sig AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || t)) AS h
+        |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY doc_id, s),
+        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h, '|' ORDER BY s) AS bh
+        |  FROM sig GROUP BY doc_id, s // 4),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |m AS (SELECT c.d1, c.d2 FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s
+        |  GROUP BY c.d1, c.d2 HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5),
+        |edges AS (SELECT d1, d2 FROM m UNION SELECT d2, d1 FROM m),
+        |reach(a, b) AS (
+        |  SELECT d1, d2 FROM edges
+        |  UNION
+        |  SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1),
+        |nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges)
+        |SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id
+        |FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
   )
 }
