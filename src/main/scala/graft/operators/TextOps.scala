@@ -269,25 +269,43 @@ object TextOps {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, sfDir).select($"d1", $"d2")
-    // undirected edge list (both directions) over docs in any pair
+    // undirected edge list (both directions) over docs in any pair.
+    // localCheckpoint (not persist): the loop tables are tiny and
+    // re-created every iteration — truncating lineage to a materialized
+    // RDD avoids both deep-lineage recompute hazards and the cache
+    // registry's canonical-plan lookups growing with the session.
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .persist()
+      .localCheckpoint()
+    // The label table is bounded by the LSH candidate set (small by
+    // construction), so every per-iteration join broadcasts it — no
+    // shuffle inside the loop; pointer jumping (label ← label of label)
+    // halves the remaining component depth each round, so convergence
+    // is O(log diameter) cheap iterations.
     var labels = edges.select($"d1".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
-      .persist()
+      .localCheckpoint()
+    // labels only ever decrease, so sum(label) is a strictly-monotone
+    // convergence witness — one scalar aggregate per iteration instead
+    // of an anti-join change detector
+    var prevSum = labels.agg(sum($"label")).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val neighborMin = edges
-        .join(labels, edges("d2") === labels("doc_id"))
+        .join(broadcast(labels), edges("d2") === labels("doc_id"))
         .groupBy(edges("d1").as("doc_id"))
         .agg(min($"label").as("nb_label"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"label", coalesce($"nb_label", $"label")).as("label"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" < $"old").isEmpty
+          least($"label", coalesce($"nb_label", $"label")).as("l1"))
+      val parents = stepped.select($"doc_id".as("p_id"), $"l1".as("p_label"))
+      val next = stepped.join(broadcast(parents), $"l1" === $"p_id", "left")
+        .select($"doc_id",
+          least($"l1", coalesce($"p_label", $"l1")).as("label"))
+        .localCheckpoint()
+      val newSum = next.agg(sum($"label")).collect()(0).getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = next
       iter += 1
     }
