@@ -98,19 +98,29 @@ object TextOps {
       .select($"doc_id",
         md5($"text").as("md5_text"),
         sha2($"text", 256).as("sha256_text"),
-        expr("""array_min(transform(sequence(0, size(toks)-5),
-               g -> md5(concat_ws(' ', toks[g], toks[g+1], toks[g+2], toks[g+3], toks[g+4]))))""")
+        // guard: size(toks) < 5 would make sequence(0, size-5) descend
+        // into bogus partial shingles; the oracle's empty range yields
+        // NULL, so emit NULL for short documents on this side too
+        expr("""CASE WHEN size(toks) >= 5 THEN
+               array_min(transform(sequence(0, size(toks)-5),
+               g -> md5(concat_ws(' ', toks[g], toks[g+1], toks[g+2], toks[g+3], toks[g+4]))))
+               END""")
           .as("min_shingle_md5"))
       .orderBy($"doc_id")
   }
 
-  /** MinHash signatures (16 md5-permutations over distinct 3-token
-    * shingles) + LSH banding (4 bands × 4 rows): candidate pairs from
-    * band-bucket collisions, estimated Jaccard = matching signature
-    * fraction. Shingling (not raw tokens) is what makes MinHash
-    * discriminative when the vocabulary is small relative to the
-    * corpus. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document MinHash signature: array of 16 minima of
+    * md5(seed:shingle) over the document's distinct 3-token shingles.
+    *
+    * Scale notes: shingles repeat heavily across documents, so each
+    * DISTINCT shingle is hashed once for all 16 permutations (~16×
+    * less md5 work than hashing per (doc, shingle)), then shared via
+    * join; the 16 elementwise minima are taken in ONE map-side-combined
+    * hash-agg pass (no 16× posexplode blowup before the shuffle). The
+    * exploded shingle table is localCheckpoint'ed (not persist'ed) so
+    * both consumers read the materialized copy and nothing leaks into
+    * the session cache registry. */
+  private[graft] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // documents is one parquet file → one input partition; spread the
     // shingle/hash work across cores before the heavy transforms (on a
@@ -122,40 +132,50 @@ object TextOps {
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-      .persist()  // feeds both the distinct-shingle dim and the join
-    // Shingles repeat heavily across documents — hash each DISTINCT
-    // shingle once for all 16 permutations (~16× less md5 work than
-    // hashing per (doc, shingle)), then share via join and take the
-    // per-(doc, seed) min with map-side partial aggregation.
+      .localCheckpoint()  // feeds both the distinct-shingle dim and the join
     val shingleHashes = docShingle.select($"s").distinct()
       .withColumn("hs", expr(
         "transform(sequence(0, 15), k -> md5(concat(cast(k as string), ':', s)))"))
-    // 16 elementwise min-aggregates in ONE hash-agg pass over the
-    // (doc, shingle-hashes) rows — no 16× posexplode blowup before the
-    // shuffle; the flat (doc, seed, h) view is then derived from the
-    // tiny per-doc signature table.
-    val sigArr = docShingle.join(shingleHashes, "s")
+    docShingle.join(shingleHashes, "s")
       .groupBy($"doc_id")
       .agg(array((0 until 16).map(i => min(expr(s"hs[$i]"))): _*).as("sig"))
-      .persist()  // both sides of the candidate self-join read this
-    val sig = sigArr
-      .select($"doc_id", posexplode($"sig").as(Seq("seed", "h")))
-    // Self-join the flat (doc, seed, minhash) table on (seed, h): a pair
-    // appears once per matching signature component. The LSH band
-    // condition (4 consecutive seeds all matching) is then derived from
-    // the matched-seed set — no signature arrays shuffled, and the two
-    // sides of the self-join are identical subtrees (exchange reuse).
-    val pairs = sig.as("a")
-      .join(sig.as("b"),
-        $"a.seed" === $"b.seed" && $"a.h" === $"b.h" &&
+  }
+
+  /** MinHash signatures (16 md5-permutations over distinct 3-token
+    * shingles) + LSH banding (4 bands × 4 rows): candidate pairs come
+    * ONLY from full band-hash collisions, estimated Jaccard = matching
+    * signature fraction over candidates. Shingling (not raw tokens) is
+    * what makes MinHash discriminative when the vocabulary is small
+    * relative to the corpus.
+    *
+    * Scale design: the self-join key is (band, band_hash) — all 4 rows
+    * of a band must collide to create a candidate, so bucket sizes stay
+    * near-constant and the join is linear in candidates, never the
+    * near-quadratic "any 1/16 seeds collide" blowup. The verify step
+    * compares the two 16-entry signature arrays with zip_with inside
+    * codegen — no flat (doc, seed, h) table is ever shuffled. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // One row per doc; materialized once and read by the band join (both
+    // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
+    // across executors, well within a cluster's storage fraction.
+    val sigs = minhashSigs(spark, sfDir).localCheckpoint()
+    val bands = sigs.select($"doc_id", explode(expr(
+      """transform(sequence(0, 3),
+        b -> struct(b AS band, concat_ws('|', slice(sig, b*4 + 1, 4)) AS bh))""")).as("x"))
+      .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(collect_set($"a.seed").as("seeds"))
-    pairs
-      .filter(expr(
-        "exists(sequence(0, 3), b -> size(array_intersect(seeds, sequence(b*4, b*4+3))) = 4)"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    cand
+      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
+      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
       .select($"d1", $"d2",
-        round(size($"seeds") / lit(16.0), 4).as("est_jaccard"))
+        round(expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))") / lit(16.0), 4)
+          .as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
       .orderBy($"d1", $"d2")
   }
@@ -176,29 +196,70 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5,
-    * candidates generated by the shared-shingle join. */
+  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5.
+    *
+    * Structure (the All-Pairs / PPJoin shape, exact — no recall loss):
+    *
+    *  1. Shingles are xxhash64'd once per doc into a SORTED set array
+    *     (`docSets`); all later set math runs on slim int64 keys, not
+    *     17-char strings.
+    *  2. PREFIX FILTER: order each doc's shingles by global document
+    *     frequency ascending (rarest first, hash as tiebreak). If
+    *     Jaccard(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, so the pair must share
+    *     a shingle within each side's first |d| − ⌈t·|d|⌉ + 1 shingles
+    *     — the self-join runs on those prefixes only. Rarest-first is
+    *     the skew bound: a stop-shingle with huge df sorts last and
+    *     drops out of almost every prefix, so it never drives the join.
+    *  3. POSITIONAL FILTER in the join condition: a match at prefix
+    *     ranks (ra, rb) caps the possible overlap at
+    *     min(na−ra, nb−rb)+1, which must reach the Jaccard-≥-t minimum
+    *     ⌈t/(1+t)·(na+nb)⌉ — pairs sharing only late-prefix shingles
+    *     are dropped before the shuffle.
+    *  4. Verify joins the slim (d1, d2) candidates back to `docSets`
+    *     and computes the exact intersection with the codegen'd
+    *     two-pointer `graft_sorted_isect` (Spark's `array_intersect`
+    *     builds a hash set per row — ~100× slower here). The doc-set
+    *     side broadcasts when small; at cluster scale it is a linear
+    *     shuffle join on doc_id.
+    */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = docsWithToks(spark, sfDir)
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val t = 0.5
+    // one row per doc: sorted distinct shingle hashes + set size;
+    // materialized once, read by the prefix path and both verify sides
+    val docSets = docsWithToks(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(size($"toks") >= 3)
-      .select($"doc_id",
-        explode(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"doc_id", expr(
+        """array_sort(array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2])))))""").as("hs"))
+      .withColumn("n", size($"hs").cast("long"))
+      .localCheckpoint()
+    val sh = docSets.select($"doc_id", $"n", explode($"hs").as("h"))
+    val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(df, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .filter($"r" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id", $"n", $"h", $"r")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1 >=
+            ceil(($"a.n" + $"b.n") * lit(t) / (1 + t)))
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sz.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-      .join(sz.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .agg(lit(1))  // dedup with map-side combine, not a global distinct
+      .select($"d1", $"d2")
+    cand
+      .join(docSets.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
+      .join(docSets.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
+      .withColumn("common",
+        call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
       .select($"d1", $"d2",
         round($"common" / ($"n1" + $"n2" - $"common").cast("double"), 4)
           .as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= t)
       .orderBy($"d1", $"d2")
   }
 
@@ -286,8 +347,12 @@ object TextOps {
       .localCheckpoint()
     // labels only ever decrease, so sum(label) is a strictly-monotone
     // convergence witness — one scalar aggregate per iteration instead
-    // of an anti-join change detector
-    var prevSum = labels.agg(sum($"label")).collect()(0).getLong(0)
+    // of an anti-join change detector. sum() over zero rows is NULL: a
+    // corpus with no near-dup pairs is legal input, so short-circuit.
+    val sum0 = labels.agg(sum($"label")).collect()(0).getAs[java.lang.Long](0)
+    if (sum0 == null)
+      return labels.select($"doc_id", $"label".as("cluster_id"))
+    var prevSum = sum0.longValue()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {

@@ -14,7 +14,7 @@ import org.apache.spark.sql.graft.VectorExpressions
   * Scale path (100 TB of embeddings):
   *  - the query vector / centroid set is always the broadcast side —
   *    the big table streams through a codegen'd cosine loop
-  *    ([[graft.functions.VectorExpressions]]) with no shuffle at all;
+  *    ([[org.apache.spark.sql.graft.VectorExpressions]]) with no shuffle at all;
   *  - global top-k goes through TakeOrderedAndProject (per-partition
   *    heap + driver merge), never a full sort;
   *  - all-pairs near-dup is the one genuinely quadratic op — the ANN

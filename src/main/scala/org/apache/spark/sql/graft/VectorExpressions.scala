@@ -149,10 +149,67 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** |a ∩ b| for two SORTED ArrayType(LongType) columns via a two-pointer
+    * merge — zero allocation, runs inside whole-stage codegen. Spark's
+    * built-in `array_intersect` materializes a hash set per row (~100×
+    * slower on small primitive arrays), which makes it the bottleneck of
+    * set-similarity verify joins; this is the codegen'd replacement.
+    * Inputs MUST be sorted ascending (e.g. via `array_sort`) — the
+    * caller owns that invariant. */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sorted_isect"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv < $yv) { $i++; }
+           |  else if ($xv > $yv) { $j++; }
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot"    -> (es => DotProduct(es(0), es(1))),
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_norm"   -> (es => L2Norm(es.head)),
+    "graft_sorted_isect" -> (es => SortedIntersectSize(es(0), es(1))),
   )
 
   /** Imperative registration for an existing session (tests, Verify). */
@@ -165,7 +222,7 @@ object VectorExpressions {
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — the
   * library-style injection point, equivalent to
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import VectorExpressions._
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -178,5 +235,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
       es => L2Norm(es.head)))
+    ext.injectFunction((new FunctionIdentifier("graft_sorted_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_isect"),
+      es => SortedIntersectSize(es(0), es(1))))
   }
 }
