@@ -55,7 +55,11 @@ object GraftStreams {
           .select(col(keyCol) +: df.columns.filter(_ != keyCol)
             .map(c => col(s"m.$c").as(c)): _*)
       else {
-        val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+        // tiebreak on the remaining columns (desc, in struct order) so a
+        // duplicate-timestamp key deterministically keeps the same row as
+        // the streaming struct-max branch above
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy((col(tsCol) +: cols.filter(_ != col(tsCol))).map(_.desc): _*)
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
@@ -99,15 +103,28 @@ final case class KStreamG(df: DataFrame, key: String, ts: String) {
   def groupBy(cols: String*): KGroupedG = KGroupedG(df, cols, ts)
 
   /** KStream⋈KStream within ±Δt (JoinWindows): equi-key + time-range
-    * condition; with streaming inputs both sides need watermarks. */
-  def joinWithin(other: KStreamG, within: String): DataFrame = {
+    * condition; with streaming inputs both sides need watermarks.
+    * `how` covers the full Kafka Streams join family: "inner" (join),
+    * "left_outer" (leftJoin — null-padded left rows emitted once the
+    * watermark closes their join window), "full_outer" (outerJoin). */
+  def joinWithin(other: KStreamG, within: String,
+      how: String = "inner"): DataFrame = {
     val l = df.alias("l")
     val r = other.df.alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.${other.key}") &&
         col(s"r.${other.ts}") >= col(s"l.$ts") - expr(s"INTERVAL $within") &&
-        col(s"r.${other.ts}") <= col(s"l.$ts") + expr(s"INTERVAL $within"))
+        col(s"r.${other.ts}") <= col(s"l.$ts") + expr(s"INTERVAL $within"),
+      how)
   }
+
+  /** KStream.leftJoin(other, JoinWindows.ofTimeDifference(Δt)). */
+  def leftJoinWithin(other: KStreamG, within: String): DataFrame =
+    joinWithin(other, within, "left_outer")
+
+  /** KStream.outerJoin(other, JoinWindows.ofTimeDifference(Δt)). */
+  def outerJoinWithin(other: KStreamG, within: String): DataFrame =
+    joinWithin(other, within, "full_outer")
 
   /** KStream⋈KTable: enrich each record with the latest table state. */
   def join(table: KTableG, how: String = "inner"): KStreamG =

@@ -196,13 +196,12 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m03_frame_sample" ->
       """WITH t AS (SELECT doc_id, text,
-        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents)
+        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents),
+        |fr AS (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM t)
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
         |CAST(f * 256 + 1 AS BIGINT) AS off,
         |md5(substr(text, (f * 256 + 1)::INT, 256)) AS frame_md5
-        |FROM t CROSS JOIN generate_series(0, 63) gs(f)
-        |WHERE f < nf
-        |ORDER BY doc_id, frame_id""".stripMargin,
+        |FROM fr ORDER BY doc_id, frame_id""".stripMargin,
     "m04_media_features" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n,
         |  length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_letters,

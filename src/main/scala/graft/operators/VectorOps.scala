@@ -77,12 +77,72 @@ object VectorOps {
   }
 
   /** Cosine near-duplicate pairs (≥ 0.4). Brute-force triangular join —
-    * correct baseline; the ANN query below is the scale path. */
+    * the exact small-scale baseline and the correctness cross-check for
+    * [[lshNearDup]] (v08), which is the bounded scale path. This one is
+    * O(n²) by construction (BroadcastNestedLoopJoin): keep it for
+    * verification at sampled scale, never on the full corpus. */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val a = embDouble(spark, sfDir).select($"vec_id".as("d1"), $"v".as("v1"))
     val b = embDouble(spark, sfDir).select($"vec_id".as("d2"), $"v".as("v2"))
     a.join(b, $"d1" < $"d2")
+      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+      .filter($"cos" >= 0.4)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .orderBy($"d1", $"d2")
+  }
+
+  // v08 LSH parameters: L bands × k signed random projections per band.
+  // The ±1 hyperplane entries come from a parity formula over (plane j,
+  // dim g) — integer-exact in both Spark SQL and DuckDB, so the oracle
+  // reproduces the bands bit-for-bit without shipping a literal matrix.
+  private val LshBands = 8
+  private val LshBits = 8
+  private def planeSign(j: String, g: String): String =
+    s"CASE WHEN ((CAST($g AS BIGINT) * 1103515245 + $j * 12345) div 65536) % 2 = 0 THEN 1.0D ELSE -1.0D END"
+
+  /** Bounded embedding near-dup (the v04 contract made scale-safe):
+    * candidate pairs come from multi-band sign-LSH — L=8 bands of k=8
+    * signed random projections; two vectors are candidates iff ALL 8
+    * sign bits of some band agree — then candidates (and only
+    * candidates) are verified with exact cosine ≥ 0.4.
+    *
+    * Mirrors d06's MinHash structure: band-bucket equi-join (shuffle
+    * hash join, linear in candidates), never a nested-loop scan; the
+    * projections run through the codegen'd `graft_dot`. Like every LSH
+    * dedup this trades recall for boundedness: collision probability
+    * per bit is 1 − θ/π, so genuinely near-identical vectors
+    * (cos ≥ 0.9) collide in some band with high probability while
+    * orthogonal pairs almost never do. The declared output contract is
+    * "colliding pairs with cos ≥ 0.4", which the oracle replicates
+    * exactly — v04 (brute force) is the recall cross-check at sampled
+    * scale. */
+  def lshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    // per (band b, bit k): plane j = b*k_bits + k; constant-foldable
+    // transform → the plane array is a literal at execution time
+    val bandStructs = (0 until LshBands).map { b =>
+      val bits = (0 until LshBits).map { k =>
+        val j = b * LshBits + k
+        s"""CASE WHEN graft_dot(v, transform(sequence(0, 63),
+           g -> ${planeSign(j.toString, "g")})) >= 0D THEN '1' ELSE '0' END"""
+      }
+      s"struct(${b}L AS band, concat(${bits.mkString(", ")}) AS bh)"
+    }
+    val bands = e
+      .select($"vec_id", $"v",
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("x"))
+      .select($"vec_id", $"x.band".as("band"), $"x.bh".as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("d1"), $"v".as("v1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"v".as("v2")), "d2")
       .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
       .filter($"cos" >= 0.4)
       .select($"d1", $"d2", round($"cos", 6).as("cos"))
@@ -169,6 +229,7 @@ object VectorOps {
     "v05_ann_sign_lsh"    -> annSignLsh _,
     "v06_vector_stats"    -> vectorStats _,
     "v07_ivf_ann"         -> ivfAnn _,
+    "v08_lsh_neardup"     -> lshNearDup _,
   )
 
   private val cosSql =
@@ -241,5 +302,26 @@ object VectorOps {
          |CROSS JOIN q
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "v08_lsh_neardup" -> {
+      // same parity-formula hyperplanes as the Spark side: plane
+      // j = b*bits + k, sign = parity of ((g*1103515245 + j*12345) // 65536)
+      val bitExpr =
+        """CASE WHEN list_dot_product(v, [CASE WHEN ((g::BIGINT * 1103515245
+          |  + (b*8 + k) * 12345) // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END
+          |  for g in range(0, 64)]) >= 0 THEN '1' ELSE '0' END""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
+         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
+         |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
+         |bands AS (SELECT vec_id, b, string_agg(bit, '' ORDER BY k) AS bh
+         |  FROM bits GROUP BY vec_id, b),
+         |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+         |  AND a.vec_id < c.vec_id)
+         |SELECT d1, d2, round(${cos("ea.v", "eb.v")}, 6) AS cos
+         |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
+         |WHERE ${cos("ea.v", "eb.v")} >= 0.4
+         |ORDER BY d1, d2""".stripMargin
+    },
   )
 }

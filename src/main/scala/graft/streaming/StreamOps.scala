@@ -29,6 +29,10 @@ object StreamOps {
   case class SessionOut(user_id: Long, s_start: Timestamp, s_end: Timestamp,
       n_events: Long)
 
+  /** Any event time at/after this is a flush sentinel, not data (the
+    * sentinels sit at 2100-01-01). */
+  private val flushBound = lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00.0"))
+
   /** Production source: Kafka topic → typed event columns. Compiles
     * against the stable string-format API; requires the
     * spark-sql-kafka connector on the classpath at runtime (not shipped
@@ -62,6 +66,47 @@ object StreamOps {
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** The events file stream plus one far-future "__flush" row in a
+    * second file. A finite stream's watermark only reaches
+    * max(seen ts) − delay, so outer-join null padding and final window
+    * emission for the tail of the data would stay locked in the state
+    * store; the flush row advances the watermark past every real
+    * window. It must pass through the `withWatermark` operator (which
+    * tracks max event time) and be filtered AFTER it — which is how the
+    * consumers below are structured. In production this is the role of
+    * periodic broker heartbeats / idle-source timeouts. */
+  def eventsStreamWithFlush(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_flush")
+    // One flush row PER event type: Catalyst pushes deterministic
+    // event_type predicates below the EventTimeWatermark operator, so a
+    // single sentinel type would be filtered out before it could advance
+    // the watermark. A per-type sentinel survives any type filter; the
+    // consumer drops it with a ts-bound predicate, which references the
+    // watermark column and therefore stays ABOVE the watermark operator
+    // (see [[flushBound]]).
+    val flush = raw.limit(1).drop("event_type")
+      .crossJoin(raw.select(col("event_type")).distinct())
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts",
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          lit(4102444800000000000L)  // 2100-01-01 as ns
+        else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+      .select(raw.columns.map(col): _*)
+    flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir.toString)
+    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
   }
 
   /** Tumbling event-time window aggregation (KGroupedStream.windowedBy
@@ -108,6 +153,37 @@ object StreamOps {
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
+  /** Windowed stream-stream LEFT OUTER join (KStream.leftJoin with
+    * JoinWindows): every view row is emitted — matched with each
+    * purchase in [view_ts, view_ts + Δ], or null-padded once the
+    * watermark passes the window close and the state store proves no
+    * purchase can still arrive. The watermark is applied BEFORE the
+    * event-type filters so a flush/heartbeat row can advance it (see
+    * [[eventsStreamWithFlush]]). */
+  def viewPurchaseLeftJoin(events: DataFrame, joinWindow: String,
+      watermark: String): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    // drops flush sentinels AFTER they advance the watermark: this
+    // conjunct references the event-time column, so predicate pushdown
+    // cannot move it below the EventTimeWatermark operator (the
+    // event_type conjunct CAN be pushed to the scan — harmless, since
+    // sentinels exist per type)
+    val realRows = col("ts") < flushBound
+    val views = wm.filter(col("event_type") === "view" && realRows)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = wm.filter(col("event_type") === "purchase" && realRows)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"),
+      "left_outer")
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         round(col("purchase_value"), 2).as("purchase_value"))
   }
@@ -235,12 +311,23 @@ object StreamOps {
       "graft_s03", "append")
       .orderBy(col("event_id"))
 
+  /** Streaming windowed LEFT OUTER join (append mode; null-padded rows
+    * emitted on watermark close) — equals the batch LEFT JOIN interval
+    * query. Ordered with nulls first to match the oracle's NULLS FIRST. */
+  def streamViewPurchaseLeft(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      viewPurchaseLeftJoin(eventsStreamWithFlush(spark, sfDir),
+        "60 minutes", "10 minutes"),
+      "graft_s06", "append")
+      .orderBy(col("view_id").asc, col("purchase_id").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
     "s03_stream_dedup"    -> streamDedup _,
     "s04_stream_hopping"  -> streamHopping _,
     "s05_stream_join"     -> streamViewPurchase _,
+    "s06_stream_left_join" -> streamViewPurchaseLeft _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,5 +358,13 @@ object StreamOps {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "s06_stream_left_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |round(p.value, 2) AS purchase_value
+        |FROM events v LEFT JOIN events p ON v.user_id = p.user_id
+        |AND p.event_type = 'purchase'
+        |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+        |WHERE v.event_type = 'view'
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
   )
 }

@@ -159,6 +159,36 @@ class StreamingSpec extends AnyFunSuite {
     // batch analogue of the state logic: one row per event_id survives
     assert(doubled.dropDuplicates("event_id").count() == 100)
   }
+
+  test("streaming left-outer join null-pads only on watermark close") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // WITHOUT the flush sentinels the watermark stops at
+    // max(real ts) - delay, so views in the final watermark+window span
+    // stay locked in the state store and never null-pad: the left join
+    // degrades to inner for the stream tail. WITH them, the output must
+    // equal the batch LEFT JOIN exactly — proving null rows are emitted
+    // by watermark close, not eagerly at match time.
+    val noFlush = StreamOps.runToMemory(
+      StreamOps.viewPurchaseLeftJoin(
+        StreamOps.eventsStream(spark, sf), "60 minutes", "10 minutes"),
+      "stream_vpl_nf", "append")
+    val withFlush = StreamOps.streamViewPurchaseLeft(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter($"event_type" === "view").as("v")
+      .join(ev.filter($"event_type" === "purchase").as("p"),
+        $"v.user_id" === $"p.user_id" && $"p.ts" >= $"v.ts" &&
+          $"p.ts" <= $"v.ts" + expr("INTERVAL 60 minutes"),
+        "left_outer")
+      .select($"v.event_id".as("view_id"), $"p.event_id".as("purchase_id"),
+        $"v.user_id".as("user_id"), round($"p.value", 2).as("purchase_value"))
+    assert(withFlush.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(withFlush).count() == 0)
+    assert(withFlush.filter($"purchase_id".isNull).count() > 0)
+    // the un-flushed stream is a strict subset: the tail nulls are held back
+    assert(noFlush.exceptAll(withFlush).count() == 0)
+    assert(withFlush.count() > noFlush.count())
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
