@@ -11,6 +11,12 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, read from the SparkContext at session creation —
+      // the spark-submit-style injection path under test in
+      // ExtensionsInjectionSpec (a second same-JVM session could never
+      // exercise it, since the context conf is fixed at startup)
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -264,6 +270,123 @@ class TransformWithStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got == exp)
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
+
+/** Timer + TTL halves of transformWithState: event-time timers fire
+  * punctuate-style only when the watermark passes, and TTL'd state
+  * silently expires between batches. */
+class TimerTtlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import java.sql.Timestamp
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+  import graft.streaming.{SessionCountProcessor, SessionFinal, TtlCountProcessor, CountOut}
+  lazy val spark = TestSession.spark
+
+  private def withRocksDb[T](f: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("event-time timer emits the final count only after watermark close") {
+    import spark.implicits._
+    withRocksDb {
+      val input = MemoryStream[(Long, Timestamp)](spark)
+      val ds = input.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "1 second")
+        .as[(Long, Timestamp)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new SessionCountProcessor(5 * 60 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[SessionFinal])
+      val q = out.writeStream.format("memory").queryName("tws_timer")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+          (1L, Timestamp.valueOf("2024-01-01 10:01:00")))
+        q.processAllAvailable()
+        // timer at 10:06, watermark only at ~10:01 → nothing emitted yet
+        assert(spark.table("tws_timer").count() == 0)
+        input.addData((2L, Timestamp.valueOf("2024-01-01 20:00:00")))
+        q.processAllAvailable()
+        // watermark ~20:00 passed key 1's 10:06 timer → its final count
+        // fires; key 2's 20:05 timer is still in the future
+        val rows = spark.table("tws_timer")
+          .as[(Long, Long)].collect().toSet
+        assert(rows == Set((1L, 2L)))
+      } finally q.stop()
+    }
+  }
+
+  test("TTL'd state expires between batches and the count restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    withRocksDb {
+      // Two runs over ONE checkpoint: state persists across the restart,
+      // but the 500 ms TTL (wall clock) lapses during the sleep, so the
+      // second run must read expired (absent) state. TTL requires
+      // ProcessingTime mode, in which the TTL-cleanup timer makes every
+      // batch schedule another one — the query never reports idle — so
+      // each run polls the sink and stops the query explicitly instead
+      // of waiting on processAllAvailable/AvailableNow.
+      val cp = java.nio.file.Files.createTempDirectory("tws_ttl_cp").toString
+      val input = MemoryStream[(Long, Timestamp)](spark)
+      val out = input.toDS().toDF("user_id", "ts").as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new TtlCountProcessor(500L),
+          TimeMode.ProcessingTime(), OutputMode.Update(),
+          Encoders.product[CountOut])
+      def runOnce(name: String): List[(Long, Long)] = {
+        // foreachBatch, not the memory sink: only replayable sinks may
+        // resume from a checkpoint
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val q = out.writeStream
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[CountOut], _: Long) =>
+            val rows = ds.collect().map(c => (c.user_id, c.n))
+            buf.synchronized { buf ++= rows }; ()
+          }
+          .outputMode("update").option("checkpointLocation", cp)
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          while (buf.synchronized(buf.isEmpty) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(100)
+        } finally q.stop()
+        buf.synchronized(buf.toList.sorted)
+      }
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((7L, t), (7L, t), (7L, t))
+      assert(runOnce("tws_ttl1") == List((7L, 3L)))
+      Thread.sleep(2000)  // > 500 ms TTL
+      input.addData((7L, t), (7L, t))
+      // state expired while idle: the count restarts at 2, NOT 5
+      assert(runOnce("tws_ttl2") == List((7L, 2L)))
+    }
+  }
+}
+
+/** GraftExtensions as a config-driven injection point: the shared test
+  * session is built with
+  * spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  * (see [[TestSession]]), so plain SQL must resolve the graft_*
+  * functions WITHOUT any imperative register() call. A fresh
+  * `newSession()` proves the injection is session-independent. */
+class ExtensionsInjectionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("spark.sql.extensions injection registers graft_* for SQL") {
+    // newSession(): clean function registry, no register() ever ran on
+    // it — only the injected extensions can resolve these
+    val fresh = TestSession.spark.newSession()
+    val row = fresh.sql(
+      """SELECT graft_cosine(array(1D, 0D), array(1D, 0D)) AS c,
+        |graft_dot(array(2D, 3D), array(4D, 5D)) AS d,
+        |graft_sorted_isect(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i
+        |""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(row.getDouble(1) - 23.0) < 1e-9)
+    assert(row.getInt(2) == 2)
   }
 }
 
