@@ -188,6 +188,32 @@ object StreamOps {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** KTable ⋈ KTable FK join with changelog semantics (see
+    * [[FkJoinProcessor]]): both changelog streams merge into one stream
+    * keyed by the foreign key — left rows by their fk column, right rows
+    * by their primary key — and the per-fk state fans updated right
+    * values out to every referencing left row. Works for batch or
+    * streaming inputs of either side. */
+  def tableTableFkJoin(left: DataFrame, leftKey: String, leftFk: String,
+      leftVal: String, right: DataFrame, rightKey: String,
+      rightVal: String): Dataset[FkJoined] = {
+    import left.sparkSession.implicits._
+    val l = left.select(col(leftFk).cast("long").as("fk"),
+      lit("L").as("side"), col(leftKey).cast("long").as("left_key"),
+      col(leftVal).cast("string").as("left_val"),
+      lit(null).cast("string").as("right_val")).as[FkEvent]
+    val r = right.select(col(rightKey).cast("long").as("fk"),
+      lit("R").as("side"), lit(-1L).as("left_key"),
+      lit(null).cast("string").as("left_val"),
+      col(rightVal).cast("string").as("right_val")).as[FkEvent]
+    l.unionByName(r)
+      .groupByKey(_.fk)
+      .transformWithState(new FkJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[FkJoined])
+  }
+
   /** Arbitrary stateful processing (Processor-API analogue):
     * sessionization via flatMapGroupsWithState with event-time timeout.
     * Sessions close when the watermark passes last_ts + gap. */

@@ -368,6 +368,104 @@ class TimerTtlSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** KTable⋈KTable FK join changelog semantics: a right-side (referenced
+  * table) update must re-emit every referencing left row with the new
+  * value — the half of the Kafka Streams FK join a batch equi-join
+  * can't show. */
+class KTableChangelogSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+
+  test("FK join re-emits joined rows when the right side updates") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val leftIn = MemoryStream[(Long, Long, String)](spark)   // (custkey, nationkey, name)
+      val rightIn = MemoryStream[(Long, String)](spark)        // (nationkey, nation name)
+      val joined = StreamOps.tableTableFkJoin(
+        leftIn.toDS().toDF("c_custkey", "c_nationkey", "c_name"),
+        "c_custkey", "c_nationkey", "c_name",
+        rightIn.toDS().toDF("n_nationkey", "n_name"),
+        "n_nationkey", "n_name")
+      val q = joined.writeStream.format("memory").queryName("fk_join")
+        .outputMode("update").start()
+      try {
+        rightIn.addData((1L, "GERMANY"))
+        leftIn.addData((10L, 1L, "alice"), (11L, 1L, "bob"), (12L, 2L, "carol"))
+        q.processAllAvailable()
+        val phase1 = spark.table("fk_join")
+          .as[(Long, Long, String, String)].collect().toSet
+        // alice+bob join GERMANY; carol's fk=2 has no right row yet
+        assert(phase1 == Set((10L, 1L, "alice", "GERMANY"),
+          (11L, 1L, "bob", "GERMANY")))
+        // RIGHT-side update only — no left input — must fan out to both
+        rightIn.addData((1L, "DEUTSCHLAND"))
+        q.processAllAvailable()
+        val phase2 = spark.table("fk_join")
+          .as[(Long, Long, String, String)].collect().toSet
+        assert(phase2 == phase1 ++ Set(
+          (10L, 1L, "alice", "DEUTSCHLAND"),
+          (11L, 1L, "bob", "DEUTSCHLAND")))
+        // late right row for fk=2 back-fills carol
+        rightIn.addData((2L, "FRANCE"))
+        q.processAllAvailable()
+        val phase3 = spark.table("fk_join")
+          .as[(Long, Long, String, String)].collect().toSet
+        assert(phase3.contains((12L, 2L, "carol", "FRANCE")))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
+
+/** The update-stream + suppress-final pairing (alerting pattern): the
+  * same windowed aggregation run in Update mode (running intermediate
+  * counts every batch) and Append mode (one final row per window, held
+  * until the watermark closes it). */
+class SuppressPairingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import java.sql.Timestamp
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSession.spark
+
+  test("update mode emits intermediates; append emits one final on close") {
+    import spark.implicits._
+    val input = MemoryStream[Timestamp](spark)
+    val counts = input.toDS().toDF("ts")
+      .withWatermark("ts", "1 second")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+    def start(name: String, mode: String) =
+      counts.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val qU = start("sup_update", "update")
+    val qF = start("sup_final", "append")
+    try {
+      def sync(): Unit = { qU.processAllAvailable(); qF.processAllAvailable() }
+      input.addData(Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:05:00"))
+      sync()
+      input.addData(Timestamp.valueOf("2024-01-01 10:30:00"))
+      sync()
+      val w10 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val updates = spark.table("sup_update").as[(Timestamp, Long)].collect()
+        .filter(_._1 == w10).map(_._2).toList
+      // running intermediates per batch: 2 then 3
+      assert(updates == List(2L, 3L))
+      // window [10:00,11:00) not closed → append has emitted nothing
+      assert(spark.table("sup_final").isEmpty)
+      input.addData(Timestamp.valueOf("2024-01-01 13:00:00"))
+      sync()
+      val finals = spark.table("sup_final").as[(Timestamp, Long)].collect()
+        .filter(_._1 == w10).map(_._2).toList
+      // exactly one final row, equal to the last intermediate
+      assert(finals == List(3L))
+    } finally { qU.stop(); qF.stop() }
+  }
+}
+
 /** GraftExtensions as a config-driven injection point: the shared test
   * session is built with
   * spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
