@@ -154,12 +154,21 @@ object TextOps {
     * near-quadratic "any 1/16 seeds collide" blowup. The verify step
     * compares the two 16-entry signature arrays with zip_with inside
     * codegen — no flat (doc, seed, h) table is ever shuffled. */
+  // The materialized signature table is shared by every consumer in the
+  // session (d06 runs it for pairs, d12 for clustering): the checkpoint
+  // blocks already live on the executors, so recomputing the shingle +
+  // 16×md5 pipeline per caller would only burn CPU. Keyed by session so
+  // a stopped session's blocks can't leak into a new one.
+  private val sigsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // One row per doc; materialized once and read by the band join (both
     // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
     // across executors, well within a cluster's storage fraction.
-    val sigs = minhashSigs(spark, sfDir).localCheckpoint()
+    val sigs = sigsCache.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), sfDir),
+      minhashSigs(spark, sfDir).localCheckpoint())
     val bands = sigs.select($"doc_id", explode(expr(
       """transform(sequence(0, 3),
         b -> struct(b AS band, concat_ws('|', slice(sig, b*4 + 1, 4)) AS bh))""")).as("x"))

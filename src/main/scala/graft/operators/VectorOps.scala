@@ -94,12 +94,17 @@ object VectorOps {
 
   // v08 LSH parameters: L bands × k signed random projections per band.
   // The ±1 hyperplane entries come from a parity formula over (plane j,
-  // dim g) — integer-exact in both Spark SQL and DuckDB, so the oracle
+  // dim g) — integer-exact in both Scala and DuckDB, so the oracle
   // reproduces the bands bit-for-bit without shipping a literal matrix.
+  // The Spark side bakes each plane into a LITERAL array (a lambda-based
+  // transform(sequence(...)) is NOT constant-folded by Catalyst, so it
+  // would rebuild all 64 planes per input row).
   private val LshBands = 8
   private val LshBits = 8
-  private def planeSign(j: String, g: String): String =
-    s"CASE WHEN ((CAST($g AS BIGINT) * 1103515245 + $j * 12345) div 65536) % 2 = 0 THEN 1.0D ELSE -1.0D END"
+  private def planeArr(j: Int): Array[Double] =
+    Array.tabulate(64) { g =>
+      if (((g.toLong * 1103515245L + j * 12345L) / 65536L) % 2 == 0) 1.0 else -1.0
+    }
 
   /** Bounded embedding near-dup (the v04 contract made scale-safe):
     * candidate pairs come from multi-band sign-LSH — L=8 bands of k=8
@@ -120,19 +125,17 @@ object VectorOps {
   def lshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    // per (band b, bit k): plane j = b*k_bits + k; constant-foldable
-    // transform → the plane array is a literal at execution time
-    val bandStructs = (0 until LshBands).map { b =>
+    // per (band b, bit k): plane j = b*bits + k, baked in as a literal
+    val bandCols = (0 until LshBands).map { b =>
       val bits = (0 until LshBits).map { k =>
         val j = b * LshBits + k
-        s"""CASE WHEN graft_dot(v, transform(sequence(0, 63),
-           g -> ${planeSign(j.toString, "g")})) >= 0D THEN '1' ELSE '0' END"""
+        when(call_function("graft_dot", $"v", typedlit(planeArr(j))) >= 0d,
+          "1").otherwise("0")
       }
-      s"struct(${b}L AS band, concat(${bits.mkString(", ")}) AS bh)"
+      struct(lit(b.toLong).as("band"), concat(bits: _*).as("bh"))
     }
     val bands = e
-      .select($"vec_id", $"v",
-        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("x"))
+      .select($"vec_id", $"v", explode(array(bandCols: _*)).as("x"))
       .select($"vec_id", $"x.band".as("band"), $"x.bh".as("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),

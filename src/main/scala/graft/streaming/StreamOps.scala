@@ -277,7 +277,7 @@ object StreamOps {
     val prev = spark.conf.get(key)
     spark.catalog.dropTempView(name)
     spark.conf.set(key,
-      math.min(8, spark.sparkContext.defaultParallelism).toString)
+      math.min(4, spark.sparkContext.defaultParallelism).toString)
     try {
       val q = df.writeStream
         .format("memory")
