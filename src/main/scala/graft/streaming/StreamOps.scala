@@ -276,8 +276,9 @@ object StreamOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.catalog.dropTempView(name)
+    val cap = Integer.getInteger("graft.stream.partitions", 4).intValue()
     spark.conf.set(key,
-      math.min(4, spark.sparkContext.defaultParallelism).toString)
+      math.min(cap, spark.sparkContext.defaultParallelism).toString)
     try {
       val q = df.writeStream
         .format("memory")
