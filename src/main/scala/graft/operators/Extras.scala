@@ -111,10 +111,46 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** EXACT percentiles (the oracle-checkable counterpart of the x02
+    * sketch): linear-interpolated median/p90/p99 of extended price per
+    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", array(lit(0.5), lit(0.9), lit(0.99)))
+        .as("pcts"))
+      .select($"l_returnflag",
+        round($"pcts"(0), 2).as("p50"),
+        round($"pcts"(1), 2).as("p90"),
+        round($"pcts"(2), 2).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Explicit GROUPING SETS (the third grouping-analytics shape next to
+    * q07 ROLLUP / q13 CUBE): chosen subtotal combinations only, with the
+    * grouping bitmask exposed. */
+  def groupingSetsReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        graft.functions.Det.dsum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"gid", $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_cube_orders"     -> cubeOrders _,
     "q14_correlated_sql"  -> richCustomersSql _,
+    "q17_grouping_sets"   -> groupingSetsReturns _,
     "e11_moving_avg"      -> movingAvg _,
+    "e17_exact_percentiles" -> exactPercentiles _,
     "x01_approx_distinct" -> approxDistinct _,
     "x02_approx_quantiles" -> approxQuantiles _,
     "e12_user_unpivot"    -> userUnpivot _,
@@ -122,6 +158,21 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |count(*) AS n,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "e17_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q13_cube_orders" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n,

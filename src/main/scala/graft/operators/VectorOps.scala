@@ -210,6 +210,64 @@ object VectorOps {
       .limit(10)
   }
 
+  // v09 k-means parameters: k seed vectors (vec_id 0..k-1), fixed Lloyd
+  // iteration count. Deterministic by construction: centroids are rounded
+  // to 6 decimals after every update so both engines iterate from
+  // IDENTICAL values (raw double averages differ in the last ulp between
+  // engines, which could flip a near-tie assignment), and the argmin
+  // tiebreak is the cluster id.
+  private val KmK = 4
+  private val KmIters = 3
+
+  /** Distributed k-means (Lloyd): per iteration, ASSIGN each vector to
+    * the nearest centroid — centroids ride along as literal arrays, so
+    * the scan is shuffle-free map work through the codegen'd
+    * `graft_dot` — then UPDATE centroids with one per-(cluster, dim)
+    * map-side-combined average. Only k×dim doubles ever reach the
+    * driver (the broadcast-per-iteration k-means pattern); the data
+    * table is never collected. This is the training half of the IVF
+    * index whose probe half is v07. Argmin uses
+    * dist² − ‖v‖² = ‖c‖² − 2·v·c (the per-vector ‖v‖² term can't change
+    * the argmin, so it is never computed). */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir).select($"vec_id", $"v")
+    // HALF_UP = away from zero, DuckDB's round() mode
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // seeds: the first k vectors, rounded like every later centroid
+    var cents: Seq[(Long, Array[Double])] = e.filter($"vec_id" < KmK)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(round6).toArray).sortBy(_._1).toIndexedSeq
+    var assigned: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      val distCols = cents.map { case (cl, c) =>
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * call_function("graft_dot", $"v", typedlit(c)))
+          .as("d"), lit(cl).as("cl"))
+      }
+      assigned = e
+        .withColumn("m", array_min(array(distCols: _*)))
+        .select($"vec_id", $"v", $"m.cl".as("cl"))
+      cents = assigned
+        .select($"cl", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cl", $"pos")
+        .agg(avg($"x").as("c"))
+        .groupBy($"cl")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cv"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Double](1).map(round6).toArray).sortBy(_._1).toIndexedSeq
+    }
+    val n = assigned.groupBy($"cl").agg(count(lit(1)).as("n"))
+    val centRows = cents.flatMap { case (cl, c) =>
+      c.zipWithIndex.map { case (x, pos) => (cl, pos.toLong, x) }
+    }.toDF("cluster", "pos", "c")
+    centRows.join(n.select($"cl".as("cluster"), $"n"), "cluster")
+      .select($"cluster", $"pos", $"c", $"n")
+      .orderBy($"cluster", $"pos")
+  }
+
   /** Per-vector stats: dimension, L2 norm, mean/min/max component. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -233,6 +291,7 @@ object VectorOps {
     "v06_vector_stats"    -> vectorStats _,
     "v07_ivf_ann"         -> ivfAnn _,
     "v08_lsh_neardup"     -> lshNearDup _,
+    "v09_kmeans"          -> kmeans _,
   )
 
   private val cosSql =
@@ -325,6 +384,31 @@ object VectorOps {
          |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
          |WHERE ${cos("ea.v", "eb.v")} >= 0.4
          |ORDER BY d1, d2""".stripMargin
+    },
+    "v09_kmeans" -> {
+      // unrolled Lloyd iterations, mirroring the Spark loop exactly:
+      // a_i assigns with c_{i-1}; c_i = per-dim means of a_i, rounded 6
+      val assign = (prev: String, out: String) =>
+        s"""$out AS (SELECT vec_id, v, cl FROM (SELECT e.vec_id, e.v, c.cl,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv), c.cl) AS rn
+           |  FROM e CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
+      val update = (prev: String, out: String) =>
+        s"""$out AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
+           |  (SELECT cl, i, avg(v[i]) AS c FROM $prev
+           |   CROSS JOIN generate_series(1, 64) t(i) GROUP BY cl, i) s
+           |  GROUP BY cl)""".stripMargin
+      val iters = (1 to KmIters).map(i =>
+        assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c$i"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cl, [round(x, 6) for x in v] AS cv
+         |  FROM e WHERE vec_id < $KmK),
+         |$iters
+         |SELECT c.cl AS cluster, CAST(i - 1 AS BIGINT) AS pos, c.cv[i] AS c, n.n
+         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) t(i)
+         |JOIN (SELECT cl, count(*) AS n FROM a$KmIters GROUP BY cl) n ON n.cl = c.cl
+         |ORDER BY cluster, pos""".stripMargin
     },
   )
 }
