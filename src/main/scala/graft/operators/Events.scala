@@ -118,6 +118,21 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** ntile / percent_rank / cume_dist — the distribution-rank window
+    * family (quartile bucketing for score normalization at corpus
+    * scale). Total order (value, event_id) makes tie handling
+    * deterministic cross-engine. */
+  def rankVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"event_id")
+  }
+
   /** lag/lead: microsecond-exact gap to the previous event per user. */
   def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -166,11 +181,20 @@ object Events {
     "e08_event_gaps"     -> eventGaps _,
     "e09_distinct_users" -> distinctUsers _,
     "e10_user_pivot"     -> userPivot _,
+    "e18_rank_variants"  -> rankVariants _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e18_rank_variants" ->
+      """SELECT event_id, event_type,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pr,
+        |round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     "e01_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys,

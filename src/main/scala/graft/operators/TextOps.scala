@@ -331,6 +331,34 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic stratified sampling + train/val/test split — the
+    * training-data-mixing staple, done the way it scales: NO RNG and NO
+    * shuffle. Membership is a pure function of the row key (a hex
+    * prefix of md5 compared against a per-stratum threshold), so the
+    * sample is reproducible across engines, runs, and cluster sizes,
+    * and re-running on grown data keeps prior decisions stable. Rates:
+    * 'en' keeps 128/256 of docs, other langs 51/256; kept docs split
+    * 204/26/26 per 256 into train/val/test on an independent salt. */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .withColumn("keep_bucket",
+        substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 2))
+      .filter($"keep_bucket" < when($"lang" === "en", "80").otherwise("33"))
+      .withColumn("split_bucket",
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2))
+      .withColumn("split",
+        when($"split_bucket" < "cc", "train")
+          .when($"split_bucket" < "e6", "val")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"),
+        sum(size($"toks")).as("total_tokens"))
+      .orderBy($"lang", $"split")
+  }
+
   /** Duplicate clusters: connected components over the MinHash near-dup
     * pair graph via iterative min-label propagation (the Pregel pattern
     * on DataFrames — each iteration is one shuffle; converges in
@@ -399,9 +427,21 @@ object TextOps {
     "d10_langid"        -> langId _,
     "d11_regex_tokens"  -> regexTokens _,
     "d12_dup_clusters"  -> dupClusters _,
+    "d13_sample_split"  -> sampleSplit _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d13_sample_split" ->
+      """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
+        |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS keep_bucket,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS split_bucket
+        |  FROM documents),
+        |k AS (SELECT *, CASE WHEN split_bucket < 'cc' THEN 'train'
+        |  WHEN split_bucket < 'e6' THEN 'val' ELSE 'test' END AS split
+        |  FROM t WHERE keep_bucket < CASE WHEN lang = 'en' THEN '80' ELSE '33' END)
+        |SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc,
+        |max(doc_id) AS max_doc, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |FROM k GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS norm_hash,
         |min(doc_id) AS keep_id, count(*) AS n_copies,
