@@ -71,6 +71,24 @@ class KStreamsApiSpec extends AnyFunSuite {
     assert(n == graft.operators.Events.viewToPurchase(spark, sf).count())
   }
 
+  test("leftJoinWithin keeps unmatched left rows null-padded") {
+    val s = GraftStreams.stream(
+      events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts")), "user_id", "ts")
+    val p = GraftStreams.stream(
+      events.filter(col("event_type") === "purchase")
+        .selectExpr("user_id AS p_user", "ts AS pts"), "p_user", "pts")
+    val joined = s.leftJoinWithin(p, "60 minutes")
+    val views = events.filter(col("event_type") === "view").count()
+    // every left row survives (matched or null-padded) ...
+    assert(joined.select("event_id").distinct().count() == views)
+    // ... unmatched ones as null-padded rows ...
+    assert(joined.filter(col("pts").isNull).count() > 0)
+    // ... and the matched half is exactly the inner join
+    assert(joined.filter(col("pts").isNotNull).count() ==
+      s.joinWithin(p, "60 minutes").count())
+  }
+
   test("sessionWindowedBy matches session_window op") {
     val dsl = GraftStreams.stream(events, "user_id", "ts")
       .groupBy("user_id")
