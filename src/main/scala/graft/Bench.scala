@@ -28,7 +28,6 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE, not a silent ~0s entry
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
