@@ -117,9 +117,9 @@ object TextOps {
     * less md5 work than hashing per (doc, shingle)), then shared via
     * join; the 16 elementwise minima are taken in ONE map-side-combined
     * hash-agg pass (no 16× posexplode blowup before the shuffle). The
-    * exploded shingle table is localCheckpoint'ed (not persist'ed) so
-    * both consumers read the materialized copy and nothing leaks into
-    * the session cache registry. */
+    * exploded shingle table is shared by its two consumers (the distinct
+    * dim and the join) through ReusedExchange — both shuffle it by `s`,
+    * so no materialization step is needed. */
   private[graft] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // documents is one parquet file → one input partition; spread the
@@ -132,7 +132,6 @@ object TextOps {
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-      .localCheckpoint()  // feeds both the distinct-shingle dim and the join
     val shingleHashes = docShingle.select($"s").distinct()
       .withColumn("hs", expr(
         "transform(sequence(0, 15), k -> md5(concat(cast(k as string), ':', s)))"))

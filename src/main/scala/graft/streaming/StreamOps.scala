@@ -77,33 +77,41 @@ object StreamOps {
     * tracks max event time) and be filtered AFTER it — which is how the
     * consumers below are structured. In production this is the role of
     * periodic broker heartbeats / idle-source timeouts. */
+  // flush-augmented source dirs are immutable once written — reuse per
+  // fixture dir instead of rebuilding the sentinel file every call
+  private val flushDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def eventsStreamWithFlush(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val raw = spark.read.parquet(path)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_flush")
-    // One flush row PER event type: Catalyst pushes deterministic
-    // event_type predicates below the EventTimeWatermark operator, so a
-    // single sentinel type would be filtered out before it could advance
-    // the watermark. A per-type sentinel survives any type filter; the
-    // consumer drops it with a ts-bound predicate, which references the
-    // watermark column and therefore stays ABOVE the watermark operator
-    // (see [[flushBound]]).
-    val flush = raw.limit(1).drop("event_type")
-      .crossJoin(raw.select(col("event_type")).distinct())
-      .withColumn("event_id", lit(-1L))
-      .withColumn("ts",
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          lit(4102444800000000000L)  // 2100-01-01 as ns
-        else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
-      .select(raw.columns.map(col): _*)
-    flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dirStr = flushDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_flush")
+      // One flush row PER event type: Catalyst pushes deterministic
+      // event_type predicates below the EventTimeWatermark operator, so a
+      // single sentinel type would be filtered out before it could advance
+      // the watermark. A per-type sentinel survives any type filter; the
+      // consumer drops it with a ts-bound predicate, which references the
+      // watermark column and therefore stays ABOVE the watermark operator
+      // (see [[flushBound]]).
+      val flush = raw.limit(1).drop("event_type")
+        .crossJoin(raw.select(col("event_type")).distinct())
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts",
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            lit(4102444800000000000L)  // 2100-01-01 as ns
+          else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+        .select(raw.columns.map(col): _*)
+      flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir.toString)
+      .parquet(dirStr)
     if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
