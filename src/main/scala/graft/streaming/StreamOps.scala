@@ -346,6 +346,22 @@ object StreamOps {
       "graft_s03", "append")
       .orderBy(col("event_id"))
 
+  /** The FK-join processor driven in BATCH mode (transformWithState
+    * executes on batch Datasets too — one group invocation per key):
+    * customer ⋈ nation through the changelog state machine must equal
+    * the plain SQL join, proving the processor's join algebra against
+    * the DuckDB oracle while the streaming spec proves its update
+    * fan-out. */
+  def fkJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tableTableFkJoin(
+      graft.Tables.customer(spark, sfDir), "c_custkey", "c_nationkey", "c_name",
+      graft.Tables.nation(spark, sfDir).withColumn("n_nationkey",
+        col("n_nationkey").cast("long")), "n_nationkey", "n_name")
+      .toDF()
+      .orderBy(col("left_key"))
+  }
+
   /** Streaming windowed LEFT OUTER join (append mode; null-padded rows
     * emitted on watermark close) — equals the batch LEFT JOIN interval
     * query. Ordered with nulls first to match the oracle's NULLS FIRST. */
@@ -363,6 +379,7 @@ object StreamOps {
     "s04_stream_hopping"  -> streamHopping _,
     "s05_stream_join"     -> streamViewPurchase _,
     "s06_stream_left_join" -> streamViewPurchaseLeft _,
+    "s07_fk_join_batch"   -> fkJoinBatch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +418,10 @@ object StreamOps {
         |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
         |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
+    "s07_fk_join_batch" ->
+      """SELECT c_custkey AS left_key, CAST(c_nationkey AS BIGINT) AS fk,
+        |c_name AS left_val, n_name AS right_val
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY left_key""".stripMargin,
   )
 }
