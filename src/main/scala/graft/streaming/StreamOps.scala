@@ -288,13 +288,17 @@ object StreamOps {
     spark.conf.set(key,
       math.min(cap, spark.sparkContext.defaultParallelism).toString)
     try {
+      // AvailableNow: process everything (including the watermark-close
+      // no-data batch that emits final windows / outer-join padding) and
+      // terminate — one less idle-detection round trip than
+      // processAllAvailable + stop
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      q.awaitTermination()
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
