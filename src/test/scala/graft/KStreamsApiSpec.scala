@@ -89,6 +89,29 @@ class KStreamsApiSpec extends AnyFunSuite {
       s.joinWithin(p, "60 minutes").count())
   }
 
+  test("outerJoinWithin pads both sides") {
+    val s = GraftStreams.stream(
+      events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts")), "user_id", "ts")
+    val p = GraftStreams.stream(
+      events.filter(col("event_type") === "purchase")
+        .selectExpr("event_id AS p_id", "user_id AS p_user", "ts AS pts"),
+      "p_user", "pts")
+    val joined = s.outerJoinWithin(p, "60 minutes")
+    val views = events.filter(col("event_type") === "view").count()
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    // full outer keeps every row of BOTH sides at least once
+    assert(joined.filter(col("event_id").isNotNull)
+      .select("event_id").distinct().count() == views)
+    assert(joined.filter(col("p_id").isNotNull)
+      .select("p_id").distinct().count() == purchases)
+    // and pads each side where the other is missing
+    assert(joined.filter(col("p_id").isNull).count() > 0)
+    assert(joined.filter(col("event_id").isNull).count() > 0)
+    assert(joined.filter(col("event_id").isNotNull && col("p_id").isNotNull)
+      .count() == s.joinWithin(p, "60 minutes").count())
+  }
+
   test("sessionWindowedBy matches session_window op") {
     val dsl = GraftStreams.stream(events, "user_id", "ts")
       .groupBy("user_id")
