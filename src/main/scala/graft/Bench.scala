@@ -29,17 +29,23 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query must be VISIBLE, not a silent ~0s entry
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      // a failed query must be VISIBLE in the machine-readable output,
+      // not a silent ~0s entry: record a -1.0 sentinel time
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        -1L
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // The driver captures only the TAIL of stdout: print the fat
+    // per-query line first, then the short total line LAST so it always
+    // survives truncation and stays parseable.
+    println(s"""{"metric":"per_query","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

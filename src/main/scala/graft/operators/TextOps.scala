@@ -156,18 +156,32 @@ object TextOps {
   // The materialized signature table is shared by every consumer in the
   // session (d06 runs it for pairs, d12 for clustering): the checkpoint
   // blocks already live on the executors, so recomputing the shingle +
-  // 16×md5 pipeline per caller would only burn CPU. Keyed by session so
-  // a stopped session's blocks can't leak into a new one.
-  private val sigsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // 16×md5 pipeline per caller would only burn CPU. The entry holds the
+  // owning session strongly, so its identity hash cannot be recycled
+  // while the entry lives, and lookups re-check the session by REFERENCE
+  // (`eq`) — a different live session that collides on hash recomputes
+  // instead of receiving a foreign DataFrame. Entries of stopped
+  // contexts are evicted on every access, so a long-lived JVM hosting
+  // many sessions can't pin dead sessions' checkpoint blocks.
+  private val sigsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def evictStopped(): Unit =
+    sigsCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    evictStopped()
     // One row per doc; materialized once and read by the band join (both
     // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
     // across executors, well within a cluster's storage fraction.
-    val sigs = sigsCache.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), sfDir),
-      minhashSigs(spark, sfDir).localCheckpoint())
+    val key = (System.identityHashCode(spark), sfDir)
+    val sigs = sigsCache.get(key).filter(_._1 eq spark).map(_._2)
+      .getOrElse {
+        val df = minhashSigs(spark, sfDir).localCheckpoint()
+        sigsCache.put(key, (spark, df))
+        df
+      }
     val bands = sigs.select($"doc_id", explode(expr(
       """transform(sequence(0, 3),
         b -> struct(b AS band, concat_ws('|', slice(sig, b*4 + 1, 4)) AS bh))""")).as("x"))
@@ -229,6 +243,14 @@ object TextOps {
     *     builds a hash set per row — ~100× slower here). The doc-set
     *     side broadcasts when small; at cluster scale it is a linear
     *     shuffle join on doc_id.
+    *
+    * "Exact" is modulo the 64-bit shingle hashing: a xxhash64 collision
+    * would silently merge two distinct shingles. By the birthday bound,
+    * P(any collision) ≈ u²/2^65 for u distinct shingles — ~3% at u=1B
+    * corpus-wide, and a collision only perturbs a pair's Jaccard by
+    * ~1/|union| (it can't invent a near-dup pair). If the corpus grows
+    * past ~10B distinct shingles, widen to two independent xxhash64
+    * seeds (128 bits) or verify candidates on raw shingle strings.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -245,8 +267,11 @@ object TextOps {
       .withColumn("n", size($"hs").cast("long"))
       .localCheckpoint()
     val sh = docSets.select($"doc_id", $"n", explode($"hs").as("h"))
-    val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(df, "h")
+    // document frequency fused into the shingle pass as a window count:
+    // ONE shuffle by h (instead of a groupBy-h shuffle plus a join that
+    // re-shuffles sh by h), then the rank window re-keys by doc_id
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
       .withColumn("r", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"h")))
       .filter($"r" <= $"n" - ceil($"n" * t) + 1)

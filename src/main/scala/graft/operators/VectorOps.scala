@@ -78,9 +78,12 @@ object VectorOps {
 
   /** Cosine near-duplicate pairs (≥ 0.4). Brute-force triangular join —
     * the exact small-scale baseline and the correctness cross-check for
-    * [[lshNearDup]] (v08), which is the bounded scale path. This one is
-    * O(n²) by construction (BroadcastNestedLoopJoin): keep it for
-    * verification at sampled scale, never on the full corpus. */
+    * [[lshNearDup]] (v08), which is the bounded scale path AND the
+    * declared query. This one is O(n²) by construction
+    * (BroadcastNestedLoopJoin) and therefore NOT declared in `queries`:
+    * a cartesian plan has no business in a 100 TB query set. It lives on
+    * as the recall oracle in `LshRecallSpec`, run on sampled inputs
+    * only. */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val a = embDouble(spark, sfDir).select($"vec_id".as("d1"), $"v".as("v1"))
@@ -286,7 +289,9 @@ object VectorOps {
     "v01_cosine_topk"     -> cosineTopK _,
     "v02_centroids"       -> centroids _,
     "v03_nearest_centroid" -> nearestCentroid _,
-    "v04_embed_neardup"   -> embedNearDup _,
+    // v04 (brute-force embedNearDup) is deliberately NOT declared: its
+    // plan is a BroadcastNestedLoopJoin (exact but quadratic). v08 holds
+    // the near-dup contract; LshRecallSpec cross-checks v08 against v04.
     "v05_ann_sign_lsh"    -> annSignLsh _,
     "v06_vector_stats"    -> vectorStats _,
     "v07_ivf_ann"         -> ivfAnn _,
@@ -322,12 +327,6 @@ object VectorOps {
          |  ORDER BY cos DESC, c_label) AS rn FROM sc)
          |SELECT label, c_label AS predicted, count(*) AS n FROM r WHERE rn = 1
          |GROUP BY label, predicted ORDER BY label, predicted""".stripMargin,
-    "v04_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT a.vec_id AS d1, b.vec_id AS d2, round(${cos("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cos("a.v", "b.v")} >= 0.4
-         |ORDER BY d1, d2""".stripMargin,
     "v05_ann_sign_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  array_to_string([CASE WHEN embedding[g] >= 0 THEN '1' ELSE '0' END

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** KTable ⋈ KTable foreign-key join with CHANGELOG semantics — the piece
   * a plain batch equi-join can't express: when the RIGHT side (the
@@ -14,11 +14,20 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * (left rows by their fk column, right rows by their primary key), and
   * a `transformWithState` processor keeps, per fk:
   *   - the current right value (`ValueState`)
-  *   - the set of live left rows referencing it (`ListState`)
+  *   - the live left rows referencing it (`MapState` keyed by left pk —
+  *     a left upsert is one O(1) point write, NOT a rewrite of the
+  *     whole referencing set; on RocksDB each map entry is its own
+  *     key-value pair, so a hot fk with a million referencing rows
+  *     costs one put per update and streams entry-by-entry on fan-out)
   * A left upsert emits its joined row immediately (if the right side
   * exists); a right upsert emits the full set of joined rows for that
   * fk — the changelog fan-out. State is partitioned by fk, so the
   * fan-out shuffle is the same re-key a Kafka Streams FK join pays.
+  *
+  * NULL foreign keys: Kafka Streams drops records with a null FK from
+  * the join (no subscription can be registered); [[graft.streaming
+  * .StreamOps.tableTableFkJoin]] mirrors that by filtering null keys
+  * before the encoder (FkEvent.fk is a primitive Long).
   *
   * Scale: state per fk is (1 right value + referencing left rows) — the
   * same footprint as Kafka Streams' subscription store; RocksDB-backed
@@ -37,13 +46,13 @@ class FkJoinProcessor
     extends StatefulProcessor[Long, FkEvent, FkJoined] {
 
   @transient private var right: ValueState[String] = _
-  @transient private var lefts: ListState[(Long, String)] = _
+  @transient private var lefts: MapState[Long, String] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     right = getHandle.getValueState[String](
       "right", Encoders.STRING, TTLConfig.NONE)
-    lefts = getHandle.getListState[(Long, String)](
-      "lefts", Encoders.product[(Long, String)], TTLConfig.NONE)
+    lefts = getHandle.getMapState[Long, String](
+      "lefts", Encoders.scalaLong, Encoders.STRING, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[FkEvent],
@@ -51,15 +60,14 @@ class FkJoinProcessor
     val out = scala.collection.mutable.ArrayBuffer[FkJoined]()
     rows.foreach { e =>
       if (e.side == "L") {
-        // upsert the left row (replace any previous version of left_key)
-        val cur = lefts.get().filter(_._1 != e.left_key).toSeq
-        lefts.put((cur :+ (e.left_key -> e.left_val)).toArray)
+        // upsert the left row: one point write, O(1) per update
+        lefts.updateValue(e.left_key, e.left_val)
         if (right.exists())
           out += FkJoined(e.left_key, key, e.left_val, right.get())
       } else {
         right.update(e.right_val)
         // changelog fan-out: re-emit every referencing left row
-        lefts.get().foreach { case (lk, lv) =>
+        lefts.iterator().foreach { case (lk, lv) =>
           out += FkJoined(lk, key, lv, e.right_val)
         }
       }

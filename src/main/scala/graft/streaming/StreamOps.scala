@@ -54,7 +54,14 @@ object StreamOps {
       .select(col("e.*"))
 
   /** File-source stand-in for the Kafka source, with the same ns→µs
-    * timestamp normalization as the batch path. */
+    * timestamp normalization as the batch path.
+    *
+    * `nanosAsLong` must stay set for the LIFETIME of any streaming query
+    * built here — the parquet reader consults it at every micro-batch
+    * (INT64 TIMESTAMP(NANOS) is otherwise an illegal type), not just at
+    * schema-inference time — so it is deliberately not restored after
+    * the build. It only affects nanos-annotated columns, which exist
+    * solely in the events fixture. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
@@ -77,17 +84,46 @@ object StreamOps {
     * tracks max event time) and be filtered AFTER it — which is how the
     * consumers below are structured. In production this is the role of
     * periodic broker heartbeats / idle-source timeouts. */
-  // flush-augmented source dirs are immutable once written — reuse per
-  // fixture dir instead of rebuilding the sentinel file every call
+  // Flush-augmented source dirs are derived purely from the fixture
+  // file, so they are shared across sessions; the cache records the
+  // fixture's mtime and rebuilds if the file is regenerated in place.
+  // Temp dirs are deleted on JVM exit (shutdown hook below).
   private val flushDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.foreach(d =>
+      try deleteRecursively(java.nio.file.Paths.get(d))
+      catch { case _: Throwable => () })
+  }
+
+  /** Create a tracked temp dir, cleaned up on JVM exit. */
+  private[streaming] def newTempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir.toString)
+    dir
+  }
 
   def eventsStreamWithFlush(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val raw = spark.read.parquet(path)
-    val dirStr = flushDirs.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_flush")
+    val srcMtime = new java.io.File(path).lastModified()
+    val cached = flushDirs.get(sfDir).filter(_._1 == srcMtime)
+    val dirStr = cached.map(_._2).getOrElse(flushDirs.updateWith(sfDir) { _ =>
+      Some((srcMtime, {
+      val dir = newTempDir("graft_stream_flush")
       // One flush row PER event type: Catalyst pushes deterministic
       // event_type predicates below the EventTimeWatermark operator, so a
       // single sentinel type would be filtered out before it could advance
@@ -108,7 +144,8 @@ object StreamOps {
         dir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dir.toString
-    })
+      }))
+    }.get._2)
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(dirStr)
@@ -206,11 +243,16 @@ object StreamOps {
       leftVal: String, right: DataFrame, rightKey: String,
       rightVal: String): Dataset[FkJoined] = {
     import left.sparkSession.implicits._
-    val l = left.select(col(leftFk).cast("long").as("fk"),
+    // null keys can't join (Kafka Streams drops null-FK records — no
+    // subscription is possible) and would fail FkEvent's primitive-Long
+    // encoder: filter them out on both sides
+    val l = left.filter(col(leftFk).isNotNull)
+      .select(col(leftFk).cast("long").as("fk"),
       lit("L").as("side"), col(leftKey).cast("long").as("left_key"),
       col(leftVal).cast("string").as("left_val"),
       lit(null).cast("string").as("right_val")).as[FkEvent]
-    val r = right.select(col(rightKey).cast("long").as("fk"),
+    val r = right.filter(col(rightKey).isNotNull)
+      .select(col(rightKey).cast("long").as("fk"),
       lit("R").as("side"), lit(-1L).as("left_key"),
       lit(null).cast("string").as("left_val"),
       col(rightVal).cast("string").as("right_val")).as[FkEvent]
@@ -376,6 +418,129 @@ object StreamOps {
       "graft_s06", "append")
       .orderBy(col("view_id").asc, col("purchase_id").asc_nulls_first)
 
+  /** Streaming stream-static broadcast join (KStream ⋈ GlobalKTable —
+    * the dimension-enrichment staple): the events stream looks up a
+    * fully-replicated nation-like dim by a key mapper (user_id mod 25),
+    * exactly Kafka Streams' `join(GlobalKTable, keyMapper, joiner)`.
+    * The dim is broadcast — each micro-batch is a BroadcastHashJoin
+    * with NO shuffle and no state store; at 1000 executors the dim
+    * ships once per executor, the stream never moves. Inner
+    * stream-static joins need no watermark. */
+  def streamDimEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    runToMemory(
+      eventsStream(spark, sfDir)
+        .withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), "nk")
+        .select(col("event_id"), col("user_id"), col("n_name"),
+          round(col("value"), 2).as("value")),
+      "graft_s08", "append")
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming session-window aggregation in APPEND mode (the
+    * SessionWindows.ofInactivityGap + suppress-until-close pairing):
+    * sessions emit only when the watermark proves the gap can no longer
+    * be extended. The flush sentinel advances the watermark past every
+    * real session's close; sentinel rows are dropped AFTER the watermark
+    * operator (ts-bound predicate) so they never pollute a session, and
+    * the sentinels' own far-future sessions never close, so they never
+    * emit. Must equal the batch session_window query (e04 oracle). */
+  def streamSessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+    runToMemory(
+      ev.groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n_events"), col("sum_value")),
+      "graft_s09", "append")
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  // s10 changelog dirs: derived from the fixture tables; cached per
+  // (sfDir, fixture mtime) like flushDirs, cleaned on JVM exit
+  private val fkStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The FK changelog join driven as a TRUE STREAM in three ordered
+    * micro-batches (file source, maxFilesPerTrigger=1, files ordered by
+    * mtime):
+    *   batch 0 — right v1: every nation keyed by its pk, name "OLD_"+n;
+    *   batch 1 — left: every customer keyed by its fk (c_nationkey);
+    *   batch 2 — right v2: every nation again with the final name.
+    * Batch 1 exercises the lookup path (left upsert joins stored right
+    * value); batch 2 exercises the CHANGELOG FAN-OUT (a right update
+    * re-emits every referencing left row). The declared result is the
+    * full ordered changelog — two rows per customer, one per right
+    * version — which a plain SQL join × {v1,v2} reproduces, so the
+    * fan-out itself is what the oracle verifies: miss it and the v2
+    * rows are absent. */
+  def streamFkChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = {
+      val srcMtime = new java.io.File(s"$sfDir/customer.parquet").lastModified()
+      val cached = fkStreamDirs.get(sfDir).filter(_._1 == srcMtime)
+      cached.map(_._2).getOrElse(fkStreamDirs.updateWith(sfDir) { _ =>
+        Some((srcMtime, {
+          val dir = newTempDir("graft_fk_stream")
+          val nation = graft.Tables.nation(spark, sfDir)
+          val customer = graft.Tables.customer(spark, sfDir)
+          def rightVer(nameExpr: org.apache.spark.sql.Column) = nation.select(
+            col("n_nationkey").cast("long").as("fk"), lit("R").as("side"),
+            lit(-1L).as("left_key"), lit(null).cast("string").as("left_val"),
+            nameExpr.as("right_val"))
+          val lefts = customer.select(
+            col("c_nationkey").cast("long").as("fk"), lit("L").as("side"),
+            col("c_custkey").cast("long").as("left_key"),
+            col("c_name").cast("string").as("left_val"),
+            lit(null).cast("string").as("right_val"))
+          // one parquet FILE per micro-batch, mtime-ordered
+          Seq(rightVer(concat(lit("OLD_"), col("n_name"))), lefts,
+              rightVer(col("n_name"))).zipWithIndex.foreach { case (df, i) =>
+            val tmp = dir.resolve(s"b$i")
+            df.coalesce(1).write.parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator()
+            val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+              .find(_.toString.endsWith(".parquet")).get
+            val dst = dir.resolve(s"changelog_$i.parquet")
+            java.nio.file.Files.move(f, dst)
+            deleteRecursively(tmp)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          }
+          dir.toString
+        }))
+      }.get._2)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "fk BIGINT, side STRING, left_key BIGINT, left_val STRING, right_val STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[FkEvent]
+      .groupByKey(_.fk)
+      .transformWithState(new FkJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[FkJoined])
+      .toDF()
+    // transformWithState requires the RocksDB state store provider
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(stream, "graft_s10", "update")
+      .orderBy(col("left_key"), col("right_val"))
+    finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -384,6 +549,9 @@ object StreamOps {
     "s05_stream_join"     -> streamViewPurchase _,
     "s06_stream_left_join" -> streamViewPurchaseLeft _,
     "s07_fk_join_batch"   -> fkJoinBatch _,
+    "s08_stream_dim_enrich" -> streamDimEnrich _,
+    "s09_stream_sessions" -> streamSessionWindows _,
+    "s10_fk_changelog_stream" -> streamFkChangelog _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +595,31 @@ object StreamOps {
         |c_name AS left_val, n_name AS right_val
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY left_key""".stripMargin,
+    "s08_stream_dim_enrich" ->
+      """SELECT event_id, user_id, n_name, round(value, 2) AS value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |ORDER BY event_id""".stripMargin,
+    "s09_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+    "s10_fk_changelog_stream" ->
+      """SELECT c_custkey AS left_key, CAST(c_nationkey AS BIGINT) AS fk,
+        |c_name AS left_val,
+        |unnest(['OLD_' || n_name, n_name]) AS right_val
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY left_key, right_val""".stripMargin,
   )
 }
