@@ -109,35 +109,53 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** Per-document MinHash signature: array of 16 minima of
-    * md5(seed:shingle) over the document's distinct 3-token shingles.
+  // MinHash permutations as universal hashes h_i(x) = (a_i·x + b_i) mod p
+  // over a 31-bit base hash x of the shingle (first 8 hex chars of its
+  // md5, mod p). p = 2^31−1 (Mersenne prime); a_i < p and x < p keep
+  // a_i·x + b_i < 2^62 — exact int64 arithmetic in BOTH engines (DuckDB
+  // BIGINT errors on overflow, so the bound is load-bearing). The
+  // constants derive from an LCG formula; they are inlined as literals
+  // on the Spark side and interpolated into the oracle SQL from the
+  // SAME Scala values, so the two engines agree by construction.
+  private[graft] val MhP = 2147483647L
+  private[graft] val MhA: IndexedSeq[Long] =
+    (0 until 16).map(i => (1103515245L * (i + 1) + 12345L) % MhP)
+  private[graft] val MhB: IndexedSeq[Long] =
+    (0 until 16).map(i => (2654435761L * i + 1013904223L) % MhP)
+  /** DuckDB inline seed relation `seeds(s, a, b)`, 16 rows. */
+  private def mhSeedsSql: String =
+    (0 until 16).map(i => s"(${i}, ${MhA(i)}, ${MhB(i)})")
+      .mkString("(VALUES ", ", ", ") seeds(s, a, b)")
+
+  /** Per-document MinHash signature: array of the 16 permutation minima
+    * over the document's distinct 3-token shingles.
     *
-    * Scale notes: shingles repeat heavily across documents, so each
-    * DISTINCT shingle is hashed once for all 16 permutations (~16×
-    * less md5 work than hashing per (doc, shingle)), then shared via
-    * join; the 16 elementwise minima are taken in ONE map-side-combined
-    * hash-agg pass (no 16× posexplode blowup before the shuffle). The
-    * exploded shingle table is shared by its two consumers (the distinct
-    * dim and the join) through ReusedExchange — both shuffle it by `s`,
-    * so no materialization step is needed. */
+    * Scale notes: ONE codegen'd md5 per (doc, shingle) row produces the
+    * base hash; the 16 permutations are pure int64 arithmetic fused into
+    * the map-side-combined hash-agg (16 `min` columns). An earlier
+    * version hashed every distinct shingle 16× inside a `transform`
+    * lambda and shared the result via join — but higher-order-function
+    * lambdas are CodegenFallback (interpreted per element), so 16
+    * interpreted md5s per shingle cost far more than one codegen'd md5,
+    * AND the distinct+join added two shuffles. This shape is one
+    * explode → one shuffle (the groupBy), nothing else. */
   private[graft] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // documents is one parquet file → one input partition; spread the
     // shingle/hash work across cores before the heavy transforms (on a
     // cluster the source would already be many splits)
     val par = spark.sparkContext.defaultParallelism
-    val docShingle = docsWithToks(spark, sfDir)
+    docsWithToks(spark, sfDir)
       .repartition(par)
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-    val shingleHashes = docShingle.select($"s").distinct()
-      .withColumn("hs", expr(
-        "transform(sequence(0, 15), k -> md5(concat(cast(k as string), ':', s)))"))
-    docShingle.join(shingleHashes, "s")
+      .withColumn("x",
+        expr("conv(substr(md5(s), 1, 8), 16, 10)").cast("long") % MhP)
       .groupBy($"doc_id")
-      .agg(array((0 until 16).map(i => min(expr(s"hs[$i]"))): _*).as("sig"))
+      .agg(array((0 until 16).map(i =>
+        min((lit(MhA(i)) * $"x" + lit(MhB(i))) % MhP)): _*).as("sig"))
   }
 
   /** MinHash signatures (16 md5-permutations over distinct 3-token
@@ -184,7 +202,9 @@ object TextOps {
       }
     val bands = sigs.select($"doc_id", explode(expr(
       """transform(sequence(0, 3),
-        b -> struct(b AS band, concat_ws('|', slice(sig, b*4 + 1, 4)) AS bh))""")).as("x"))
+        b -> struct(b AS band,
+          array_join(transform(slice(sig, b*4 + 1, 4),
+            v -> cast(v as string)), '|') AS bh))""")).as("x"))
       .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -501,21 +521,22 @@ object TextOps {
         |  for g in range(1, len(toks) - 3)]) AS min_shingle_md5
         |FROM t ORDER BY doc_id""".stripMargin,
     "d06_minhash_lsh" ->
-      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-        |  WHERE len(str_split(text, ' ')) >= 3),
-        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
-        |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
-        |sig AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || t)) AS h
-        |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY doc_id, s),
-        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h, '|' ORDER BY s) AS bh
-        |  FROM sig GROUP BY doc_id, s // 4),
-        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
-        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
-        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)
-        |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
-        |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+      s"""WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+         |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
+         |xs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % $MhP AS x FROM tok),
+         |sig AS (SELECT doc_id, s, min((a * x + b) % $MhP) AS h
+         |  FROM xs CROSS JOIN $mhSeedsSql GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
+         |  FROM sig GROUP BY doc_id, s // 4),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+         |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)
+         |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
+         |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
     "d07_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
         |bits AS (SELECT doc_id, i,
@@ -577,14 +598,15 @@ object TextOps {
         |CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_words
         |FROM t ORDER BY doc_id""".stripMargin,
     "d12_dup_clusters" ->
-      """WITH RECURSIVE t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-        |  WHERE len(str_split(text, ' ')) >= 3),
-        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
-        |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
-        |sig AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || t)) AS h
-        |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY doc_id, s),
-        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h, '|' ORDER BY s) AS bh
-        |  FROM sig GROUP BY doc_id, s // 4),
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+         |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
+         |xs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % $MhP AS x FROM tok),
+         |sig AS (SELECT doc_id, s, min((a * x + b) % $MhP) AS h
+         |  FROM xs CROSS JOIN $mhSeedsSql GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
+         |  FROM sig GROUP BY doc_id, s // 4),
         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |m AS (SELECT c.d1, c.d2 FROM cand c JOIN sig sa ON sa.doc_id = c.d1
