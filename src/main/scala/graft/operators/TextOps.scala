@@ -24,7 +24,7 @@ import graft.Tables
   */
 object TextOps {
 
-  private def docsWithToks(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docsWithToks(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
 
@@ -242,9 +242,14 @@ object TextOps {
     *
     * Structure (the All-Pairs / PPJoin shape, exact — no recall loss):
     *
-    *  1. Shingles are xxhash64'd once per doc into a SORTED set array
-    *     (`docSets`); all later set math runs on slim int64 keys, not
-    *     17-char strings.
+    *  1. Shingles are xxhash64'd once per doc; all later set math runs
+    *     on slim int64 keys, not 17-char strings. Document frequency is
+    *     a hash-agg (map-side combined, sort-free) over the exploded
+    *     (doc, hash) table, and the join back on h reuses the same
+    *     exchange. The per-doc regroup (`byDoc`) then derives the
+    *     sorted set array, set size, and prefix slice array-side in a
+    *     single pass — a per-row `sort_array` over ~doc-length structs
+    *     replaces a global WindowExec sort by (doc, df, h).
     *  2. PREFIX FILTER: order each doc's shingles by global document
     *     frequency ascending (rarest first, hash as tiebreak). If
     *     Jaccard(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, so the pair must share
@@ -257,7 +262,7 @@ object TextOps {
     *     min(na−ra, nb−rb)+1, which must reach the Jaccard-≥-t minimum
     *     ⌈t/(1+t)·(na+nb)⌉ — pairs sharing only late-prefix shingles
     *     are dropped before the shuffle.
-    *  4. Verify joins the slim (d1, d2) candidates back to `docSets`
+    *  4. Verify joins the slim (d1, d2) candidates back to `byDoc`
     *     and computes the exact intersection with the codegen'd
     *     two-pointer `graft_sorted_isect` (Spark's `array_intersect`
     *     builds a hash set per row — ~100× slower here). The doc-set
@@ -276,26 +281,34 @@ object TextOps {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
     val t = 0.5
-    // one row per doc: sorted distinct shingle hashes + set size;
-    // materialized once, read by the prefix path and both verify sides
-    val docSets = docsWithToks(spark, sfDir)
+    // one (doc, shingle-hash) row per distinct shingle occurrence
+    val tok = docsWithToks(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(size($"toks") >= 3)
-      .select($"doc_id", expr(
-        """array_sort(array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2])))))""").as("hs"))
-      .withColumn("n", size($"hs").cast("long"))
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+    // Document frequency by hash-agg (map-side combined, no sort), then
+    // joined back on h — both consumers shuffle tok by h, so the
+    // exchange is planned once and reused. The per-doc regroup then
+    // builds EVERYTHING array-side in one pass: the df-ordered struct
+    // list (sort_array over ~doc-length elements — bounded per row, no
+    // global WindowExec sort by (doc, df, h)), the sorted hash set for
+    // the verify step, and the rarest-first prefix slice. One
+    // materialization serves the prefix path and both verify sides.
+    val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+    val byDoc = tok.join(dfreq, "h")
+      .groupBy($"doc_id").agg(
+        sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
+      .select($"doc_id",
+        size($"sdh").cast("long").as("n"),
+        expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
+        expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
+          .as("pref"))
       .localCheckpoint()
-    val sh = docSets.select($"doc_id", $"n", explode($"hs").as("h"))
-    // document frequency fused into the shingle pass as a window count:
-    // ONE shuffle by h (instead of a groupBy-h shuffle plus a join that
-    // re-shuffles sh by h), then the rank window re-keys by doc_id
-    val prefix = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-      .withColumn("r", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-      .filter($"r" <= $"n" - ceil($"n" * t) + 1)
-      .select($"doc_id", $"n", $"h", $"r")
+    val prefix = byDoc.select($"doc_id", $"n",
+        posexplode($"pref").as(Seq("r0", "x")))
+      .select($"doc_id", $"n", $"x.h".as("h"), ($"r0" + 1).as("r"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
@@ -305,8 +318,8 @@ object TextOps {
       .agg(lit(1))  // dedup with map-side combine, not a global distinct
       .select($"d1", $"d2")
     cand
-      .join(docSets.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
-      .join(docSets.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
+      .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
+      .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
       .withColumn("common",
         call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
       .select($"d1", $"d2",
