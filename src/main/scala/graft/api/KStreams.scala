@@ -126,14 +126,20 @@ final case class KStreamG(df: DataFrame, key: String, ts: String) {
   def outerJoinWithin(other: KStreamG, within: String): DataFrame =
     joinWithin(other, within, "full_outer")
 
-  /** KStream⋈KTable: enrich each record with the latest table state. */
+  /** KStream⋈KTable: enrich each record with the latest table state.
+    * The output keeps the STREAM's key (the table's key column is
+    * dropped by reference, so a same-named stream key is untouched) —
+    * matching Kafka Streams, where the joined stream stays keyed by the
+    * stream side. */
   def join(table: KTableG, how: String = "inner"): KStreamG =
-    withDf(df.join(table.df, df(key) === table.df(table.key), how))
+    withDf(df.join(table.df, df(key) === table.df(table.key), how)
+      .drop(table.df(table.key)))
 
   /** KStream⋈GlobalKTable: broadcast lookup join, never shuffles the
     * stream side. */
   def join(g: GlobalKTableG): KStreamG =
-    withDf(df.join(broadcast(g.df), df(key) === g.df(g.key)))
+    withDf(df.join(broadcast(g.df), df(key) === g.df(g.key))
+      .drop(g.df(g.key)))
 
   /** Sink (`to(topic)`): parquet in the sandbox, kafka in production. */
   def to(path: String): Unit = df.write.mode("overwrite").parquet(path)
@@ -149,6 +155,10 @@ final case class KGroupedG(df: DataFrame, keys: Seq[String], ts: String) {
   def agg(aggs: Column*): DataFrame =
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Kafka Streams `cogroup` (DSL 2.5+): start folding this grouped
+    * stream with others keyed the same way into one aggregation. */
+  def cogroup(other: KGroupedG): CogroupedG = CogroupedG(Seq(this, other))
+
   /** Tumbling or hopping windows (TimeWindows[.advanceBy]). */
   def windowedBy(size: String, slide: Option[String] = None): WindowedG = {
     val w = slide.fold(window(col(ts), size))(s => window(col(ts), size, s))
@@ -160,6 +170,30 @@ final case class KGroupedG(df: DataFrame, keys: Seq[String], ts: String) {
     WindowedG(df, keys, session_window(col(ts), gap))
 
   private def sparkCount(c: Column) = org.apache.spark.sql.functions.count(c)
+}
+
+/** CogroupedKStream: N co-keyed grouped streams aggregated in ONE pass.
+  *
+  * Spark-first shape: `unionByName(allowMissingColumns = true)` (each
+  * branch's value columns null-pad on the others' rows) followed by a
+  * SINGLE `groupBy` — one shuffle, map-side combined, with each
+  * branch's aggregates (`sum`/`count(col)`/`min`/`max` skip nulls)
+  * seeing only its own rows. The naive port — aggregate each stream
+  * separately, then join N results — pays N shuffles plus an N−1-way
+  * join; the union shape is what Kafka Streams' single shared-store
+  * update loop becomes declaratively, and it scales as one combined
+  * aggregation regardless of branch count. Branches must use DISTINCT
+  * value-column names (a shared name would merge their rows). */
+final case class CogroupedG(branches: Seq[KGroupedG]) {
+  def cogroup(other: KGroupedG): CogroupedG = copy(branches = branches :+ other)
+
+  /** Terminal aggregate over the union schema (Cogrouped.aggregate). */
+  def aggregate(aggs: Column*): DataFrame = {
+    val keys = branches.head.keys
+    val u = branches.map(_.df)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }
 
 /** Windowed grouped stream (TimeWindowedKStream / SessionWindowedKStream). */

@@ -170,6 +170,30 @@ object Events {
     }.orderBy($"user_id")
   }
 
+  /** Kafka Streams `cogroup` (three event-type streams folded into one
+    * per-user activity row) driven through the DSL. One shuffle with
+    * map-side combine for all three branches — the join-of-3-aggregates
+    * a naive port would write pays three shuffles plus a 3-way join. */
+  def cogroupActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.api.GraftStreams
+    val ev = Tables.events(spark, sfDir)
+    def branch(tpe: String, cols: (String, org.apache.spark.sql.Column)*) =
+      GraftStreams.stream(
+        ev.filter($"event_type" === tpe)
+          .select($"user_id" +: cols.map { case (n, c) => c.as(n) }: _*),
+        "user_id", cols.head._1).groupByKey
+    branch("view", "v_ts" -> $"ts")
+      .cogroup(branch("click", "c_ts" -> $"ts"))
+      .cogroup(branch("purchase", "p_ts" -> $"ts", "p_value" -> $"value"))
+      .aggregate(
+        count($"v_ts").as("n_views"),
+        count($"c_ts").as("n_clicks"),
+        count($"p_ts").as("n_purchases"),
+        dsum($"p_value").as("purchase_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
     "e02_tumbling_daily" -> tumblingDaily _,
@@ -182,11 +206,21 @@ object Events {
     "e09_distinct_users" -> distinctUsers _,
     "e10_user_pivot"     -> userPivot _,
     "e18_rank_variants"  -> rankVariants _,
+    "e19_cogroup"        -> cogroupActivity _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e19_cogroup" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'view') AS n_views,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |  FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2) AS purchase_value
+        |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e18_rank_variants" ->
       """SELECT event_id, event_type,
         |CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -663,3 +663,59 @@ class TrainingDataPipelineSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.columns.contains("embedding") && e.columns.contains("quality"))
   }
 }
+
+/** Streaming KStream ⋈ KTable through the DSL: a MemoryStream of
+  * records enriched against a compacted changelog table (static side).
+  * Kafka Streams semantics: each stream record sees the table's LATEST
+  * value for its key at processing time; records with no table entry
+  * are dropped by the inner join and preserved null-padded by the left
+  * join. Each micro-batch plans the static side as a fresh join, so no
+  * state store is involved — the Spark analogue of the non-windowed
+  * stream-table join. */
+class StreamTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.api._
+  lazy val spark = TestSession.spark
+
+  test("stream enriches against latest table state; left join pads misses") {
+    import spark.implicits._
+    // changelog with an UPDATE for key 1: ts=2 row must win compaction
+    val changelog = Seq(
+      (1L, 1L, "v1_old"), (1L, 2L, "v1_new"), (2L, 5L, "v2")
+    ).toDF("k", "ts", "v")
+    val table = GraftStreams.table(changelog, "k", "ts")
+    assert(table.toDF.as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 2L, "v1_new"), (2L, 5L, "v2")))
+
+    val in = MemoryStream[(Long, Long, String)](spark)
+    val stream = GraftStreams.stream(
+      in.toDS().toDF("k", "ev_ts", "payload"), "k", "ev_ts")
+
+    val inner = stream.join(table).toDF
+      .select($"k", $"payload", $"v")
+    val qi = inner.writeStream.format("memory").queryName("st_inner")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10L, "a"), (2L, 11L, "b"), (3L, 12L, "c"))
+      qi.processAllAvailable()
+      val got = spark.table("st_inner").as[(Long, String, String)]
+        .collect().toSet
+      // key 1 sees the COMPACTED (latest) value; key 3 has no entry
+      assert(got == Set((1L, "a", "v1_new"), (2L, "b", "v2")))
+    } finally qi.stop()
+
+    val left = stream.join(table, "left_outer").toDF
+      .select($"k", $"payload", $"v")
+    val ql = left.writeStream.format("memory").queryName("st_left")
+      .outputMode("append").start()
+    try {
+      in.addData((4L, 13L, "d"))
+      ql.processAllAvailable()
+      val got = spark.table("st_left").as[(Long, String, String)]
+        .collect().toSet
+      // miss is preserved with a null value column (leftJoin contract)
+      assert(got.contains((4L, "d", null)))
+    } finally ql.stop()
+  }
+}

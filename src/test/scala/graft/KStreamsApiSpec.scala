@@ -127,4 +127,39 @@ class KStreamsApiSpec extends AnyFunSuite {
     val joined = o.join(c, onLeft = "o_custkey")
     assert(joined.toDF.count() == Tables.orders(spark, sf).count())
   }
+  test("cogroup folds three branches into one aggregation pass") {
+    val s = GraftStreams.stream(events, "user_id", "ts")
+    def b(t: String, renames: (String, String)*) = {
+      val df = renames.foldLeft(
+        s.filter(col("event_type") === t).toDF.select(
+          (col("user_id") +: renames.map(r => col(r._1))): _*)) {
+        case (d, (from, to)) => d.withColumnRenamed(from, to)
+      }
+      GraftStreams.stream(df, "user_id", renames.head._2).groupByKey
+    }
+    val cg = b("view", "ts" -> "v_ts")
+      .cogroup(b("click", "ts" -> "c_ts"))
+      .cogroup(b("purchase", "ts" -> "p_ts"))
+      .aggregate(
+        count(col("v_ts")).as("n_views"),
+        count(col("c_ts")).as("n_clicks"),
+        count(col("p_ts")).as("n_purchases"))
+    // semantics: equals the per-type pivot counts
+    val direct = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    assert(cg.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(cg).count() == 0)
+    // plan: ONE aggregation exchange for all branches, not one per
+    // branch (string match — AQE hides children from collect())
+    val plan = cg.queryExecution.executedPlan.toString
+    val nExchanges = "(?m)^\\s*\\+?-? ?:?\\s*Exchange ".r
+      .findAllIn(plan).size
+    assert(nExchanges == 1, s"expected a single shuffle:\n$plan")
+    assert(plan.contains("Union"), s"expected a union shape:\n$plan")
+  }
+
 }
