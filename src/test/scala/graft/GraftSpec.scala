@@ -719,3 +719,44 @@ class StreamTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally ql.stop()
   }
 }
+
+/** v04 (brute-force exact near-dup, O(n²) — deliberately NOT a declared
+  * query) lives on here as the recall oracle for v08 (LSH-bounded).
+  * LSH trades recall for boundedness; this spec quantifies the trade on
+  * the real fixture: every v08 pair must appear in v04's exact output
+  * with the same cosine (zero false positives by construction — v08
+  * verifies candidates with exact cosine), and recall on the
+  * NEAR-IDENTICAL population (cos ≥ 0.9, the dedup target) must be
+  * high, while overall ≥ 0.4 recall is reported but only loosely
+  * bounded (moderate-similarity pairs are allowed to slip). */
+class LshRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("v08 ⊆ v04 exactly; high recall on near-identical pairs") {
+    import spark.implicits._
+    val exact = graft.operators.VectorOps.embedNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toMap2
+    val lsh = graft.operators.VectorOps.lshNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(lsh.nonEmpty, "fixture should contain near-dup pairs")
+    // no false positives, cosines identical
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k not in exact output")
+    }
+    // recall on the population LSH dedup is FOR: near-identical pairs
+    val hot = exact.filter(_._2 >= 0.9)
+    if (hot.nonEmpty) {
+      val recalled = hot.keys.count(lsh.contains)
+      assert(recalled.toDouble / hot.size >= 0.9,
+        s"near-identical recall $recalled/${hot.size}")
+    }
+    val overall = exact.keys.count(lsh.contains).toDouble / exact.size
+    info(f"recall@cos>=0.4: $overall%.3f (${lsh.size}/${exact.size})")
+  }
+
+  implicit class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+}
