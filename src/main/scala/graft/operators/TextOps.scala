@@ -171,35 +171,42 @@ object TextOps {
     * near-quadratic "any 1/16 seeds collide" blowup. The verify step
     * compares the two 16-entry signature arrays with zip_with inside
     * codegen — no flat (doc, seed, h) table is ever shuffled. */
-  // The materialized signature table is shared by every consumer in the
-  // session (d06 runs it for pairs, d12 for clustering): the checkpoint
-  // blocks already live on the executors, so recomputing the shingle +
-  // 16×md5 pipeline per caller would only burn CPU. The entry holds the
-  // owning session strongly, so its identity hash cannot be recycled
-  // while the entry lives, and lookups re-check the session by REFERENCE
-  // (`eq`) — a different live session that collides on hash recomputes
-  // instead of receiving a foreign DataFrame. Entries of stopped
-  // contexts are evicted on every access, so a long-lived JVM hosting
-  // many sessions can't pin dead sessions' checkpoint blocks.
-  private val sigsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+  // Materialized intermediates shared by every consumer in the session
+  // (d06 builds signatures + pairs; d12 reuses the pairs for
+  // clustering): the checkpoint blocks already live on the executors,
+  // so recomputing the pipeline per caller would only burn CPU. Each
+  // entry holds the owning session strongly, so its identity hash
+  // cannot be recycled while the entry lives, and lookups re-check the
+  // session by REFERENCE (`eq`) — a different live session that
+  // collides on hash recomputes instead of receiving a foreign
+  // DataFrame. Entries of stopped contexts are evicted on every
+  // access, so a long-lived JVM hosting many sessions can't pin dead
+  // sessions' checkpoint blocks.
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), (SparkSession, DataFrame)]
 
-  private def evictStopped(): Unit =
-    sigsCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+  private def cached(spark: SparkSession, sfDir: String, what: String)(
+      build: => DataFrame): DataFrame = {
+    dfCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark), sfDir, what)
+    dfCache.get(key).filter(_._1 eq spark).map(_._2).getOrElse {
+      val df = build.localCheckpoint()
+      dfCache.put(key, (spark, df))
+      df
+    }
+  }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "lsh_pairs") {
+      minhashLshUncached(spark, sfDir)
+    }
+
+  private def minhashLshUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    evictStopped()
     // One row per doc; materialized once and read by the band join (both
     // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
     // across executors, well within a cluster's storage fraction.
-    val key = (System.identityHashCode(spark), sfDir)
-    val sigs = sigsCache.get(key).filter(_._1 eq spark).map(_._2)
-      .getOrElse {
-        val df = minhashSigs(spark, sfDir).localCheckpoint()
-        sigsCache.put(key, (spark, df))
-        df
-      }
+    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
     val bands = sigs.select($"doc_id", explode(expr(
       """transform(sequence(0, 3),
         b -> struct(b AS band,
