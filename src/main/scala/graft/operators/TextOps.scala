@@ -424,58 +424,14 @@ object TextOps {
   }
 
   /** Duplicate clusters: connected components over the MinHash near-dup
-    * pair graph via iterative min-label propagation (the Pregel pattern
-    * on DataFrames — each iteration is one shuffle; converges in
-    * O(log(component diameter)) rounds). Cluster id = min doc_id in the
-    * component, the representative a dedup pass would keep. */
+    * pair graph (see [[Graph.connectedComponents]] for the
+    * min-label-propagation scale design). Cluster id = min doc_id in
+    * the component, the representative a dedup pass would keep. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, sfDir).select($"d1", $"d2")
-    // undirected edge list (both directions) over docs in any pair.
-    // localCheckpoint (not persist): the loop tables are tiny and
-    // re-created every iteration — truncating lineage to a materialized
-    // RDD avoids both deep-lineage recompute hazards and the cache
-    // registry's canonical-plan lookups growing with the session.
-    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .localCheckpoint()
-    // The label table is bounded by the LSH candidate set (small by
-    // construction), so every per-iteration join broadcasts it — no
-    // shuffle inside the loop; pointer jumping (label ← label of label)
-    // halves the remaining component depth each round, so convergence
-    // is O(log diameter) cheap iterations.
-    var labels = edges.select($"d1".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id")
-      .localCheckpoint()
-    // labels only ever decrease, so sum(label) is a strictly-monotone
-    // convergence witness — one scalar aggregate per iteration instead
-    // of an anti-join change detector. sum() over zero rows is NULL: a
-    // corpus with no near-dup pairs is legal input, so short-circuit.
-    val sum0 = labels.agg(sum($"label")).collect()(0).getAs[java.lang.Long](0)
-    if (sum0 == null)
-      return labels.select($"doc_id", $"label".as("cluster_id"))
-    var prevSum = sum0.longValue()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborMin = edges
-        .join(broadcast(labels), edges("d2") === labels("doc_id"))
-        .groupBy(edges("d1").as("doc_id"))
-        .agg(min($"label").as("nb_label"))
-      val stepped = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nb_label", $"label")).as("l1"))
-      val parents = stepped.select($"doc_id".as("p_id"), $"l1".as("p_label"))
-      val next = stepped.join(broadcast(parents), $"l1" === $"p_id", "left")
-        .select($"doc_id",
-          least($"l1", coalesce($"p_label", $"l1")).as("label"))
-        .localCheckpoint()
-      val newSum = next.agg(sum($"label")).collect()(0).getLong(0)
-      converged = newSum == prevSum
-      prevSum = newSum
-      labels = next
-      iter += 1
-    }
-    labels.select($"doc_id", $"label".as("cluster_id")).orderBy($"doc_id")
+    Graph.connectedComponents(minhashLsh(spark, sfDir).select($"d1", $"d2"))
+      .select($"id".as("doc_id"), $"cluster_id")
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

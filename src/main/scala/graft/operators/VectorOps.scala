@@ -285,6 +285,17 @@ object VectorOps {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-level duplicate clusters: connected components over the
+    * v08 LSH near-dup pair graph — the embedding analogue of d12
+    * (see [[Graph.connectedComponents]] for the min-label-propagation
+    * scale design). Cluster id = min vec_id in the component. */
+  def embedDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Graph.connectedComponents(lshNearDup(spark, sfDir).select($"d1", $"d2"))
+      .select($"id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk"     -> cosineTopK _,
     "v02_centroids"       -> centroids _,
@@ -297,6 +308,7 @@ object VectorOps {
     "v07_ivf_ann"         -> ivfAnn _,
     "v08_lsh_neardup"     -> lshNearDup _,
     "v09_kmeans"          -> kmeans _,
+    "v10_embed_dup_clusters" -> embedDupClusters _,
   )
 
   private val cosSql =
@@ -383,6 +395,35 @@ object VectorOps {
          |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
          |WHERE ${cos("ea.v", "eb.v")} >= 0.4
          |ORDER BY d1, d2""".stripMargin
+    },
+    "v10_embed_dup_clusters" -> {
+      // v08's band pipeline + recursive transitive closure (the same
+      // reach/nodes tail as d12's oracle)
+      val bitExpr =
+        """CASE WHEN list_dot_product(v, [CASE WHEN ((g::BIGINT * 1103515245
+          |  + (b*8 + k) * 12345) // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END
+          |  for g in range(0, 64)]) >= 0 THEN '1' ELSE '0' END""".stripMargin
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
+         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
+         |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
+         |bands AS (SELECT vec_id, b, string_agg(bit, '' ORDER BY k) AS bh
+         |  FROM bits GROUP BY vec_id, b),
+         |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+         |  AND a.vec_id < c.vec_id),
+         |m AS (SELECT d1, d2 FROM cand
+         |  JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
+         |  WHERE ${cos("ea.v", "eb.v")} >= 0.4),
+         |edges AS (SELECT d1, d2 FROM m UNION SELECT d2, d1 FROM m),
+         |reach(a, b) AS (
+         |  SELECT d1, d2 FROM edges
+         |  UNION
+         |  SELECT r.a, e2.d2 FROM reach r JOIN edges e2 ON r.b = e2.d1),
+         |nodes AS (SELECT DISTINCT d1 AS vec_id FROM edges)
+         |SELECT n.vec_id, least(n.vec_id, min(r.b)) AS cluster_id
+         |FROM nodes n LEFT JOIN reach r ON r.a = n.vec_id
+         |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
     },
     "v09_kmeans" -> {
       // unrolled Lloyd iterations, mirroring the Spark loop exactly:
