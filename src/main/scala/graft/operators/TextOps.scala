@@ -43,6 +43,28 @@ object TextOps {
       .orderBy($"keep_id")
   }
 
+  /** Text normalization + canonical dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace; fingerprint the normalized
+    * text and map every document to the minimum doc_id sharing its
+    * fingerprint — the pre-pass that catches case/punctuation-only
+    * duplicates before any fuzzy dedup runs. Pure per-row codegen
+    * (lower/regexp_replace/md5) plus ONE hash-partitioned window by
+    * fingerprint — no joins; at 100 TB the fingerprint groups are tiny,
+    * so the window shuffle is skew-free. */
+  def normalizeDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+      .select($"doc_id",
+        md5($"norm").as("norm_md5"),
+        size(split($"norm", " ")).cast("long").as("n_norm_tokens"))
+      .withColumn("canonical_id",
+        min($"doc_id").over(Window.partitionBy($"norm_md5")))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus term frequencies: top-50 tokens with doc frequencies. */
   def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -448,9 +470,20 @@ object TextOps {
     "d11_regex_tokens"  -> regexTokens _,
     "d12_dup_clusters"  -> dupClusters _,
     "d13_sample_split"  -> sampleSplit _,
+    "d14_normalize_dedup" -> normalizeDedup _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_normalize_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+        |  len(str_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_norm_tokens
+        |  FROM documents)
+        |SELECT doc_id, norm_md5, CAST(n_norm_tokens AS BIGINT) AS n_norm_tokens,
+        |  min(doc_id) OVER (PARTITION BY norm_md5) AS canonical_id
+        |FROM n ORDER BY doc_id""".stripMargin,
     "d13_sample_split" ->
       """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
         |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS keep_bucket,
