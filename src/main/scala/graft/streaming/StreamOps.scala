@@ -541,6 +541,32 @@ object StreamOps {
     }
   }
 
+  /** Streaming EXACT distinct-user counts per tumbling day via CHAINED
+    * STATEFUL AGGREGATIONS (Spark 3.4+ multiple-stateful-operator
+    * support): stage 1 collapses (window, user) — the map-side combine
+    * of a distinct — stage 2 counts the survivors per window. Both
+    * stages are state stores in ONE streaming query; windows emit in
+    * append mode when the watermark (advanced by the flush sentinel)
+    * closes them. Kafka Streams needs a custom per-window set store for
+    * this; here it is two declarative groupBys. At 100 TB the stage-1
+    * state is bounded by live (window, user) pairs and the stage-2
+    * shuffle carries only one row per pair — the same two-phase shape
+    * an exact COUNT(DISTINCT) batch plan uses. */
+  def streamDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+    val perUser = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val perWindow = perUser
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .select(col("w.start").as("w_start"), col("n_users"), col("n_events"))
+    runToMemory(perWindow, "graft_s11", "append")
+      .orderBy(col("w_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -552,9 +578,14 @@ object StreamOps {
     "s08_stream_dim_enrich" -> streamDimEnrich _,
     "s09_stream_sessions" -> streamSessionWindows _,
     "s10_fk_changelog_stream" -> streamFkChangelog _,
+    "s11_stream_distinct" -> streamDistinctUsers _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s11_stream_distinct" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
+        |count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
     "s01_stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |event_type, count(*) AS n,
