@@ -207,7 +207,7 @@ object TextOps {
   private val dfCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String), (SparkSession, DataFrame)]
 
-  private def cached(spark: SparkSession, sfDir: String, what: String)(
+  private[operators] def cached(spark: SparkSession, sfDir: String, what: String)(
       build: => DataFrame): DataFrame = {
     dfCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
     val key = (System.identityHashCode(spark), sfDir, what)

@@ -125,7 +125,12 @@ object VectorOps {
     * "colliding pairs with cos ≥ 0.4", which the oracle replicates
     * exactly — v04 (brute force) is the recall cross-check at sampled
     * scale. */
-  def lshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    // materialized once per session: v08 declares the pairs, v10
+    // clusters them — same sharing pattern as d06/d12
+    TextOps.cached(spark, sfDir, "v08_pairs")(lshNearDupUncached(spark, sfDir))
+
+  private def lshNearDupUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
     // per (band b, bit k): plane j = b*bits + k, baked in as a literal
