@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale-critical physical properties —
+  * the things that decide whether a query survives a 100× scale-up:
+  * filters reaching the parquet scan, scans reading only projected
+  * columns, dimension joins broadcasting, hot paths staying inside
+  * whole-stage codegen, and runtime Bloom-filter pruning kicking in on
+  * selective shuffle joins. A regression in any of these keeps results
+  * correct but silently destroys the scan/shuffle economics, so they
+  * are pinned here rather than left to eyeball `.explain` audits. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (pushdown & pruning)") {
+    val df = Tables.documents(spark, sf)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed to scan:\n$plan")
+    // scan must read ONLY the projected columns, not text/quality/...
+    val readSchema = "ReadSchema: struct<doc_id:bigint,lang:string>"
+    assert(plan.contains(readSchema), s"column pruning lost:\n$plan")
+  }
+
+  test("dim join broadcasts; fact side is never shuffled for it") {
+    val df = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("flagship aggregation runs inside whole-stage codegen") {
+    val df = SparkEntry.entry(spark)
+    df.collect() // AQE materializes codegen stages only in the final plan
+    val plan = planOf(df)
+    // codegen stages render as "*(n) Op" in the plan string; the agg
+    // must be inside one, not interpreted
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined,
+      s"hash agg fell out of codegen:\n$plan")
+  }
+
+  test("runtime Bloom filter prunes the big side of a selective shuffle join") {
+    // the APPLICATION side must normally exceed 10 GB for injection —
+    // force that minimum to 0 so the fixture-scale join qualifies; the
+    // creation side keeps its default MAXIMUM (the tiny dim qualifies).
+    // The mechanism under test is injection, not the size heuristics.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // keep the join a shuffle join — broadcast would subsume the bloom
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val df = Tables.orders(spark, sf)
+        .join(sel, col("o_custkey") === col("c_custkey"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and it still answers correctly
+      assert(df.count() ==
+        Tables.orders(spark, sf).join(
+          Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
