@@ -216,6 +216,14 @@ final case class KTableG(df: DataFrame, key: String) {
   def mapValues(cols: (String, Column)*): KTableG =
     copy(df = cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
 
+  /** KTable.groupBy(...).aggregate(...) — re-key the table and
+    * aggregate. Kafka Streams implements this with add/subtract
+    * callbacks replaying the changelog; on the compacted view the same
+    * result is one declarative groupBy over CURRENT state — Spark
+    * recomputes (or incrementally maintains, under streaming) the
+    * aggregate from the latest rows, so no subtractor is needed. */
+  def groupBy(cols: String*): KGroupedG = KGroupedG(df, cols, key)
+
   /** KTable⋈KTable (incl. FK joins: pass the FK column as `onLeft`). */
   def join(other: KTableG, onLeft: String, how: String = "inner"): KTableG =
     copy(df = df.join(other.df, df(onLeft) === other.df(other.key), how))

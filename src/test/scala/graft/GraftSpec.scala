@@ -760,3 +760,45 @@ class LshRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
 }
+
+/** Error-bound checks for the two approximate sketches (the driver's
+  * oracle records them rows-only — no DuckDB analogue — so the accuracy
+  * contract is pinned here against the exact queries instead). */
+class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("x01 HLL++ estimates within the configured relative error") {
+    import spark.implicits._
+    val exact = graft.operators.Events.distinctUsers(spark, sf)
+      .select($"event_type", $"n_users")
+      .as[(String, Long)].collect().toMap
+    val approx = graft.operators.Extras.approxDistinct(spark, sf)
+      .as[(String, Long, Long)].collect()
+    approx.foreach { case (tpe, est, estPrecise) =>
+      val n = exact(tpe).toDouble
+      // default rsd 0.05, precise variant 0.005; allow 4 sigma
+      assert(math.abs(est - n) / n <= 0.20, s"$tpe: $est vs $n")
+      assert(math.abs(estPrecise - n) / n <= 0.02,
+        s"$tpe precise: $estPrecise vs $n")
+    }
+  }
+
+  test("x02 approx percentiles bracket the exact interpolated values") {
+    import spark.implicits._
+    val exact = graft.operators.Extras.exactPercentiles(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val approx = graft.operators.Extras.approxQuantiles(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    approx.foreach { case (flag, p50, p90, p99) =>
+      val (e50, e90, e99) = exact(flag)
+      // percentile_approx picks an OBSERVED value near the target rank;
+      // with accuracy 10000 on fixture-sized groups the rank error is
+      // tiny — 1% of the exact value comfortably bounds the value gap
+      assert(math.abs(p50 - e50) / e50 <= 0.01, s"$flag p50: $p50 vs $e50")
+      assert(math.abs(p90 - e90) / e90 <= 0.01, s"$flag p90: $p90 vs $e90")
+      assert(math.abs(p99 - e99) / e99 <= 0.01, s"$flag p99: $p99 vs $e99")
+    }
+  }
+}

@@ -162,4 +162,22 @@ class KStreamsApiSpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"expected a union shape:\n$plan")
   }
 
+  test("KTable.groupBy().aggregate() re-aggregates the compacted view") {
+    // latest event per user, re-keyed by event_type: the aggregate must
+    // see each user's LATEST row only (table semantics), not every event
+    val t = GraftStreams.table(events, "user_id", "ts")
+    val agg = t.groupBy("event_type").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("value")).as("sum_latest_value"))
+    val direct = graft.operators.Events.latestByKey(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("value")).as("sum_latest_value"))
+    assert(agg.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(agg).count() == 0)
+    // totals across groups = number of distinct users, not event count
+    assert(agg.agg(sum(col("n_users"))).head.getLong(0) ==
+      events.select(col("user_id")).distinct().count())
+  }
+
 }
