@@ -567,6 +567,36 @@ object StreamOps {
       .orderBy(col("w_start"))
   }
 
+  /** Streaming `cogroup` THROUGH THE DSL (the same CogroupedG that
+    * runs e19 in batch): three event-type branches of the stream fold
+    * into one aggregation — a null-padding union feeding a single
+    * stateful groupBy, so all branches share ONE state store and one
+    * shuffle, exactly the shared-store update loop a Kafka Streams
+    * cogroup maintains. Complete mode emits the final per-user row;
+    * must equal the e19 batch oracle. */
+  def streamCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.api.GraftStreams
+    import graft.functions.Det.dsum
+    val ev = eventsStream(spark, sfDir)
+    def branch(tpe: String, cols: (String, org.apache.spark.sql.Column)*) =
+      GraftStreams.stream(
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id") +: cols.map { case (n, c) => c.as(n) }: _*),
+        "user_id", cols.head._1).groupByKey
+    runToMemory(
+      branch("view", "v_ts" -> col("ts"))
+        .cogroup(branch("click", "c_ts" -> col("ts")))
+        .cogroup(branch("purchase", "p_ts" -> col("ts"),
+          "p_value" -> col("value")))
+        .aggregate(
+          count(col("v_ts")).as("n_views"),
+          count(col("c_ts")).as("n_clicks"),
+          count(col("p_ts")).as("n_purchases"),
+          dsum(col("p_value")).as("purchase_value")),
+      "graft_s12", "complete")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -579,6 +609,7 @@ object StreamOps {
     "s09_stream_sessions" -> streamSessionWindows _,
     "s10_fk_changelog_stream" -> streamFkChangelog _,
     "s11_stream_distinct" -> streamDistinctUsers _,
+    "s12_stream_cogroup"  -> streamCogroup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -586,6 +617,15 @@ object StreamOps {
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "s12_stream_cogroup" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'view') AS n_views,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |  FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2) AS purchase_value
+        |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s01_stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |event_type, count(*) AS n,
