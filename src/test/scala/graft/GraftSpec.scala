@@ -802,3 +802,28 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** The session-keyed intermediate cache (minhash signatures / LSH pair
+  * tables) must never hand one session's checkpointed DataFrame to a
+  * different session: entries are keyed by session identity and
+  * re-checked by reference on lookup. */
+class SessionCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("each session gets its own cached pair table; hits stay per-session") {
+    val s2 = spark.newSession()
+    org.apache.spark.sql.graft.VectorExpressions.register(s2)
+    val a1 = graft.operators.TextOps.minhashLsh(spark, sf)
+    val a2 = graft.operators.TextOps.minhashLsh(spark, sf)
+    val b1 = graft.operators.TextOps.minhashLsh(s2, sf)
+    // same session → cache hit (same instance); other session → its own
+    assert(a1 eq a2)
+    assert(!(a1 eq b1))
+    // each result is bound to the session that asked for it
+    assert(a1.sparkSession eq spark)
+    assert(b1.sparkSession eq s2)
+    // and both compute the same answer
+    assert(a1.exceptAll(b1).count() == 0 && b1.exceptAll(a1).count() == 0)
+  }
+}
