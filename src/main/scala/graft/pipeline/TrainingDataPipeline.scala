@@ -9,9 +9,11 @@ import graft.operators.{TextOps, VectorOps}
   * a user of this library runs over a raw document corpus:
   *
   *   1. quality filter   (drop low-quality docs)
-  *   2. exact dedup      (bag-of-words normalization, keep min doc_id)
-  *   3. near-dup removal (MinHash+LSH pairs → drop the higher doc_id)
-  *   4. tokenize + stats (token counts for the survivors)
+  *   2. normalization dedup (case/punct-only copies → canonical doc)
+  *   3. exact dedup      (bag-of-words normalization, keep min doc_id)
+  *   4. near-dup removal (MinHash+LSH dup CLUSTERS → keep each
+  *      cluster's min-id representative, not just pairwise drops)
+  *   5. tokenize + stats (token counts for the survivors)
   *
   * Every stage is a declarative DataFrame transform, so the whole
   * pipeline is ONE Catalyst plan per output: filters push into the scan,
@@ -32,17 +34,29 @@ object TrainingDataPipeline {
       .filter($"quality" >= minQuality)
       .select($"doc_id", $"quality", $"n_tokens")
 
-    // 2. exact dedup: representatives only
+    // 2. normalization dedup: canonical representative per normalized
+    // fingerprint (case/punctuation-only copies collapse here, cheaper
+    // than letting them reach the MinHash stage)
+    val keepNorm = TextOps.normalizeDedup(spark, sfDir)
+      .filter($"doc_id" === $"canonical_id")
+      .select($"doc_id")
+
+    // 3. exact dedup: representatives only
     val keepExact = TextOps.exactDedup(spark, sfDir)
       .select($"keep_id".as("doc_id"))
 
-    // 3. near-dup pairs: always drop the higher id of a pair
-    val dropNear = TextOps.minhashLsh(spark, sfDir)
-      .select($"d2".as("doc_id")).distinct()
+    // 4. near-dup clusters: keep each cluster's min-id representative
+    // (pairwise "drop the higher id" under-deletes on chains A~B~C
+    // where A≁C — the cluster view deletes every non-representative)
+    val dropNear = TextOps.dupClusters(spark, sfDir)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id")
 
-    // compose: quality ∩ exact-representatives ∖ near-dup-drops
+    // compose: quality ∩ norm-canonical ∩ exact-representatives
+    // ∖ near-dup-non-representatives
     val survivors = Tables.documents(spark, sfDir)
       .join(quality, "doc_id")
+      .join(keepNorm, Seq("doc_id"), "left_semi")
       .join(keepExact, Seq("doc_id"), "left_semi")
       .join(broadcast(dropNear), Seq("doc_id"), "left_anti")
 
