@@ -141,6 +141,11 @@ final case class KStreamG(df: DataFrame, key: String, ts: String) {
     withDf(df.join(broadcast(g.df), df(key) === g.df(g.key))
       .drop(g.df(g.key)))
 
+  /** KStream.toTable (DSL 2.5+): reinterpret the record stream as a
+    * changelog — latest row per key wins (same compaction as
+    * `GraftStreams.table`). */
+  def toTable: KTableG = GraftStreams.table(df, key, ts)
+
   /** Sink (`to(topic)`): parquet in the sandbox, kafka in production. */
   def to(path: String): Unit = df.write.mode("overwrite").parquet(path)
 

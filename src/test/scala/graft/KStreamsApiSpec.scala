@@ -41,6 +41,10 @@ class KStreamsApiSpec extends AnyFunSuite {
   }
 
   test("table() compacts to latest-by-key (KTable semantics)") {
+    // stream.toTable is the same compaction entered from a KStream
+    val viaStream = GraftStreams.stream(events, "user_id", "ts").toTable
+    assert(viaStream.toDF.count() ==
+      events.select(col("user_id")).distinct().count())
     val t = GraftStreams.table(events, "user_id", "ts")
     val direct = graft.operators.Events.latestByKey(spark, sf)
     assert(t.toDF.count() == direct.count())
