@@ -78,6 +78,25 @@ object Extras {
       .orderBy($"l_returnflag")
   }
 
+  /** HLL sketch MERGEABILITY (Datasketches `hll_sketch_agg` /
+    * `hll_union_agg`): build one sketch per (event_type, day), then
+    * union the daily sketches into a per-type total estimate WITHOUT
+    * rescanning rows — the pre-aggregated sketch-table pattern that
+    * makes distinct counts cheap at 100 TB (a nightly job maintains
+    * small per-partition sketches; any rollup is a union over them).
+    * Rows-only driver check; the estimate-vs-exact bound is pinned in
+    * `SketchBoundsSpec`. */
+  def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", window($"ts", "1 day").as("w"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
+
   /** Pivot → unpivot round trip: wide per-user activity profile melted
     * back to long form (user_id, event_type, n) including zero cells. */
   def userUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
@@ -153,6 +172,7 @@ object Extras {
     "e17_exact_percentiles" -> exactPercentiles _,
     "x01_approx_distinct" -> approxDistinct _,
     "x02_approx_quantiles" -> approxQuantiles _,
+    "x03_hll_union"       -> hllUnion _,
     "e12_user_unpivot"    -> userUnpivot _,
     "e13_asof_signup"     -> asofSignupState _,
   )

@@ -89,26 +89,41 @@ object TextOps {
   }
 
   /** Per-document quality scoring: type-token ratio, stopword ratio,
-    * average token length, length factor → composite score. */
+    * average token length, length factor → composite score.
+    *
+    * Every output is a RATIONAL (integer counts over n_tokens) rounded
+    * to 4 dp — so the rounding runs in exact integer arithmetic:
+    * round(10⁴·num/den) half-up = (2·10⁴·num + den) div (2·den). A
+    * double-then-round pipeline puts ties at the 5th decimal at the
+    * mercy of each engine's last ulp (found at sf0.1: one doc rounded
+    * 0.6588 in Spark vs 0.6587 in DuckDB); the integer form is the
+    * mathematically-correct rounding and is identical in both engines
+    * by construction. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // exact half-up rounding of num/den to 4 dp, in integer space
+    // (`div` = Spark's integral-divide function)
+    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      call_function("div", num * 20000L + den, den * 2L) / 10000.0
     docsWithToks(spark, sfDir)
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
       .withColumn("n_stop",
-        size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))")))
+        size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))"))
+          .cast("long"))
       .select(
         $"doc_id",
         $"n_tokens",
         $"n_uniq",
-        round($"n_uniq" / $"n_tokens".cast("double"), 4).as("ttr"),
-        round(($"n_chars" - ($"n_tokens" - 1)) / $"n_tokens".cast("double"), 4)
-          .as("avg_tok_len"),
-        round($"n_stop" / $"n_tokens".cast("double"), 4).as("stop_ratio"),
-        round(
-          ($"n_uniq" / $"n_tokens".cast("double")) * 0.4 +
-          (lit(1.0) - $"n_stop" / $"n_tokens".cast("double")) * 0.3 +
-          least(lit(1.0), $"n_tokens" / lit(100.0)) * 0.3, 4).as("quality"))
+        r4($"n_uniq", $"n_tokens").as("ttr"),
+        r4($"n_chars" - ($"n_tokens" - 1), $"n_tokens").as("avg_tok_len"),
+        r4($"n_stop", $"n_tokens").as("stop_ratio"),
+        // 0.4·u/n + 0.3·(1−s/n) + 0.3·min(1, n/100), over denominator n:
+        // numerator = 0.4u + 0.3(n−s) + 0.3·min(100,n)/100·n, ×10⁴ →
+        // (4000u + 3000(n−s) + 30·min(100,n)·n) / n
+        r4($"n_uniq" * 4000L + ($"n_tokens" - $"n_stop") * 3000L
+            + least(lit(100L), $"n_tokens") * 30L * $"n_tokens",
+          $"n_tokens" * 10000L).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -510,18 +525,21 @@ object TextOps {
         |CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d04_quality_score" ->
+      // exact integer half-up rounding, mirroring the Spark side:
+      // round(10⁴·num/den) = (2·10⁴·num + den) // (2·den)
       """WITH t AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
-        |  len(list_distinct(toks)) AS n_uniq,
-        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop
         |  FROM t)
         |SELECT doc_id, n_tokens, n_uniq,
-        |round(n_uniq / CAST(n_tokens AS DOUBLE), 4) AS ttr,
-        |round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS avg_tok_len,
-        |round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-        |round((n_uniq / CAST(n_tokens AS DOUBLE)) * 0.4 +
-        |  (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.3 +
-        |  least(1.0, n_tokens / 100.0) * 0.3, 4) AS quality
+        |((n_uniq * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS ttr,
+        |(((n_chars - (n_tokens - 1)) * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS avg_tok_len,
+        |((n_stop * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS stop_ratio,
+        |(((n_uniq * 4000 + (n_tokens - n_stop) * 3000
+        |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
+        |  // (n_tokens * 20000)) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "d05_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)

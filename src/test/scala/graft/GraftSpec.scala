@@ -784,6 +784,21 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("x03 unioned daily HLL sketches estimate the exact per-type counts") {
+    import spark.implicits._
+    val exact = graft.operators.Events.distinctUsers(spark, sf)
+      .select($"event_type", $"n_users")
+      .as[(String, Long)].collect().toMap
+    val merged = graft.operators.Extras.hllUnion(spark, sf)
+      .as[(String, Long, Long)].collect()
+    merged.foreach { case (tpe, est, nDays) =>
+      val n = exact(tpe).toDouble
+      assert(nDays > 1, s"$tpe: mergeability untested with $nDays sketch")
+      // default lgConfigK=12 → rsd ≈ 1.6%; allow 4 sigma
+      assert(math.abs(est - n) / n <= 0.07, s"$tpe: $est vs $n")
+    }
+  }
+
   test("x02 approx percentiles bracket the exact interpolated values") {
     import spark.implicits._
     val exact = graft.operators.Extras.exactPercentiles(spark, sf)
