@@ -240,6 +240,45 @@ object Relational {
       .orderBy($"type_family")
   }
 
+  /** TPC-H Q8 shape — national market share: of all revenue from EUROPE
+    * customers, the fraction supplied by NATION_3, per order year. A
+    * 7-relation star join feeding one conditional aggregation.
+    *
+    * Determinism: both revenue sums are exact decimals (4-dp inputs ⇒
+    * 8-dp products, no float error), so the share is a RATIONAL; it is
+    * scaled to integer 10⁻⁸ units and rounded half-up in exact int64
+    * arithmetic — bit-identical in both engines by construction (the
+    * double-division-then-round alternative ties at the 5th decimal on
+    * each engine's last ulp). */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // per-row revenue in exact int64 10⁻⁴ units: cents × (100 − disc%);
+    // the 2-dp inputs make round(x·100) a safe integer recovery
+    val volI = round($"l_extendedprice" * 100, 0).cast("long") *
+      (lit(100L) - round($"l_discount" * 100, 0).cast("long"))
+    val ns = Tables.nationB(spark, sfDir)
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("s_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nationB(spark, sfDir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.regionB(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .join(ns, $"s_nationkey" === $"s_nkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        sum(when($"s_nation" === "NATION_3", volI).otherwise(0L)).as("num_i"),
+        sum(volI).as("den_i"))
+      .select($"o_year",
+        (call_function("div", $"num_i" * 20000L + $"den_i", $"den_i" * 2L)
+          / 10000.0).as("mkt_share"),
+        // total to 2 dp: round(den/10⁴) half-up in cents, exact int64
+        (call_function("div", $"den_i" * 2L + 100L, lit(200L)) / 100.0)
+          .as("total_revenue"))
+      .orderBy($"o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
@@ -255,6 +294,7 @@ object Relational {
     "q12_set_ops"            -> setOps _,
     "q15_local_supplier_revenue" -> localSupplierRevenue _,
     "q16_part_type_revenue"  -> partTypeRevenue _,
+    "q18_market_share"       -> marketShare _,
   )
 
   private val D = Det.sql
@@ -381,5 +421,25 @@ object Relational {
          |count(DISTINCT p_partkey) AS n_parts, count(*) AS n_items
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY type_family""".stripMargin,
+    "q18_market_share" ->
+      """WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_i,
+        |  sn.n_name AS s_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE'),
+        |a AS (SELECT o_year,
+        |  sum(CASE WHEN s_nation = 'NATION_3' THEN vol_i ELSE 0 END) AS num_i,
+        |  sum(vol_i) AS den_i FROM f GROUP BY o_year)
+        |SELECT o_year,
+        |((num_i * 20000 + den_i) // (den_i * 2)) / 10000.0 AS mkt_share,
+        |((den_i * 2 + 100) // 200) / 100.0 AS total_revenue
+        |FROM a ORDER BY o_year""".stripMargin,
   )
 }

@@ -460,6 +460,92 @@ object TextOps {
       .orderBy($"lang", $"split")
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * 3-token n-gram with a held-out evaluation document — the standard
+    * pre-training hygiene pass (an eval answer leaking into the training
+    * set inflates benchmark scores). The train/held-out membership is
+    * [[sampleSplit]]'s deterministic hash split (train vs test), so the
+    * whole check is reproducible with no RNG.
+    *
+    * Scale design: the held-out set is tiny relative to the corpus by
+    * construction (benchmarks are thousands of docs, the corpus is
+    * billions), so its DISTINCT shingle-hash set is broadcast and the
+    * train-side scan never shuffles — each train document's shingles
+    * probe the broadcast hash table map-side, then one hash-agg counts
+    * hits per document. Shingles travel as xxhash64 int64s (same ~2⁻⁶⁵
+    * collision bound as d08 — a collision can only add a false
+    * contamination hit, never hide one... strictly it could also merge
+    * two train-side shingles, which is why hits count DISTINCT hashes). */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      call_function("div", num * 20000L + den, den * 2L) / 10000.0
+    val docs = docsWithToks(spark, sfDir)
+      .withColumn("keep_bucket",
+        substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 2))
+      .filter($"keep_bucket" < when($"lang" === "en", "80").otherwise("33"))
+      .withColumn("split_bucket",
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2))
+      .withColumn("split",
+        when($"split_bucket" < "cc", "train")
+          .when($"split_bucket" < "e6", "val")
+          .otherwise("test"))
+    def shingles(df: DataFrame) = df
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+    val train = shingles(docs.filter($"split" === "train"))
+    val heldout = shingles(docs.filter($"split" === "test"))
+      .select($"h").distinct()
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
+    train.join(broadcast(heldout), "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select($"doc_id", $"n_ngrams", $"n_shared",
+        r4($"n_shared", $"n_ngrams").as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-bigram language-model quality score — the perplexity-filter
+    * shape of a training-data pipeline, with the LM trained on the
+    * corpus itself: P(w2|w1) = c(w1,w2)/c(w1·) over all bigram
+    * occurrences, and each document scores the average negative
+    * log-likelihood of its bigrams (lower = more typical text).
+    *
+    * Scale design: bigram and unigram count tables are plain hash-aggs;
+    * the score join keys on the bigram — the same shuffle the count
+    * needed, so Catalyst reuses the exchange. Determinism across
+    * engines: each bigram's ln(c1/c2) is rounded ONCE to integer
+    * micro-nats (one double op, identical in both engines to well below
+    * the rounding grain), then summed as exact int64 — the per-doc sum
+    * never depends on float summation order — and the final per-doc
+    * average rounds in exact integer arithmetic like [[qualityScore]]. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("micro_nll",
+        round(log($"c1" / $"c2".cast("double")) * 1e6, 0).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"micro_nll").as("sum_micro"))
+      // avg_nll to 4 dp: value = num/den with num = sum_micro,
+      // den = n·10⁶; round half-up in exact integer space:
+      // round(10⁴·num/den) = (2·10⁴·num + den) div (2·den)
+      .select($"doc_id", $"n_bigrams",
+        (call_function("div",
+          $"sum_micro" * 20000L + $"n_bigrams" * 1000000L,
+          $"n_bigrams" * 2000000L) / 10000.0).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** Duplicate clusters: connected components over the MinHash near-dup
     * pair graph (see [[Graph.connectedComponents]] for the
     * min-label-propagation scale design). Cluster id = min doc_id in
@@ -486,9 +572,46 @@ object TextOps {
     "d12_dup_clusters"  -> dupClusters _,
     "d13_sample_split"  -> sampleSplit _,
     "d14_normalize_dedup" -> normalizeDedup _,
+    "d15_decontaminate" -> decontaminate _,
+    "d16_bigram_lm"     -> bigramLm _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d15_decontaminate" ->
+      """WITH d AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
+        |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sb
+        |  FROM documents),
+        |k AS (SELECT doc_id, toks, CASE WHEN sb < 'cc' THEN 'train'
+        |  WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split
+        |  FROM d WHERE kb < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+        |  AND len(toks) >= 3),
+        |sh AS (SELECT doc_id, split,
+        |  unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |    for g in range(1, len(toks) - 1)])) AS s FROM k),
+        |ho AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+        |tr AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
+        |sz AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ho USING (s)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, n_shared,
+        |  ((n_shared * 20000 + n_ngrams) // (n_ngrams * 2)) / 10000.0
+        |    AS contamination
+        |FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d16_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, unnest([{'w1': toks[g], 'w2': toks[g+1]}
+        |  for g in range(1, len(toks))], recursive := true) FROM t),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |sc AS (SELECT doc_id,
+        |  CAST(round(ln(c1 / CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT) AS micro
+        |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  ((sum(micro) * 20000 + count(*) * 1000000) // (count(*) * 2000000))
+        |    / 10000.0 AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d14_normalize_dedup" ->
       """WITH n AS (SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -43,6 +43,44 @@ object VectorOps {
       .limit(20)
   }
 
+  /** kNN-join classification: every label-0 vector is a query; its
+    * label is re-predicted as the majority label among its 5 nearest
+    * neighbors (cosine, self excluded), ties broken toward the smaller
+    * label. The kNN-JOIN shape — a bounded query set against the full
+    * corpus — is the similarity-search staple that brute-force v01 does
+    * for one query.
+    *
+    * Scale design: the query set is the BROADCAST side (a query
+    * workload is bounded; the corpus is not), so the corpus streams
+    * through one codegen'd cosine pass with no shuffle of the big side;
+    * per-query top-5 is a rank over (query, candidate) scores — at
+    * cluster scale the same loop runs per-partition top-k first (the
+    * v01 TakeOrderedAndProject pattern generalized per query). Ranking
+    * uses round(cos, 6) with a vec_id tiebreak so both engines agree on
+    * the neighbor set despite last-ulp float differences. */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val q = e.filter($"label" === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e.select($"vec_id", $"label", $"v")
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"label",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+    val top5 = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy(desc("cos"), $"vec_id")))
+      .filter($"rn" <= 5)
+    top5.groupBy($"q_id", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy($"q_id").orderBy(desc("votes"), $"label")))
+      .filter($"vr" === 1)
+      .select($"q_id", $"label".as("predicted"), $"votes")
+      .orderBy($"q_id")
+  }
+
   /** Per-label centroids, one row per (label, dimension). */
   def centroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -303,6 +341,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk"     -> cosineTopK _,
+    "v11_knn_classify"    -> knnClassify _,
     "v02_centroids"       -> centroids _,
     "v03_nearest_centroid" -> nearestCentroid _,
     // v04 (brute-force embedNearDup) is deliberately NOT declared: its
@@ -328,6 +367,20 @@ object VectorOps {
          |SELECT vec_id, round(${cos("v", "qv")}, 6) AS cos
          |FROM e CROSS JOIN q
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "v11_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+         |sc AS (SELECT q_id, e.vec_id, e.label,
+         |  round(${cos("e.v", "q.qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cos DESC, vec_id) AS rn FROM sc),
+         |vt AS (SELECT q_id, label, count(*) AS votes FROM t WHERE rn <= 5
+         |  GROUP BY q_id, label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY votes DESC, label) AS vr FROM vt)
+         |SELECT q_id, label AS predicted, votes FROM r WHERE vr = 1
+         |ORDER BY q_id""".stripMargin,
     "v02_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c,
         |count(*) AS n

@@ -233,6 +233,33 @@ object StreamOps {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** Windowed stream-stream FULL OUTER join (KStream.outerJoin with
+    * JoinWindows): every view AND every purchase row is emitted —
+    * matched pairs as they arrive, unmatched rows null-padded once the
+    * watermark proves no partner can still arrive. Same flush-sentinel
+    * machinery as the left join; state on BOTH sides is evicted by the
+    * watermark, so state size is bounded by rows within the join window
+    * regardless of stream length. */
+  def viewPurchaseOuterJoin(events: DataFrame, joinWindow: String,
+      watermark: String): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val realRows = col("ts") < flushBound
+    val views = wm.filter(col("event_type") === "view" && realRows)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = wm.filter(col("event_type") === "purchase" && realRows)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"),
+      "full_outer")
+      .select(col("view_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
   /** KTable ⋈ KTable FK join with changelog semantics (see
     * [[FkJoinProcessor]]): both changelog streams merge into one stream
     * keyed by the foreign key — left rows by their fk column, right rows
@@ -417,6 +444,16 @@ object StreamOps {
         "60 minutes", "10 minutes"),
       "graft_s06", "append")
       .orderBy(col("view_id").asc, col("purchase_id").asc_nulls_first)
+
+  /** Streaming windowed FULL OUTER join (append mode; unmatched rows on
+    * EITHER side null-padded on watermark close) — equals the batch
+    * FULL JOIN interval query. */
+  def streamViewPurchaseOuter(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      viewPurchaseOuterJoin(eventsStreamWithFlush(spark, sfDir),
+        "60 minutes", "10 minutes"),
+      "graft_s13", "append")
+      .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
 
   /** Streaming stream-static broadcast join (KStream ⋈ GlobalKTable —
     * the dimension-enrichment staple): the events stream looks up a
@@ -610,6 +647,7 @@ object StreamOps {
     "s10_fk_changelog_stream" -> streamFkChangelog _,
     "s11_stream_distinct" -> streamDistinctUsers _,
     "s12_stream_cogroup"  -> streamCogroup _,
+    "s13_stream_outer_join" -> streamViewPurchaseOuter _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -661,6 +699,17 @@ object StreamOps {
         |AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
         |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
+    "s13_stream_outer_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts,
+        |  value FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id,
+        |coalesce(v.user_id, p.p_user) AS user_id,
+        |round(p.value, 2) AS purchase_value
+        |FROM v FULL JOIN p ON v.user_id = p.p_user
+        |AND p.p_ts >= v.ts AND p.p_ts <= v.ts + INTERVAL 60 MINUTE
+        |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
     "s07_fk_join_batch" ->
       """SELECT c_custkey AS left_key, CAST(c_nationkey AS BIGINT) AS fk,
         |c_name AS left_val, n_name AS right_val
