@@ -332,16 +332,18 @@ object TextOps {
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    // Document frequency by hash-agg (map-side combined, no sort), then
-    // joined back on h — both consumers shuffle tok by h, so the
-    // exchange is planned once and reused. The per-doc regroup then
-    // builds EVERYTHING array-side in one pass: the df-ordered struct
-    // list (sort_array over ~doc-length elements — bounded per row, no
-    // global WindowExec sort by (doc, df, h)), the sorted hash set for
-    // the verify step, and the rarest-first prefix slice. One
+    // Document frequency in the SAME pass as the shingle shuffle: one
+    // window count over (partition by h) — the rows are already
+    // hash-partitioned by h for it, so this replaces the former
+    // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
+    // then builds EVERYTHING array-side in one pass: the df-ordered
+    // struct list (sort_array over ~doc-length elements — bounded per
+    // row, no global WindowExec sort by (doc, df, h)), the sorted hash
+    // set for the verify step, and the rarest-first prefix slice. One
     // materialization serves the prefix path and both verify sides.
-    val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
-    val byDoc = tok.join(dfreq, "h")
+    val withDf = tok.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"h")))
+    val byDoc = withDf
       .groupBy($"doc_id").agg(
         sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
       .select($"doc_id",
