@@ -84,6 +84,73 @@ class GraftSpec extends AnyFunSuite {
       .collect()(0).getAs[Long]("n")
     assert(total == li)
   }
+
+  test("decontamination flags only train-split docs, with sane ratios") {
+    import spark.implicits._
+    val d = TextOps.decontaminate(spark, sf).collect()
+    // flagged docs must be in the deterministic train split (hash preds
+    // recomputed here exactly as the operator defines them)
+    val trainIds = TextOps.sampleSplit(spark, sf) // touches the same split
+    assert(trainIds.count() > 0)
+    d.foreach { r =>
+      val id = r.getAs[Long]("doc_id").toString
+      val kb = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample:$id".getBytes).take(1).map("%02x".format(_)).mkString
+      val sb = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes).take(1).map("%02x".format(_)).mkString
+      assert(sb < "cc", s"doc $id not in train split (bucket $sb)")
+      assert(r.getAs[Long]("n_shared") >= 1 &&
+        r.getAs[Long]("n_shared") <= r.getAs[Long]("n_ngrams"))
+      val c = r.getAs[Double]("contamination")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("bigram LM: uniform-repetition doc scores 0 NLL; scores are >= 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val s = TextOps.bigramLm(spark, sf).collect()
+    assert(s.nonEmpty)
+    s.foreach(r => assert(r.getAs[Double]("avg_nll") >= 0.0))
+    // a doc whose every bigram is the corpus-unique continuation of its
+    // w1 has P(w2|w1)=1 throughout → avg_nll = 0 exactly; build one
+    // in-memory to pin the semantics of the micro-nat arithmetic
+    val docs = Seq((1L, "z9q z9q z9q z9q"), (2L, "k7w k7w")).toDF("doc_id", "text")
+    val toks = docs.withColumn("toks", split($"text", " "))
+    val big = toks.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val joined = big.join(c2, Seq("w1", "w2"))
+      .join(big.groupBy($"w1").agg(count(lit(1)).as("c1")), Seq("w1"))
+    // every w1 here has exactly one continuation → c1 == c2 everywhere
+    assert(joined.filter($"c1" =!= $"c2").count() == 0)
+  }
+
+  test("market share is a share: 0 <= mkt_share <= 1 per year") {
+    import spark.implicits._
+    val rows = Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("total_revenue") > 0.0)
+    }
+  }
+
+  test("kNN classify: one prediction per label-0 query, votes in 1..5") {
+    import spark.implicits._
+    val nQueries = Tables.embeddings(spark, sf).filter($"label" === 0).count()
+    val out = VectorOps.knnClassify(spark, sf).collect()
+    assert(out.length == nQueries)
+    assert(out.map(_.getAs[Long]("q_id")).distinct.length == out.length)
+    out.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 5)
+    }
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {
@@ -194,6 +261,27 @@ class StreamingSpec extends AnyFunSuite {
     // the un-flushed stream is a strict subset: the tail nulls are held back
     assert(noFlush.exceptAll(withFlush).count() == 0)
     assert(withFlush.count() > noFlush.count())
+  }
+
+  test("streaming full-outer join = left join + unmatched purchases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val full = StreamOps.streamViewPurchaseOuter(spark, sf)
+    val left = StreamOps.streamViewPurchaseLeft(spark, sf)
+    // the view-side rows of the full join ARE the left join
+    val fullViewSide = full.filter($"view_id".isNotNull)
+    assert(fullViewSide.exceptAll(left).count() == 0)
+    assert(left.exceptAll(fullViewSide).count() == 0)
+    // purchase-side padding: one null-view row per purchase that no view
+    // precedes within the window
+    val ev = Tables.events(spark, sf)
+    val matched = ev.filter($"event_type" === "purchase").as("p")
+      .join(ev.filter($"event_type" === "view").as("v"),
+        $"v.user_id" === $"p.user_id" && $"p.ts" >= $"v.ts" &&
+          $"p.ts" <= $"v.ts" + expr("INTERVAL 60 minutes"), "left_semi")
+    val unmatched =
+      ev.filter($"event_type" === "purchase").count() - matched.count()
+    assert(full.filter($"view_id".isNull).count() == unmatched)
   }
 }
 
