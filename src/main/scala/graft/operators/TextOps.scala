@@ -548,6 +548,64 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Training-sequence packing: concatenate documents in deterministic
+    * order and chunk the token stream into fixed-capacity context
+    * windows (2048 tokens) — the "concat and chunk" packing every LLM
+    * trainer runs between curation and tokenized shards. A document's
+    * sequence is the window containing its FIRST token (greedy
+    * concatenation; long docs may span boundaries, as in real packing).
+    *
+    * Scale design: packing is inherently sequential, so the unit of
+    * sequentiality is the SHARD (`source` here) — each shard packs
+    * independently under one window partition, which is exactly how a
+    * cluster job lays out shard-parallel packing; no global sort, no
+    * driver loop, pure integer arithmetic (no float risk). */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsWithToks(spark, sfDir)
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("seq_id", call_function("div", $"cum" - $"n_tok", lit(cap)))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  /** Gopher-style repetition signals: per document, the duplicate
+    * fraction of 3-gram occurrences and the highest single 2-gram
+    * repeat count — the standard repetitive-text quality filters.
+    * All counting is within-document (explode + per-doc hash-agg on a
+    * (doc, gram) key — the gram space is sharded by doc, so there is no
+    * hot-key skew at any corpus size), and the ratios round in exact
+    * integer arithmetic like [[qualityScore]]. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      call_function("div", num * 20000L + den, den * 2L) / 10000.0
+    val toks = docsWithToks(spark, sfDir).filter(size($"toks") >= 3)
+    val g3 = toks.select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-3),
+          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2]))""")).as("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_3grams"),
+        countDistinct($"g").as("n_distinct_3grams"))
+    val g2top = toks.select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          g -> concat_ws(' ', toks[g], toks[g+1]))""")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_2gram_count"))
+    g3.join(g2top, "doc_id")
+      .select($"doc_id", $"n_3grams", $"n_distinct_3grams",
+        r4($"n_3grams" - $"n_distinct_3grams", $"n_3grams")
+          .as("dup_3gram_frac"),
+        $"top_2gram_count")
+      .orderBy($"doc_id")
+  }
+
   /** Duplicate clusters: connected components over the MinHash near-dup
     * pair graph (see [[Graph.connectedComponents]] for the
     * min-label-propagation scale design). Cluster id = min doc_id in
@@ -576,9 +634,43 @@ object TextOps {
     "d14_normalize_dedup" -> normalizeDedup _,
     "d15_decontaminate" -> decontaminate _,
     "d16_bigram_lm"     -> bigramLm _,
+    "d17_pack_sequences" -> packSequences _,
+    "d18_repetition"    -> repetition _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d17_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+    "d18_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |g3 AS (SELECT doc_id, count(*) AS n_3grams,
+        |  count(DISTINCT g) AS n_distinct_3grams
+        |  FROM (SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)]) AS g FROM t) x
+        |  GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, max(c) AS top_2gram_count
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id,
+        |      unnest([toks[i] || ' ' || toks[i+1]
+        |        for i in range(1, len(toks))]) AS g FROM t) y
+        |    GROUP BY doc_id, g) z
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_3grams, n_distinct_3grams,
+        |(((n_3grams - n_distinct_3grams) * 20000 + n_3grams)
+        |  // (n_3grams * 2)) / 10000.0 AS dup_3gram_frac,
+        |top_2gram_count
+        |FROM g3 JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d15_decontaminate" ->
       """WITH d AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
         |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,

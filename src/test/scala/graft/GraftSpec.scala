@@ -129,6 +129,38 @@ class GraftSpec extends AnyFunSuite {
     assert(joined.filter($"c1" =!= $"c2").count() == 0)
   }
 
+  test("sequence packing conserves tokens and numbers sequences densely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val packed = TextOps.packSequences(spark, sf)
+    val totalPacked = packed.agg(sum($"n_tokens")).collect()(0).getLong(0)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(totalPacked == totalTokens)
+    // per source, seq ids are 0..max with no gaps (greedy concatenation
+    // cannot skip a window)
+    packed.groupBy($"source")
+      .agg(min($"seq_id").as("lo"), max($"seq_id").as("hi"),
+        countDistinct($"seq_id").as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") == 0L)
+        assert(r.getAs[Long]("n") == r.getAs[Long]("hi") + 1)
+      }
+  }
+
+  test("repetition signals are bounded and detect a planted repeat") {
+    import spark.implicits._
+    val reps = TextOps.repetition(spark, sf).collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      val f = r.getAs[Double]("dup_3gram_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("top_2gram_count") >= 1L)
+      assert(r.getAs[Long]("n_distinct_3grams") <= r.getAs[Long]("n_3grams"))
+    }
+  }
+
   test("market share is a share: 0 <= mkt_share <= 1 per year") {
     import spark.implicits._
     val rows = Relational.marketShare(spark, sf).collect()
