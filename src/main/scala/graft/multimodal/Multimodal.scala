@@ -173,12 +173,29 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m06: media dedup by content digest — the byte-identical dedup pass
+    * a pipeline runs over image/audio payloads before any perceptual
+    * hashing. Hashes the BINARY column (not a text projection), then
+    * one hash-agg by digest; at 100 TB the md5 runs in the scan
+    * projection and only (digest, doc_id) pairs reach the shuffle. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select($"doc_id", md5($"content").as("content_md5"),
+        length($"content").cast("long").as("n_bytes"))
+      .groupBy($"content_md5")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min($"n_bytes").as("n_bytes"))
+      .orderBy($"keep_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"  -> binaryMeta _,
     "m02_media_decode" -> mediaDecode _,
     "m03_frame_sample" -> frameSample _,
     "m04_media_features" -> mediaFeatures _,
     "m05_media_resize" -> mediaResize _,
+    "m06_media_dedup"  -> mediaDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +237,12 @@ object Multimodal {
         |md5(array_to_string([substr(text, i, 1)
         |  for i in range(1, length(text) + 1) if (i - 1) % 4 = 0], '')) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m06_media_dedup" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT content_md5, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |min(n_bytes) AS n_bytes
+        |FROM m GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
   )
 }

@@ -578,6 +578,31 @@ object StreamOps {
     }
   }
 
+  /** Streaming KStream ⋈ KTable (stream joins the compacted changelog):
+    * every event is enriched with its user's LATEST state — the
+    * row_number-compacted materialization of the same events topic,
+    * exactly Kafka Streams' `stream.join(table)` against the table's
+    * current snapshot. The table side is NOT broadcast: KStream⋈KTable
+    * is a co-partitioned shuffle join in Kafka Streams (table state can
+    * be as large as the keyspace), and the Spark plan mirrors that — at
+    * 1000 executors both sides hash-partition by user_id and the
+    * per-micro-batch join is local. The continuously-UPDATING table
+    * variant is exercised in StreamTableJoinSpec; this declared query
+    * pins the snapshot-join algebra to the oracle. */
+  def streamTableJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = latestByKey(graft.Tables.events(spark, sfDir))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+    runToMemory(
+      eventsStream(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(table, "user_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("last_type"), col("last_value")),
+      "graft_s14", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming EXACT distinct-user counts per tumbling day via CHAINED
     * STATEFUL AGGREGATIONS (Spark 3.4+ multiple-stateful-operator
     * support): stage 1 collapses (window, user) — the map-side combine
@@ -648,6 +673,7 @@ object StreamOps {
     "s11_stream_distinct" -> streamDistinctUsers _,
     "s12_stream_cogroup"  -> streamCogroup _,
     "s13_stream_outer_join" -> streamViewPurchaseOuter _,
+    "s14_stream_table_join" -> streamTableJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -710,6 +736,15 @@ object StreamOps {
         |FROM v FULL JOIN p ON v.user_id = p.p_user
         |AND p.p_ts >= v.ts AND p.p_ts <= v.ts + INTERVAL 60 MINUTE
         |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    "s14_stream_table_join" ->
+      """WITH latest AS (SELECT user_id, event_type AS last_type,
+        |  round(value, 2) AS last_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.event_type, l.last_type, l.last_value
+        |FROM events e JOIN latest l USING (user_id)
+        |ORDER BY event_id""".stripMargin,
     "s07_fk_join_batch" ->
       """SELECT c_custkey AS left_key, CAST(c_nationkey AS BIGINT) AS fk,
         |c_name AS left_val, n_name AS right_val
