@@ -459,7 +459,12 @@ class TimerTtlSpec extends org.scalatest.funsuite.AnyFunSuite {
         .transformWithState(new TtlCountProcessor(500L),
           TimeMode.ProcessingTime(), OutputMode.Update(),
           Encoders.product[CountOut])
-      def runOnce(name: String): List[(Long, Long)] = {
+      // stopping before the offset commit lands would make the next run
+      // REPLAY the batch (fresh state → stale count): wait for both the
+      // sink output and the checkpoint commit file before stopping
+      def commitCount = Option(new java.io.File(cp, "commits").list())
+        .map(_.count(!_.startsWith("."))).getOrElse(0)
+      def runOnce(name: String, minCommits: Int): List[(Long, Long)] = {
         // foreachBatch, not the memory sink: only replayable sinks may
         // resume from a checkpoint
         val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -472,18 +477,18 @@ class TimerTtlSpec extends org.scalatest.funsuite.AnyFunSuite {
           .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
         try {
           val deadline = System.currentTimeMillis() + 60000
-          while (buf.synchronized(buf.isEmpty) &&
+          while ((buf.synchronized(buf.isEmpty) || commitCount < minCommits) &&
               System.currentTimeMillis() < deadline) Thread.sleep(100)
         } finally q.stop()
         buf.synchronized(buf.toList.sorted)
       }
       val t = Timestamp.valueOf("2024-01-01 10:00:00")
       input.addData((7L, t), (7L, t), (7L, t))
-      assert(runOnce("tws_ttl1") == List((7L, 3L)))
+      assert(runOnce("tws_ttl1", 1) == List((7L, 3L)))
       Thread.sleep(2000)  // > 500 ms TTL
       input.addData((7L, t), (7L, t))
       // state expired while idle: the count restarts at 2, NOT 5
-      assert(runOnce("tws_ttl2") == List((7L, 2L)))
+      assert(runOnce("tws_ttl2", 2) == List((7L, 2L)))
     }
   }
 }
