@@ -268,18 +268,79 @@ object TextOps {
 
   /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
     * signatures bucket together (n_bucket = docs sharing the hash). */
+  /** Per-doc SimHash bit string of the given width (≤ 32: one md5 hex
+    * digit drives each bit). Each token occurrence is md5'd ONCE in
+    * codegen; the per-bit ±1 sums are `width` fused columns of one
+    * map-side-combined hash-agg — the same one-hash-then-integer-math
+    * shape as [[minhashSigs]] (a per-bit `aggregate` lambda would
+    * re-run an interpreted md5 per token PER BIT: width× the work). */
+  private def simhashSigs(spark: SparkSession, sfDir: String,
+      width: Int): DataFrame = {
+    import spark.implicits._
+    val bitSums = (1 to width).map(i =>
+      sum(when(expr(s"instr('89abcdef', substr(m, $i, 1))") > 0, 1)
+        .otherwise(-1)).as(s"s_$i"))
+    docsWithToks(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", explode($"toks").as("t"))
+      .select($"doc_id", md5($"t").as("m"))
+      .groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        concat((1 to width).map(i =>
+          when(col(s"s_$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = docsWithToks(spark, sfDir)
-      .select($"doc_id",
-        expr("""array_join(transform(sequence(1, 16),
-               i -> case when aggregate(toks, 0,
-                 (acc, t) -> acc + (case when instr('89abcdef', substr(md5(t), i, 1)) > 0
-                                    then 1 else -1 end)) > 0
-                 then '1' else '0' end), '')""").as("simhash"))
-    sh.withColumn("n_bucket",
+    simhashSigs(spark, sfDir, 16)
+      .withColumn("n_bucket",
         count(lit(1)).over(Window.partitionBy($"simhash")))
       .orderBy($"doc_id")
+  }
+
+  /** SimHash Hamming-ball near-dup (the Google web-dedup shape): find
+    * all pairs whose 32-bit SimHash signatures differ in ≤ 1 bit.
+    * Candidates come from SEGMENT BANDING — split the signature into 2
+    * segments of 16 bits; by pigeonhole, a single flipped bit leaves
+    * one segment identical, so every qualifying pair collides on some
+    * segment — then the exact Hamming distance verifies candidates
+    * only. Same LSH skeleton as d06/v08: the self-join keys on
+    * (segment index, segment bits), linear in collisions, never all
+    * pairs. The signature/segment width IS the selectivity knob (d07's
+    * 16-bit signature buckets this small-vocabulary fixture far too
+    * densely — 90 partners/doc); production web dedup runs this same
+    * plan at 64 bits with 4×16-bit segments for Hamming ≤ 3. */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // integer signature: bit i (1-based, MSB first) = 2^(32-i); all set
+    // math below (segment keys, hamming) is int64 codegen — no strings
+    // cross the shuffle, no per-candidate lambda
+    val sh = cached(spark, sfDir, "simhash_int32") {
+      simhashSigs(spark, sfDir, 32)
+        .select($"doc_id",
+          expr("""aggregate(sequence(1, 32), 0L,
+            (acc, i) -> acc * 2L + (case when substr(simhash, i, 1) = '1'
+                                    then 1L else 0L end))""").as("sig"))
+    }
+    val seg = sh.select($"doc_id",
+      posexplode(array(
+        call_function("div", $"sig", lit(65536L)),
+        $"sig" % 65536L)).as(Seq("s", "seg")))
+    val cand = seg.as("a")
+      .join(seg.as("b"),
+        $"a.s" === $"b.s" && $"a.seg" === $"b.seg" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(lit(1))
+      .select($"d1", $"d2")
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sig".as("s1")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"sig".as("s2")), "d2")
+      .withColumn("hamming", bit_count(expr("s1 ^ s2")).cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
   }
 
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5.
@@ -636,9 +697,28 @@ object TextOps {
     "d16_bigram_lm"     -> bigramLm _,
     "d17_pack_sequences" -> packSequences _,
     "d18_repetition"    -> repetition _,
+    "d19_simhash_neardup" -> simhashNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d19_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+        |bits AS (SELECT doc_id, i,
+        |  CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(t), i, 1)) > 0
+        |    THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) GROUP BY doc_id, i),
+        |sh AS (SELECT doc_id,
+        |  sum(CASE WHEN b = '1' THEN 1::BIGINT << (32 - i) ELSE 0 END)::BIGINT AS sig
+        |  FROM bits GROUP BY doc_id),
+        |seg AS (SELECT doc_id, s,
+        |  CASE WHEN s = 0 THEN sig // 65536 ELSE sig % 65536 END AS sg
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM seg a JOIN seg b
+        |  ON a.s = b.s AND a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |h AS (SELECT d1, d2, bit_count(xor(ha.sig, hb.sig)) AS hamming
+        |  FROM cand JOIN sh ha ON ha.doc_id = d1 JOIN sh hb ON hb.doc_id = d2)
+        |SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming FROM h
+        |WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin,
     "d17_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
