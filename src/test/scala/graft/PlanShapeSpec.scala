@@ -49,6 +49,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hash agg fell out of codegen:\n$plan")
   }
 
+  test("decontamination broadcasts the held-out set; corpus side unshuffled") {
+    val plan = planOf(graft.operators.TextOps.decontaminate(spark, sf))
+    // the held-out shingle set must be the broadcast side of the probe
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+  }
+
+  test("market share join tree broadcasts every dimension") {
+    val df = graft.operators.Relational.marketShare(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // customer/nation/region/supplier are all broadcast against the
+    // lineitem-orders spine at fixture scale
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian crept into q18:\n$plan")
+  }
+
+  test("kNN classify stays a bounded broadcast loop + windowed top-k") {
+    val df = graft.operators.VectorOps.knnClassify(spark, sf)
+    val plan = planOf(df)
+    // the query set is the broadcast side; no shuffle of the corpus for
+    // the scoring pass itself
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
+  }
+
+  test("sequence packing plans shard-parallel windows, no global sort") {
+    val df = graft.operators.TextOps.packSequences(spark, sf)
+    val plan = planOf(df)
+    // the cumsum window must partition by source (hash exchange), not
+    // run over a single global ordering; the only global Sort allowed
+    // is the final tiny output ordering after aggregation
+    assert(plan.contains("hashpartitioning(source"),
+      s"packing window not shard-partitioned:\n$plan")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective shuffle join") {
     // the APPLICATION side must normally exceed 10 GB for injection —
     // force that minimum to 0 so the fixture-scale join qualifies; the
