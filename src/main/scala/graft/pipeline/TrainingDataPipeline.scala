@@ -74,4 +74,43 @@ object TrainingDataPipeline {
       .select($"vec_id".as("doc_id"), $"embedding", $"label")
     curate(spark, sfDir).join(emb, Seq("doc_id"), "inner")
   }
+
+  /** The full pre-training data path: curate → repetition filter →
+    * benchmark decontamination → sequence packing. Output is one row
+    * per packed training sequence, ready for a tokenizer shard writer.
+    *
+    *   6. repetition gate  (drop docs whose dup-3gram fraction exceeds
+    *      the Gopher-style threshold — catches boilerplate/spam the
+    *      quality score misses)
+    *   7. decontamination  (drop docs sharing an n-gram with the
+    *      held-out eval split; broadcast held-out set)
+    *   8. packing          (per-source 2048-token context windows)
+    *
+    * Still one declarative plan: the two gates are broadcast anti-joins
+    * against small drop-lists, and packing's window runs shard-parallel
+    * over whatever survives. */
+  def curateAndPack(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, maxDupFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val dropRepetitive = TextOps.repetition(spark, sfDir)
+      .filter($"dup_3gram_frac" > maxDupFrac)
+      .select($"doc_id")
+    val dropContaminated = TextOps.decontaminate(spark, sfDir)
+      .select($"doc_id")
+    val survivors = curate(spark, sfDir, minQuality)
+      .join(broadcast(dropRepetitive), Seq("doc_id"), "left_anti")
+      .join(broadcast(dropContaminated), Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    survivors
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("seq_id",
+        call_function("div", $"cum" - $"n_tokens", lit(2048L)))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"seq_id")
+  }
 }

@@ -787,6 +787,34 @@ class TrainingDataPipelineSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.count() > 0)
     assert(e.columns.contains("embedding") && e.columns.contains("quality"))
   }
+
+  test("curate-and-pack drops contaminated docs and conserves tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val packed = TrainingDataPipeline.curateAndPack(spark, sf)
+    assert(packed.count() > 0)
+    // token conservation: packed totals == surviving curated doc totals
+    // minus the two gates' drops
+    val curated = TrainingDataPipeline.curate(spark, sf)
+    val dropRep = graft.operators.TextOps.repetition(spark, sf)
+      .filter($"dup_3gram_frac" > 0.5).select($"doc_id")
+    val dropCon = graft.operators.TextOps.decontaminate(spark, sf)
+      .select($"doc_id")
+    val survivors = curated
+      .join(dropRep, Seq("doc_id"), "left_anti")
+      .join(dropCon, Seq("doc_id"), "left_anti")
+    val expTokens = survivors.agg(sum($"n_tokens")).collect()(0).getLong(0)
+    val gotTokens = packed.agg(sum($"n_tokens")).collect()(0).getLong(0)
+    assert(gotTokens == expTokens)
+    // dense per-source numbering survives the composition
+    packed.groupBy($"source")
+      .agg(min($"seq_id").as("lo"), max($"seq_id").as("hi"),
+        countDistinct($"seq_id").as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") == 0L)
+        assert(r.getAs[Long]("n") == r.getAs[Long]("hi") + 1)
+      }
+  }
 }
 
 /** Streaming KStream ⋈ KTable through the DSL: a MemoryStream of
