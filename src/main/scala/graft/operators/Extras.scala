@@ -97,6 +97,24 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** Misra–Gries heavy hitters per event_type (k=8) via the typed
+    * [[graft.functions.HeavyHittersAggregator]]: bounded-state top
+    * users — the frequent-items sketch a high-load consumer keeps when
+    * exact per-key counts no longer fit. Rows-only driver check
+    * (counter values are merge-order-dependent); the order-independent
+    * MG guarantee is pinned in `SketchBoundsSpec`. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mg = udaf(new graft.functions.HeavyHittersAggregator(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(mg($"user_id").as("hh"))
+      .select($"event_type", explode($"hh").as("h"))
+      .select($"event_type", $"h.id".as("user_id"), $"h.min_count")
+      .orderBy($"event_type", desc("min_count"), $"user_id")
+  }
+
   /** Pivot → unpivot round trip: wide per-user activity profile melted
     * back to long form (user_id, event_type, n) including zero cells. */
   def userUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
@@ -173,6 +191,7 @@ object Extras {
     "x01_approx_distinct" -> approxDistinct _,
     "x02_approx_quantiles" -> approxQuantiles _,
     "x03_hll_union"       -> hllUnion _,
+    "x04_heavy_hitters"   -> heavyHitters _,
     "e12_user_unpivot"    -> userUnpivot _,
     "e13_asof_signup"     -> asofSignupState _,
   )

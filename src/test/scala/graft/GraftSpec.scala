@@ -969,6 +969,37 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(math.abs(p99 - e99) / e99 <= 0.01, s"$flag p99: $p99 vs $e99")
     }
   }
+
+  test("x04 Misra-Gries keeps every true heavy hitter with bounded error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val trueCounts = Tables.events(spark, sf)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val sketch = graft.operators.Extras.heavyHitters(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    trueCounts.foreach { case (tpe, byUser) =>
+      val n = byUser.values.sum
+      val thresh = n.toDouble / (k + 1)
+      val kept = sketch.getOrElse(tpe, Map.empty)
+      byUser.foreach { case (user, c) =>
+        // MG guarantee 1: true frequency > n/(k+1) ⇒ key survives
+        if (c > thresh)
+          assert(kept.contains(user),
+            s"$tpe: heavy user $user (n=$c > $thresh) evicted")
+        // MG guarantee 2: survivor counters never overcount and
+        // undercount by at most n/(k+1)
+        kept.get(user).foreach { est =>
+          assert(est <= c, s"$tpe/$user: counter $est overcounts $c")
+          assert(c - est <= thresh.ceil.toLong,
+            s"$tpe/$user: undercount ${c - est} beyond bound $thresh")
+        }
+      }
+    }
+  }
 }
 
 /** The session-keyed intermediate cache (minhash signatures / LSH pair
