@@ -71,13 +71,49 @@ object EventAnalytics {
         sum($"s3").as("n_signup_view_purchase"))
   }
 
+  /** Event-transition matrix: per user, each event's successor type
+    * (lead over (ts, event_id)); counts per (from, to) pair plus the
+    * exact transition probability — Markov-chain path analytics over
+    * the event stream. One window pass + one hash-agg; the probability
+    * rounds in exact integer arithmetic (counts over row totals). */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"from_type").agg(sum($"n").as("row_total"))
+    pairs.join(totals, "from_type")
+      .select($"from_type", $"to_type", $"n",
+        (call_function("div", $"n" * 20000L + $"row_total", $"row_total" * 2L)
+          / 10000.0).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e14_daily_top_types" -> dailyTopTypes _,
     "e15_retention"       -> retentionCohorts _,
     "e16_funnel"          -> funnel _,
+    "e20_transitions"     -> transitions _,
   )
 
   val oracles: Map[String, String] = Map(
+    "e20_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM c GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |((n * 20000 + row_total) // (row_total * 2)) / 10000.0 AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "e14_daily_top_types" ->
       """SELECT day, rn, event_type, n FROM (
         |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,

@@ -279,6 +279,29 @@ object Relational {
       .orderBy($"o_year")
   }
 
+  /** TPC-H Q16 shape — supplier diversity per (brand, size): distinct
+    * suppliers shipping each surviving part group, one brand excluded,
+    * kept only where supplier diversity beats the global average (a
+    * decorrelated scalar subquery in the HAVING position). Exercises
+    * countDistinct under grouping + scalar-subquery filtering; the
+    * average is a broadcast one-row cross join, and the > comparison is
+    * exact in both engines (integer sums/counts ⇒ identical IEEE
+    * division). */
+  def brandSupplierStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .filter($"p_brand" =!= "Brand#1")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        countDistinct($"p_partkey").as("n_parts"))
+    val avgSup = base.agg(avg($"n_suppliers").as("avg_sup"))
+    base.crossJoin(broadcast(avgSup))
+      .filter($"n_suppliers" > $"avg_sup")
+      .select($"p_brand", $"p_size", $"n_suppliers", $"n_parts")
+      .orderBy($"p_brand", $"p_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
@@ -295,6 +318,7 @@ object Relational {
     "q15_local_supplier_revenue" -> localSupplierRevenue _,
     "q16_part_type_revenue"  -> partTypeRevenue _,
     "q18_market_share"       -> marketShare _,
+    "q19_brand_suppliers"    -> brandSupplierStats _,
   )
 
   private val D = Det.sql
@@ -441,5 +465,15 @@ object Relational {
         |((num_i * 20000 + den_i) // (den_i * 2)) / 10000.0 AS mkt_share,
         |((den_i * 2 + 100) // 200) / 100.0 AS total_revenue
         |FROM a ORDER BY o_year""".stripMargin,
+    "q19_brand_suppliers" ->
+      """WITH base AS (SELECT p_brand, p_size,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT p_partkey) AS n_parts
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand <> 'Brand#1'
+        |  GROUP BY p_brand, p_size)
+        |SELECT p_brand, p_size, n_suppliers, n_parts FROM base
+        |WHERE n_suppliers > (SELECT avg(n_suppliers) FROM base)
+        |ORDER BY p_brand, p_size""".stripMargin,
   )
 }
