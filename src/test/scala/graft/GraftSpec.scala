@@ -295,6 +295,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(withFlush.count() > noFlush.count())
   }
 
+  test("MG heavy hitters run as a streaming windowed aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the typed Aggregator is a first-class aggregate: it composes with
+    // streaming windowed groupBy exactly like a built-in (bounded sketch
+    // state per (window, type) group in the state store)
+    val mg = udaf(new graft.functions.HeavyHittersAggregator(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val out = StreamOps.runToMemory(
+      StreamOps.eventsStream(spark, sf)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "7 days").as("w"), $"event_type")
+        .agg(mg($"user_id").as("hh")),
+      "stream_mg", "complete")
+    val rows = out.select($"event_type", size($"hh").as("k"))
+      .as[(String, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, k) =>
+      assert(k >= 1 && k <= 8, s"$tpe summary size $k out of bounds")
+    }
+  }
+
   test("streaming full-outer join = left join + unmatched purchases") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
