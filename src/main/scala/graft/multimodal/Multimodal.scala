@@ -189,6 +189,25 @@ object Multimodal {
       .orderBy($"keep_id")
   }
 
+  /** m07: frame-level media near-dup — pairs of payloads sharing at
+    * least one 256-byte frame fingerprint, with the shared-frame count.
+    * The keyframe-fingerprint dedup used for video: content-identical
+    * SEGMENTS link two files even when the whole-file digest (m06)
+    * differs. The frame hash is itself the join bucket (an equi-join,
+    * linear in collisions — the LSH degenerate case where the "band" is
+    * the exact chunk); distinct (doc, frame) first so intra-doc repeats
+    * of a chunk don't inflate pair counts. */
+  def frameNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fr = frameSample(spark, sfDir)
+      .select($"doc_id", $"frame_md5").distinct()
+    fr.as("a").join(fr.as("b"),
+        $"a.frame_md5" === $"b.frame_md5" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"  -> binaryMeta _,
     "m02_media_decode" -> mediaDecode _,
@@ -196,6 +215,7 @@ object Multimodal {
     "m04_media_features" -> mediaFeatures _,
     "m05_media_resize" -> mediaResize _,
     "m06_media_dedup"  -> mediaDedup _,
+    "m07_frame_neardup" -> frameNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +264,14 @@ object Multimodal {
         |SELECT content_md5, min(doc_id) AS keep_id, count(*) AS n_copies,
         |min(n_bytes) AS n_bytes
         |FROM m GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
+    "m07_frame_neardup" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents),
+        |fr AS (SELECT DISTINCT doc_id,
+        |  md5(substr(text, (f * 256 + 1)::INT, 256)) AS m
+        |  FROM t, unnest(range(0, nf)) u(f))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_frames
+        |FROM fr a JOIN fr b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
   )
 }
