@@ -667,6 +667,32 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Training-mix weights: per-source token share and the resampling
+    * weight that would equalize the mix (weight = uniform-target share
+    * over actual share) — the static data-mixing computation behind
+    * every corpus recipe. One hash-agg plus a broadcast one-row totals
+    * join; shares and weights are rationals rounded in exact integer
+    * arithmetic (see [[qualityScore]]), so both engines agree bit-
+    * for-bit. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      call_function("div", num * 20000L + den, den * 2L) / 10000.0
+    val perSource = docsWithToks(spark, sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks")).cast("long").as("n_tokens"))
+    val totals = perSource.agg(
+      sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        r4($"n_tokens", $"total_tokens").as("token_share"),
+        // weight = (total/n_sources) / n_tokens = total / (n_sources·n_tokens)
+        r4($"total_tokens", $"n_sources" * $"n_tokens").as("uniform_weight"))
+      .orderBy($"source")
+  }
+
   /** Duplicate clusters: connected components over the MinHash near-dup
     * pair graph (see [[Graph.connectedComponents]] for the
     * min-label-propagation scale design). Cluster id = min doc_id in
@@ -698,9 +724,22 @@ object TextOps {
     "d17_pack_sequences" -> packSequences _,
     "d18_repetition"    -> repetition _,
     "d19_simhash_neardup" -> simhashNearDup _,
+    "d20_mix_weights"   -> mixWeights _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d20_mix_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_sources FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |((n_tokens * 20000 + total_tokens) // (total_tokens * 2)) / 10000.0
+        |  AS token_share,
+        |((total_tokens * 20000 + n_sources * n_tokens)
+        |  // (n_sources * n_tokens * 2)) / 10000.0 AS uniform_weight
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "d19_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
         |bits AS (SELECT doc_id, i,
