@@ -33,6 +33,26 @@ object StreamOps {
     * sentinels sit at 2100-01-01). */
   private val flushBound = lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00.0"))
 
+  /** The JSON serde half of the Kafka source: wire rows (binary `value`
+    * as the connector emits them) → typed event columns. Factored out
+    * of [[kafkaStream]] so it is testable WITHOUT a broker — the same
+    * projection runs on any DataFrame with a binary `value` column
+    * (KafkaSerdeSpec drives it on batch rows), leaving only the
+    * connector `.format("kafka").load()` itself environment-blocked. */
+  // µs-precision wire format: the default to_json/from_json pattern is
+  // millisecond-only and silently truncates event times
+  private[graft] val kafkaTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private[graft] def parseKafkaValue(wire: DataFrame): DataFrame =
+    wire
+      .selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING"),
+        java.util.Map.of("timestampFormat", kafkaTsFormat)).as("e"))
+      .select(col("e.*"))
+
   /** Production source: Kafka topic → typed event columns. Compiles
     * against the stable string-format API; requires the
     * spark-sql-kafka connector on the classpath at runtime (not shipped
@@ -40,18 +60,13 @@ object StreamOps {
     * every downstream transform is source-agnostic). */
   def kafkaStream(spark: SparkSession, bootstrapServers: String,
       topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .load()
-      .selectExpr("CAST(value AS STRING) AS json", "timestamp AS kafka_ts")
-      .select(from_json(col("json"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")).as("e"))
-      .select(col("e.*"))
+    parseKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load())
 
   /** File-source stand-in for the Kafka source, with the same ns→µs
     * timestamp normalization as the batch path.

@@ -339,6 +339,38 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+/** The Kafka source's JSON serde, driven without a broker: the wire
+  * format (binary `value` column) is reproduced from real fixture rows
+  * with to_json+encode, and the parse projection must round-trip them
+  * exactly. Narrows the environment-blocked surface to the connector
+  * `.load()` call alone. */
+class KafkaSerdeSpec extends AnyFunSuite {
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("Kafka wire values round-trip through the JSON serde projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val wire = ev.select(
+      encode(to_json(struct(ev.columns.map(col): _*),
+        java.util.Map.of("timestampFormat", StreamOps.kafkaTsFormat)),
+        "UTF-8").as("value"))
+    val parsed = StreamOps.parseKafkaValue(wire)
+    assert(parsed.columns.toSeq == ev.columns.toSeq)
+    assert(parsed.exceptAll(ev).count() == 0)
+    assert(ev.exceptAll(parsed).count() == 0)
+    // malformed payloads parse to null columns, not query failure
+    // (PERMISSIVE mode — the poison-pill tolerance a consumer needs)
+    val bad = Seq("{truncated", "").toDF("s")
+      .select(encode($"s", "UTF-8").as("value"))
+    assert(StreamOps.parseKafkaValue(bad)
+      .filter($"event_id".isNull).count() == 2)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   import graft.multimodal.Multimodal
   lazy val spark = TestSession.spark
