@@ -621,19 +621,27 @@ object TextOps {
     * independently under one window partition, which is exactly how a
     * cluster job lays out shard-parallel packing; no global sort, no
     * driver loop, pure integer arithmetic (no float risk). */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cap = 2048L
+  /** Packing core over any (doc_id, source, n_tok) table — split out so
+    * boundary shapes the fixture lacks (docs longer than the window)
+    * are unit-testable. */
+  private[graft] def packCore(docs: DataFrame, cap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docsWithToks(spark, sfDir)
-      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
+    docs
       .withColumn("cum", sum($"n_tok").over(w))
       .withColumn("seq_id", call_function("div", $"cum" - $"n_tok", lit(cap)))
       .groupBy($"source", $"seq_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
       .orderBy($"source", $"seq_id")
+  }
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packCore(docsWithToks(spark, sfDir)
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok")),
+      2048L)
   }
 
   /** Gopher-style repetition signals: per document, the duplicate

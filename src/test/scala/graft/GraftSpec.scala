@@ -149,6 +149,25 @@ class GraftSpec extends AnyFunSuite {
       }
   }
 
+  test("packing places docs by START token; long docs span windows") {
+    import spark.implicits._
+    // cap=10: doc 1 (4 tok) starts seq 0; doc 2 (25 tok) STARTS in seq 0
+    // (token offset 4) and spans into seqs 1-2; doc 3 (3 tok) starts at
+    // offset 29 → seq 2; doc 4 (5 tok) at offset 32 → seq 3
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "a", 25L), (3L, "a", 3L), (4L, "a", 5L),
+      (10L, "b", 12L)).toDF("doc_id", "source", "n_tok")
+    val packed = TextOps.packCore(docs, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.toSeq == Seq(
+      ("a", 0L, 2L, 29L, 1L, 2L),   // docs 1+2 start in window 0
+      ("a", 2L, 1L, 3L, 3L, 3L),    // doc 3 starts in window 2
+      ("a", 3L, 1L, 5L, 4L, 4L),    // doc 4 starts in window 3
+      ("b", 0L, 1L, 12L, 10L, 10L)  // shard b packs independently
+    ))
+  }
+
   test("repetition signals are bounded and detect a planted repeat") {
     import spark.implicits._
     val reps = TextOps.repetition(spark, sf).collect()
