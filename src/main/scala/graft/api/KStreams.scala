@@ -195,6 +195,13 @@ final case class CogroupedG(branches: Seq[KGroupedG]) {
   /** Terminal aggregate over the union schema (Cogrouped.aggregate). */
   def aggregate(aggs: Column*): DataFrame = {
     val keys = branches.head.keys
+    // a branch keyed by a DIFFERENT column name would null-pad the key
+    // under unionByName and silently collapse into one null-key group —
+    // fail loudly instead (Kafka Streams enforces co-partitioning the
+    // same way at topology-build time)
+    require(branches.forall(_.keys == keys),
+      s"cogrouped branches must share key columns: " +
+        branches.map(_.keys.mkString("(", ",", ")")).mkString(" vs "))
     val u = branches.map(_.df)
       .reduce(_.unionByName(_, allowMissingColumns = true))
     u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -31,6 +31,17 @@ object Det {
   def davg(c: Column): Column =
     round(sum(dec4(c)).cast("double") / count(lit(1)), 4)
 
+  /** Exact half-up rounding of the rational num/den to 4 decimals, in
+    * integer arithmetic: round(10⁴·num/den) = (2·10⁴·num + den) div
+    * (2·den). Bit-identical in Spark and DuckDB by construction — the
+    * double-divide-then-round alternative puts ties at the 5th decimal
+    * at the mercy of each engine's last ulp. REQUIRES num ≥ 0 and
+    * den > 0 (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * they only agree on non-negatives; every call site is a
+    * count/total or scaled-magnitude ratio, so this holds). */
+  def r4(num: Column, den: Column): Column =
+    call_function("div", num * 20000L + den, den * 2L) / 10000.0
+
   /** SQL fragments for the DuckDB oracle, mirroring the above exactly. */
   object sql {
     def dec4(e: String): String = s"CAST($e AS DECIMAL(18,4))"

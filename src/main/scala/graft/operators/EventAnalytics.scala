@@ -88,8 +88,7 @@ object EventAnalytics {
     val totals = pairs.groupBy($"from_type").agg(sum($"n").as("row_total"))
     pairs.join(totals, "from_type")
       .select($"from_type", $"to_type", $"n",
-        (call_function("div", $"n" * 20000L + $"row_total", $"row_total" * 2L)
-          / 10000.0).as("p"))
+        graft.functions.Det.r4($"n", $"row_total").as("p"))
       .orderBy($"from_type", $"to_type")
   }
 

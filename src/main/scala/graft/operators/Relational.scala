@@ -268,14 +268,19 @@ object Relational {
       .join(ns, $"s_nationkey" === $"s_nkey")
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(
+        // sums stay int64 (exact, fast); the rounding arithmetic below
+        // widens to DECIMAL(38,0) because num_i·2·10⁴ would overflow
+        // int64 once a year-group's revenue units pass ~4.6e14 (≈ sf10)
+        // — Spark would wrap silently, DuckDB errors, both wrong
         sum(when($"s_nation" === "NATION_3", volI).otherwise(0L)).as("num_i"),
         sum(volI).as("den_i"))
       .select($"o_year",
-        (call_function("div", $"num_i" * 20000L + $"den_i", $"den_i" * 2L)
-          / 10000.0).as("mkt_share"),
-        // total to 2 dp: round(den/10⁴) half-up in cents, exact int64
-        (call_function("div", $"den_i" * 2L + 100L, lit(200L)) / 100.0)
-          .as("total_revenue"))
+        (call_function("div",
+          $"num_i".cast("decimal(38,0)") * 20000L + $"den_i",
+          $"den_i".cast("decimal(38,0)") * 2L) / 10000.0).as("mkt_share"),
+        // total to 2 dp: round(den/10⁴) half-up in cents
+        (call_function("div", $"den_i".cast("decimal(38,0)") * 2L + 100L,
+          lit(200L).cast("decimal(38,0)")) / 100.0).as("total_revenue"))
       .orderBy($"o_year")
   }
 
@@ -459,11 +464,13 @@ object Relational {
         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
         |  WHERE r_name = 'EUROPE'),
         |a AS (SELECT o_year,
-        |  sum(CASE WHEN s_nation = 'NATION_3' THEN vol_i ELSE 0 END) AS num_i,
-        |  sum(vol_i) AS den_i FROM f GROUP BY o_year)
+        |  CAST(sum(CASE WHEN s_nation = 'NATION_3' THEN vol_i ELSE 0 END)
+        |    AS HUGEINT) AS num_i,
+        |  CAST(sum(vol_i) AS HUGEINT) AS den_i FROM f GROUP BY o_year)
         |SELECT o_year,
-        |((num_i * 20000 + den_i) // (den_i * 2)) / 10000.0 AS mkt_share,
-        |((den_i * 2 + 100) // 200) / 100.0 AS total_revenue
+        |CAST((num_i * 20000 + den_i) // (den_i * 2) AS BIGINT) / 10000.0
+        |  AS mkt_share,
+        |CAST((den_i * 2 + 100) // 200 AS BIGINT) / 100.0 AS total_revenue
         |FROM a ORDER BY o_year""".stripMargin,
     "q19_brand_suppliers" ->
       """WITH base AS (SELECT p_brand, p_size,

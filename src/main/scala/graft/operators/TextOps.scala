@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det.r4
 
 /** Text-analysis + deduplication operators over `documents` — the
   * training-data-pipeline surface: exact dedup, MinHash+LSH near-dup,
@@ -103,8 +104,6 @@ object TextOps {
     import spark.implicits._
     // exact half-up rounding of num/den to 4 dp, in integer space
     // (`div` = Spark's integral-divide function)
-    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      call_function("div", num * 20000L + den, den * 2L) / 10000.0
     docsWithToks(spark, sfDir)
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
@@ -503,18 +502,27 @@ object TextOps {
     * and re-running on grown data keeps prior decisions stable. Rates:
     * 'en' keeps 128/256 of docs, other langs 51/256; kept docs split
     * 204/26/26 per 256 into train/val/test on an independent salt. */
+  /** The deterministic sample/split membership on any documents-shaped
+    * DataFrame — ONE implementation shared by [[sampleSplit]],
+    * [[decontaminate]], and the curation pipeline, so a rate change can
+    * never leave a consumer checking a different partition than the one
+    * it claims to. */
+  private[graft] def withSampleSplit(df: DataFrame): DataFrame =
+    df
+      .withColumn("keep_bucket",
+        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
+      .filter(col("keep_bucket") <
+        when(col("lang") === "en", "80").otherwise("33"))
+      .withColumn("split_bucket",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("split_bucket") < "cc", "train")
+          .when(col("split_bucket") < "e6", "val")
+          .otherwise("test"))
+
   def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .withColumn("keep_bucket",
-        substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 2))
-      .filter($"keep_bucket" < when($"lang" === "en", "80").otherwise("33"))
-      .withColumn("split_bucket",
-        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2))
-      .withColumn("split",
-        when($"split_bucket" < "cc", "train")
-          .when($"split_bucket" < "e6", "val")
-          .otherwise("test"))
+    withSampleSplit(docsWithToks(spark, sfDir))
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n"),
         min($"doc_id").as("min_doc"),
@@ -530,29 +538,22 @@ object TextOps {
     * [[sampleSplit]]'s deterministic hash split (train vs test), so the
     * whole check is reproducible with no RNG.
     *
-    * Scale design: the held-out set is tiny relative to the corpus by
-    * construction (benchmarks are thousands of docs, the corpus is
-    * billions), so its DISTINCT shingle-hash set is broadcast and the
+    * Scale design: in production the held-out side is a FIXED benchmark
+    * corpus (thousands of docs — bounded, not growing with the training
+    * corpus), so its DISTINCT shingle-hash set is broadcast and the
     * train-side scan never shuffles — each train document's shingles
     * probe the broadcast hash table map-side, then one hash-agg counts
-    * hits per document. Shingles travel as xxhash64 int64s (same ~2⁻⁶⁵
-    * collision bound as d08 — a collision can only add a false
-    * contamination hit, never hide one... strictly it could also merge
-    * two train-side shingles, which is why hits count DISTINCT hashes). */
+    * hits per document. The fixture's test split STANDS IN for that
+    * benchmark; if the held-out side ever scales with the corpus, this
+    * broadcast must become a shuffle semi-join (drop the hint — AQE
+    * picks correctly from stats). Shingles travel as xxhash64 int64s
+    * (same ~2⁻⁶⁵ collision bound as d08 — a collision can only add a
+    * false contamination hit, never hide one... strictly it could also
+    * merge two train-side shingles, which is why hits count DISTINCT
+    * hashes). */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      call_function("div", num * 20000L + den, den * 2L) / 10000.0
-    val docs = docsWithToks(spark, sfDir)
-      .withColumn("keep_bucket",
-        substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 2))
-      .filter($"keep_bucket" < when($"lang" === "en", "80").otherwise("33"))
-      .withColumn("split_bucket",
-        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2))
-      .withColumn("split",
-        when($"split_bucket" < "cc", "train")
-          .when($"split_bucket" < "e6", "val")
-          .otherwise("test"))
+    val docs = withSampleSplit(docsWithToks(spark, sfDir))
     def shingles(df: DataFrame) = df
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
@@ -653,8 +654,6 @@ object TextOps {
     * integer arithmetic like [[qualityScore]]. */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      call_function("div", num * 20000L + den, den * 2L) / 10000.0
     val toks = docsWithToks(spark, sfDir).filter(size($"toks") >= 3)
     val g3 = toks.select($"doc_id", explode(expr(
         """transform(sequence(0, size(toks)-3),
@@ -684,8 +683,6 @@ object TextOps {
     * for-bit. */
   def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      call_function("div", num * 20000L + den, den * 2L) / 10000.0
     val perSource = docsWithToks(spark, sfDir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),

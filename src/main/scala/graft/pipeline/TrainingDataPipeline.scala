@@ -75,42 +75,45 @@ object TrainingDataPipeline {
     curate(spark, sfDir).join(emb, Seq("doc_id"), "inner")
   }
 
-  /** The full pre-training data path: curate → repetition filter →
-    * benchmark decontamination → sequence packing. Output is one row
-    * per packed training sequence, ready for a tokenizer shard writer.
+  /** The full pre-training data path: curate → restrict to the TRAIN
+    * split → repetition filter → benchmark decontamination → sequence
+    * packing. Output is one row per packed training sequence, ready for
+    * a tokenizer shard writer.
     *
-    *   6. repetition gate  (drop docs whose dup-3gram fraction exceeds
+    *   6. train-split restriction (the packed output is TRAINING data;
+    *      the held-out val/test docs — the ones decontamination
+    *      protects — must never reach it, and unsampled docs are out of
+    *      the mix by definition; one shared split derivation
+    *      [[TextOps.withSampleSplit]] guarantees this is the SAME
+    *      partition decontamination checks)
+    *   7. repetition gate  (drop docs whose dup-3gram fraction exceeds
     *      the Gopher-style threshold — catches boilerplate/spam the
     *      quality score misses)
-    *   7. decontamination  (drop docs sharing an n-gram with the
+    *   8. decontamination  (drop train docs sharing an n-gram with the
     *      held-out eval split; broadcast held-out set)
-    *   8. packing          (per-source 2048-token context windows)
+    *   9. packing          (per-source 2048-token context windows, the
+    *      same [[TextOps.packCore]] the standalone operator runs)
     *
-    * Still one declarative plan: the two gates are broadcast anti-joins
-    * against small drop-lists, and packing's window runs shard-parallel
-    * over whatever survives. */
+    * Still one declarative plan: the split restriction is a per-row
+    * hash predicate, the two gates are broadcast anti-joins against
+    * small drop-lists, and packing's window runs shard-parallel over
+    * whatever survives. */
   def curateAndPack(spark: SparkSession, sfDir: String,
       minQuality: Double = 0.5, maxDupFrac: Double = 0.5): DataFrame = {
     import spark.implicits._
+    val trainIds = TextOps.withSampleSplit(Tables.documents(spark, sfDir))
+      .filter($"split" === "train").select($"doc_id")
     val dropRepetitive = TextOps.repetition(spark, sfDir)
       .filter($"dup_3gram_frac" > maxDupFrac)
       .select($"doc_id")
     val dropContaminated = TextOps.decontaminate(spark, sfDir)
       .select($"doc_id")
     val survivors = curate(spark, sfDir, minQuality)
+      .join(trainIds, Seq("doc_id"), "left_semi")
       .join(broadcast(dropRepetitive), Seq("doc_id"), "left_anti")
       .join(broadcast(dropContaminated), Seq("doc_id"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    survivors
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .withColumn("seq_id",
-        call_function("div", $"cum" - $"n_tokens", lit(2048L)))
-      .groupBy($"source", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .orderBy($"source", $"seq_id")
+    TextOps.packCore(
+      survivors.select($"doc_id", $"source", $"n_tokens".as("n_tok")),
+      2048L)
   }
 }

@@ -39,8 +39,11 @@ object StreamOps {
     * projection runs on any DataFrame with a binary `value` column
     * (KafkaSerdeSpec drives it on batch rows), leaving only the
     * connector `.format("kafka").load()` itself environment-blocked. */
-  // µs-precision wire format: the default to_json/from_json pattern is
-  // millisecond-only and silently truncates event times
+  // µs-precision wire format for WRITERS: to_json's default pattern is
+  // millisecond-only and silently truncates event times. The PARSER
+  // below deliberately sets no timestampFormat — the default fallback
+  // parser accepts fraction-less, milli, and micro variants alike
+  // (a fixed pattern would null out producers that omit the fraction).
   private[graft] val kafkaTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   private[graft] def parseKafkaValue(wire: DataFrame): DataFrame =
@@ -49,8 +52,7 @@ object StreamOps {
       .select(from_json(col("json"),
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING"),
-        java.util.Map.of("timestampFormat", kafkaTsFormat)).as("e"))
+            "event_type STRING, value DOUBLE, props STRING")).as("e"))
       .select(col("e.*"))
 
   /** Production source: Kafka topic → typed event columns. Compiles

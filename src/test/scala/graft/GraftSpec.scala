@@ -387,6 +387,16 @@ class KafkaSerdeSpec extends AnyFunSuite {
       .select(encode($"s", "UTF-8").as("value"))
     assert(StreamOps.parseKafkaValue(bad)
       .filter($"event_id".isNull).count() == 2)
+    // producers vary in fraction precision: fraction-less (Jackson /
+    // Connect default), millis, and micros must all parse — this is why
+    // the parser keeps the lenient default instead of a fixed pattern
+    val variants = Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"event_id":2,"ts":"2024-01-01T10:00:00.123Z"}""",
+      """{"event_id":3,"ts":"2024-01-01T10:00:00.123456Z"}""")
+      .toDF("s").select(encode($"s", "UTF-8").as("value"))
+    assert(StreamOps.parseKafkaValue(variants)
+      .filter($"ts".isNull).count() == 0)
   }
 }
 
@@ -866,14 +876,20 @@ class TrainingDataPipelineSpec extends org.scalatest.funsuite.AnyFunSuite {
     import org.apache.spark.sql.functions._
     val packed = TrainingDataPipeline.curateAndPack(spark, sf)
     assert(packed.count() > 0)
-    // token conservation: packed totals == surviving curated doc totals
-    // minus the two gates' drops
+    // token conservation: packed totals == curated TRAIN-split docs
+    // minus the two gates' drops — held-out (val/test) and unsampled
+    // docs must never be packed (that's the leak decontamination
+    // exists to prevent)
     val curated = TrainingDataPipeline.curate(spark, sf)
+    val trainIds = graft.operators.TextOps
+      .withSampleSplit(Tables.documents(spark, sf))
+      .filter($"split" === "train").select($"doc_id")
     val dropRep = graft.operators.TextOps.repetition(spark, sf)
       .filter($"dup_3gram_frac" > 0.5).select($"doc_id")
     val dropCon = graft.operators.TextOps.decontaminate(spark, sf)
       .select($"doc_id")
     val survivors = curated
+      .join(trainIds, Seq("doc_id"), "left_semi")
       .join(dropRep, Seq("doc_id"), "left_anti")
       .join(dropCon, Seq("doc_id"), "left_anti")
     val expTokens = survivors.agg(sum($"n_tokens")).collect()(0).getLong(0)
