@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two pieces of sbt chrome were defeating that (BENCH_r03 parsed:null):
+// the logger's "[info] " prefix on forked-process output, and the trailing
+// "[success] Total time: ..." line. Stream the child's stdio raw and drop
+// the success banner so the bench total JSON is genuinely the last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,7 +49,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a restricted dev rerun must never truncate a previously-dumped FULL
+    // oracle file in the same outDir (a later whole-dir DuckDB compare
+    // would silently lose queries): write the subset to a .partial file
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.partial.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

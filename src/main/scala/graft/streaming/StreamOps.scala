@@ -515,10 +515,55 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
-  // s10 changelog dirs: derived from the fixture tables; cached per
+  // s10/s15 changelog dirs: derived from the fixture tables; cached per
   // (sfDir, fixture mtime) like flushDirs, cleaned on JVM exit
   private val fkStreamDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+  private val tableUpdateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** Materialize `batches` as ONE parquet file each, mtime-ordered, so a
+    * file-source stream with maxFilesPerTrigger=1 replays them as that
+    * exact micro-batch sequence — the harness's stand-in for ordered
+    * Kafka topic offsets. Cached per (sfDir, fixture mtime). */
+  private def orderedBatchDir(cache:
+      scala.collection.concurrent.TrieMap[String, (Long, String)],
+      sfDir: String, srcFixture: String, prefix: String)(
+      batches: => Seq[DataFrame]): String = {
+    val srcMtime = new java.io.File(s"$sfDir/$srcFixture").lastModified()
+    cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      cache.updateWith(sfDir) { _ =>
+        Some((srcMtime, {
+          val dir = newTempDir(prefix)
+          batches.zipWithIndex.foreach { case (df, i) =>
+            val tmp = dir.resolve(s"b$i")
+            df.coalesce(1).write.parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator()
+            val f = Iterator.continually(part).takeWhile(_.hasNext)
+              .map(_.next()).find(_.toString.endsWith(".parquet")).get
+            val dst = dir.resolve(s"changelog_$i.parquet")
+            java.nio.file.Files.move(f, dst)
+            deleteRecursively(tmp)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          }
+          dir.toString
+        }))
+      }.get._2)
+  }
+
+  /** transformWithState requires the RocksDB state store provider; set it
+    * for the duration of `body` and restore the session value after. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
 
   /** The FK changelog join driven as a TRUE STREAM in three ordered
     * micro-batches (file source, maxFilesPerTrigger=1, files ordered by
@@ -535,39 +580,21 @@ object StreamOps {
     * rows are absent. */
   def streamFkChangelog(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dirStr = {
-      val srcMtime = new java.io.File(s"$sfDir/customer.parquet").lastModified()
-      val cached = fkStreamDirs.get(sfDir).filter(_._1 == srcMtime)
-      cached.map(_._2).getOrElse(fkStreamDirs.updateWith(sfDir) { _ =>
-        Some((srcMtime, {
-          val dir = newTempDir("graft_fk_stream")
-          val nation = graft.Tables.nation(spark, sfDir)
-          val customer = graft.Tables.customer(spark, sfDir)
-          def rightVer(nameExpr: org.apache.spark.sql.Column) = nation.select(
-            col("n_nationkey").cast("long").as("fk"), lit("R").as("side"),
-            lit(-1L).as("left_key"), lit(null).cast("string").as("left_val"),
-            nameExpr.as("right_val"))
-          val lefts = customer.select(
-            col("c_nationkey").cast("long").as("fk"), lit("L").as("side"),
-            col("c_custkey").cast("long").as("left_key"),
-            col("c_name").cast("string").as("left_val"),
-            lit(null).cast("string").as("right_val"))
-          // one parquet FILE per micro-batch, mtime-ordered
-          Seq(rightVer(concat(lit("OLD_"), col("n_name"))), lefts,
-              rightVer(col("n_name"))).zipWithIndex.foreach { case (df, i) =>
-            val tmp = dir.resolve(s"b$i")
-            df.coalesce(1).write.parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator()
-            val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
-              .find(_.toString.endsWith(".parquet")).get
-            val dst = dir.resolve(s"changelog_$i.parquet")
-            java.nio.file.Files.move(f, dst)
-            deleteRecursively(tmp)
-            dst.toFile.setLastModified(1700000000000L + i * 60000L)
-          }
-          dir.toString
-        }))
-      }.get._2)
+    val dirStr = orderedBatchDir(fkStreamDirs, sfDir, "customer.parquet",
+        "graft_fk_stream") {
+      val nation = graft.Tables.nation(spark, sfDir)
+      val customer = graft.Tables.customer(spark, sfDir)
+      def rightVer(nameExpr: org.apache.spark.sql.Column) = nation.select(
+        col("n_nationkey").cast("long").as("fk"), lit("R").as("side"),
+        lit(-1L).as("left_key"), lit(null).cast("string").as("left_val"),
+        nameExpr.as("right_val"))
+      val lefts = customer.select(
+        col("c_nationkey").cast("long").as("fk"), lit("L").as("side"),
+        col("c_custkey").cast("long").as("left_key"),
+        col("c_name").cast("string").as("left_val"),
+        lit(null).cast("string").as("right_val"))
+      Seq(rightVer(concat(lit("OLD_"), col("n_name"))), lefts,
+          rightVer(col("n_name")))
     }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "fk BIGINT, side STRING, left_key BIGINT, left_val STRING, right_val STRING")
@@ -582,16 +609,58 @@ object StreamOps {
         OutputMode.Update(),
         org.apache.spark.sql.Encoders.product[FkJoined])
       .toDF()
-    // transformWithState requires the RocksDB state store provider
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToMemory(stream, "graft_s10", "update")
-      .orderBy(col("left_key"), col("right_val"))
-    finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s10", "update")
+        .orderBy(col("left_key"), col("right_val"))
+    }
+  }
+
+  /** Stream ⋈ UPDATING KTable driven as a true stream in four
+    * mtime-ordered micro-batches (see [[StreamTableJoinProcessor]]):
+    *   batch 0 — table v1: the 25-row dim keyed 0..24, name "OLD_"+n;
+    *   batch 1 — stream: every even-event_id event (key user_id mod 25);
+    *   batch 2 — table v2: the dim again with the final name;
+    *   batch 3 — stream: every odd-event_id event.
+    * Batch-1 records join v1, batch-3 records join v2 — the oracle's
+    * CASE on event_id parity reproduces exactly that, so what the hash
+    * verifies is the UPDATE VISIBILITY itself: a processor that served
+    * stale (or fanned-out) values would put the wrong dim_name on half
+    * the rows. Complements s14, which pins the snapshot-join algebra. */
+  def streamTableUpdateJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(tableUpdateDirs, sfDir, "events.parquet",
+        "graft_st_update") {
+      val nation = graft.Tables.nation(spark, sfDir)
+      val ev = graft.Tables.events(spark, sfDir).select(
+        (col("user_id") % 25).as("nk"), lit("S").as("side"),
+        col("event_id"), col("user_id"), col("event_type"),
+        lit(null).cast("string").as("dim_name"))
+      def tableVer(nameExpr: org.apache.spark.sql.Column) = nation.select(
+        col("n_nationkey").cast("long").as("nk"), lit("T").as("side"),
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit(null).cast("string").as("event_type"), nameExpr.as("dim_name"))
+      Seq(tableVer(concat(lit("OLD_"), col("n_name"))),
+          ev.filter(col("event_id") % 2 === 0),
+          tableVer(col("n_name")),
+          ev.filter(col("event_id") % 2 =!= 0))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "nk BIGINT, side STRING, event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, dim_name STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[StEvent]
+      .groupByKey(_.nk)
+      .transformWithState(new StreamTableJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[StJoined])
+      .toDF()
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s15", "update")
+        .orderBy(col("event_id"))
     }
   }
 
@@ -607,9 +676,16 @@ object StreamOps {
     * variant is exercised in StreamTableJoinSpec; this declared query
     * pins the snapshot-join algebra to the oracle. */
   def streamTableJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // Spark re-evaluates the STATIC side of a stream-static join on every
+    // micro-batch; without a materialization point the row_number
+    // compaction (full shuffle + window over the events table) re-runs
+    // per trigger. localCheckpoint pins the compacted snapshot once —
+    // which is also the semantic contract here: the table is a SNAPSHOT,
+    // not a live view (the updating variant is s15 / StreamTableJoinSpec).
     val table = latestByKey(graft.Tables.events(spark, sfDir))
       .select(col("user_id"), col("event_type").as("last_type"),
         col("value").as("last_value"))
+      .localCheckpoint()
     runToMemory(
       eventsStream(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -691,6 +767,7 @@ object StreamOps {
     "s12_stream_cogroup"  -> streamCogroup _,
     "s13_stream_outer_join" -> streamViewPurchaseOuter _,
     "s14_stream_table_join" -> streamTableJoin _,
+    "s15_stream_table_update" -> streamTableUpdateJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,6 +830,12 @@ object StreamOps {
         |FROM v FULL JOIN p ON v.user_id = p.p_user
         |AND p.p_ts >= v.ts AND p.p_ts <= v.ts + INTERVAL 60 MINUTE
         |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    "s15_stream_table_update" ->
+      """SELECT event_id, user_id, event_type,
+        |CASE WHEN event_id % 2 = 0 THEN 'OLD_' || n_name ELSE n_name END
+        |  AS dim_name
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |ORDER BY event_id""".stripMargin,
     "s14_stream_table_join" ->
       """WITH latest AS (SELECT user_id, event_type AS last_type,
         |  round(value, 2) AS last_value

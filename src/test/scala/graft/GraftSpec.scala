@@ -962,6 +962,57 @@ class StreamTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** The UPDATING-table half of stream⋈table ([[graft.streaming
+  * .StreamTableJoinProcessor]]): table updates are visible to LATER
+  * stream records only — no re-emit of earlier ones (the asymmetry vs
+  * the FK join's fan-out, KTableChangelogSpec), and stream records with
+  * no table entry yet are dropped (inner semantics). The declared query
+  * s15 drives the same processor through mtime-ordered files against
+  * the DuckDB oracle; this spec isolates the state machine. */
+class StreamTableUpdateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+  import graft.streaming.{StEvent, StJoined, StreamTableJoinProcessor}
+  lazy val spark = TestSession.spark
+
+  test("table updates reach later stream records; no fan-out; misses drop") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StEvent](spark)
+      val out = in.toDS()
+        .groupByKey(_.nk)
+        .transformWithState(new StreamTableJoinProcessor,
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[StJoined])
+      val q = out.writeStream.format("memory").queryName("st_update")
+        .outputMode("update").start()
+      def got() = spark.table("st_update")
+        .as[StJoined].collect().toSet
+      try {
+        def t(nk: Long, name: String) = StEvent(nk, "T", -1L, -1L, null, name)
+        def s(nk: Long, id: Long) = StEvent(nk, "S", id, 100 + id, "view", null)
+        in.addData(t(1L, "OLD_A"))
+        in.addData(s(1L, 10L), s(2L, 11L))  // nk=2 has no table entry yet
+        q.processAllAvailable()
+        assert(got() == Set(StJoined(10L, 110L, "view", "OLD_A")))
+        // table UPDATE alone must emit nothing (no fan-out to event 10)
+        in.addData(t(1L, "NEW_A"))
+        q.processAllAvailable()
+        assert(got() == Set(StJoined(10L, 110L, "view", "OLD_A")))
+        // ...but a LATER stream record sees the updated value
+        in.addData(s(1L, 12L))
+        q.processAllAvailable()
+        assert(got() == Set(
+          StJoined(10L, 110L, "view", "OLD_A"),
+          StJoined(12L, 112L, "view", "NEW_A")))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
+
 /** v04 (brute-force exact near-dup, O(n²) — deliberately NOT a declared
   * query) lives on here as the recall oracle for v08 (LSH-bounded).
   * LSH trades recall for boundedness; this spec quantifies the trade on
