@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: restrict to these query names (dev profiling runs);
+    // the driver always invokes with no args → full run
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -22,12 +25,14 @@ object Bench {
     // timed loop below measures steady-state execution (what a long-lived
     // cluster session would see), not first-query session spin-up.
     val warmupDir = "/root/testdata/sf0.001"
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
     if (new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the machine-readable output,
       // not a silent ~0s entry: record a -1.0 sentinel time

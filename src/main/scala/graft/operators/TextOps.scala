@@ -232,10 +232,16 @@ object TextOps {
     }
   }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "lsh_pairs") {
       minhashLshUncached(spark, sfDir)
     }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    // total order applied OUTSIDE the checkpoint — see [[graft.operators
+    // .VectorOps.lshNearDup]]: checkpointing a sorted plan adds the range
+    // sampler's extra pass over the band join, and d12 doesn't need it
+    lshPairs(spark, sfDir).orderBy("d1", "d2")
 
   private def minhashLshUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -262,7 +268,6 @@ object TextOps {
         round(expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))") / lit(16.0), 4)
           .as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
-      .orderBy($"d1", $"d2")
   }
 
   /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
@@ -704,7 +709,7 @@ object TextOps {
     * the component, the representative a dedup pass would keep. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Graph.connectedComponents(minhashLsh(spark, sfDir).select($"d1", $"d2"))
+    Graph.connectedComponents(lshPairs(spark, sfDir).select($"d1", $"d2"))
       .select($"id".as("doc_id"), $"cluster_id")
       .orderBy($"doc_id")
   }

@@ -163,10 +163,18 @@ object VectorOps {
     * "colliding pairs with cos ≥ 0.4", which the oracle replicates
     * exactly — v04 (brute force) is the recall cross-check at sampled
     * scale. */
-  def lshNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    // materialized once per session: v08 declares the pairs, v10
-    // clusters them — same sharing pattern as d06/d12
+  // materialized once per session: v08 declares the pairs, v10 clusters
+  // them — same sharing pattern as d06/d12
+  private[operators] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.cached(spark, sfDir, "v08_pairs")(lshNearDupUncached(spark, sfDir))
+
+  def lshNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    // the total order is applied OUTSIDE the checkpoint: an eager
+    // checkpoint of a sorted plan pays the range-partitioner's sampling
+    // pass over the expensive join on top of the sort itself, and v10
+    // doesn't need the order — sorting the tiny checkpointed pair set
+    // costs nothing
+    lshPairs(spark, sfDir).orderBy("d1", "d2")
 
   private def lshNearDupUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -195,7 +203,6 @@ object VectorOps {
       .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
       .filter($"cos" >= 0.4)
       .select($"d1", $"d2", round($"cos", 6).as("cos"))
-      .orderBy($"d1", $"d2")
   }
 
   /** ANN via sign-LSH: bucket every vector by the sign pattern of its
@@ -334,7 +341,7 @@ object VectorOps {
     * scale design). Cluster id = min vec_id in the component. */
   def embedDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Graph.connectedComponents(lshNearDup(spark, sfDir).select($"d1", $"d2"))
+    Graph.connectedComponents(lshPairs(spark, sfDir).select($"d1", $"d2"))
       .select($"id".as("vec_id"), $"cluster_id")
       .orderBy($"vec_id")
   }
