@@ -232,7 +232,7 @@ object TextOps {
     }
   }
 
-  private[operators] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "lsh_pairs") {
       minhashLshUncached(spark, sfDir)
     }

@@ -92,12 +92,19 @@ class GraftSpec extends AnyFunSuite {
     // recomputed here exactly as the operator defines them)
     val trainIds = TextOps.sampleSplit(spark, sf) // touches the same split
     assert(trainIds.count() > 0)
+    val langById = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     d.foreach { r =>
       val id = r.getAs[Long]("doc_id").toString
       val kb = java.security.MessageDigest.getInstance("MD5")
         .digest(s"sample:$id".getBytes).take(1).map("%02x".format(_)).mkString
       val sb = java.security.MessageDigest.getInstance("MD5")
         .digest(s"split:$id".getBytes).take(1).map("%02x".format(_)).mkString
+      // flagged docs must ALSO be in the deterministic sample (the split
+      // only applies to sampled docs): lang-dependent keep threshold
+      val kThresh = if (langById(r.getAs[Long]("doc_id")) == "en") "80" else "33"
+      assert(kb < kThresh, s"doc $id not in the sample (bucket $kb)")
       assert(sb < "cc", s"doc $id not in train split (bucket $sb)")
       assert(r.getAs[Long]("n_shared") >= 1 &&
         r.getAs[Long]("n_shared") <= r.getAs[Long]("n_ngrams"))
@@ -138,6 +145,17 @@ class GraftSpec extends AnyFunSuite {
       .select(size(split($"text", " ")).cast("long").as("n"))
       .agg(sum($"n")).collect()(0).getLong(0)
     assert(totalPacked == totalTokens)
+    // Density (seq ids 0..max, no gaps) is only guaranteed while no
+    // single doc spans a whole 2048-token window: a spanning doc owns
+    // the windows it covers and the next doc STARTS in a later window
+    // (packCore's boundary unit test demonstrates the gap). Guard on
+    // the fixture so growth with a long doc can't fail this test
+    // without any product bug.
+    val maxDocTokens = Tables.documents(spark, sf)
+      .select(max(size(split($"text", " ")).cast("long"))).collect()(0).getLong(0)
+    assume(maxDocTokens <= 2048L,
+      s"fixture grew a window-spanning doc ($maxDocTokens tokens); " +
+        "density-over-all-windows no longer holds by construction")
     // per source, seq ids are 0..max with no gaps (greedy concatenation
     // cannot skip a window)
     packed.groupBy($"source")
@@ -1153,9 +1171,12 @@ class SessionCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("each session gets its own cached pair table; hits stay per-session") {
     val s2 = spark.newSession()
     org.apache.spark.sql.graft.VectorExpressions.register(s2)
-    val a1 = graft.operators.TextOps.minhashLsh(spark, sf)
-    val a2 = graft.operators.TextOps.minhashLsh(spark, sf)
-    val b1 = graft.operators.TextOps.minhashLsh(s2, sf)
+    // the cache lives at the lshPairs layer (minhashLsh wraps it in a
+    // fresh orderBy per call, so instance identity is asserted on the
+    // cached layer, answer equality on the public one)
+    val a1 = graft.operators.TextOps.lshPairs(spark, sf)
+    val a2 = graft.operators.TextOps.lshPairs(spark, sf)
+    val b1 = graft.operators.TextOps.lshPairs(s2, sf)
     // same session → cache hit (same instance); other session → its own
     assert(a1 eq a2)
     assert(!(a1 eq b1))
