@@ -53,11 +53,13 @@ object VectorOps {
     * Scale design: the query set is the BROADCAST side (a query
     * workload is bounded; the corpus is not), so the corpus streams
     * through one codegen'd cosine pass with no shuffle of the big side;
-    * per-query top-5 is a rank over (query, candidate) scores — at
-    * cluster scale the same loop runs per-partition top-k first (the
-    * v01 TakeOrderedAndProject pattern generalized per query). Ranking
-    * uses round(cos, 6) with a vec_id tiebreak so both engines agree on
-    * the neighbor set despite last-ulp float differences. */
+    * per-query top-5 is a bounded-buffer aggregation
+    * ([[graft.functions.TopKAggregator]]): map-side combine keeps at
+    * most 5 candidates per (query, partition), so the shuffle carries
+    * ≤ 5 rows per (query, partition) instead of every scored pair —
+    * the v01 TakeOrderedAndProject pattern generalized per query.
+    * Ranking uses round(cos, 6) with a vec_id tiebreak so both engines
+    * agree on the neighbor set despite last-ulp float differences. */
   def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
@@ -68,10 +70,13 @@ object VectorOps {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id", $"label",
         round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor])
     val top5 = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy(desc("cos"), $"vec_id")))
-      .filter($"rn" <= 5)
+      .groupBy($"q_id")
+      .agg(topk($"cos", $"vec_id", $"label").as("top"))
+      .select($"q_id", explode($"top").as("t"))
+      .select($"q_id", $"t.label".as("label"))
     top5.groupBy($"q_id", $"label")
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(

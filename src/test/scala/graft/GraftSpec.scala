@@ -1187,3 +1187,28 @@ class SessionCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a1.exceptAll(b1).count() == 0 && b1.exceptAll(a1).count() == 0)
   }
 }
+
+/** The connected-components loop must stay correct on the
+  * no-broadcast path (what a general graph above `broadcastNodeLimit`
+  * takes at scale: AQE-chosen shuffled joins instead of hinted
+  * broadcasts). */
+class GraphScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("components converge without broadcast hints on a 30k-node graph") {
+    import org.apache.spark.sql.functions._
+    // 10k path components {3i, 3i+1, 3i+2}: exercises both the
+    // neighbor-min step and pointer jumping (depth-2 chains)
+    val pairs = spark.range(0, 10000).select(
+        (col("id") * 3).as("d1"), (col("id") * 3 + 1).as("d2"))
+      .union(spark.range(0, 10000).select(
+        (col("id") * 3 + 1).as("d1"), (col("id") * 3 + 2).as("d2")))
+    val cc = graft.operators.Graph
+      .connectedComponents(pairs, broadcastNodeLimit = 0L)
+    assert(cc.count() == 30000L)
+    // every node must label to its component's minimum, 3*(id div 3)
+    val wrong = cc.filter(
+      col("cluster_id") =!= (col("id") - (col("id") % 3))).count()
+    assert(wrong == 0L)
+  }
+}
