@@ -125,9 +125,24 @@ object StreamOps {
       catch { case _: Throwable => () })
   }
 
-  /** Create a tracked temp dir, cleaned up on JVM exit. */
+  /** Create a tracked temp dir, cleaned up on JVM exit. Prefers a
+    * tmpfs root (/dev/shm) when one exists: streaming checkpoints and
+    * flush-file staging are pure scratch — per-micro-batch offset/
+    * commit/state files whose fsyncs are deadweight on a disk-backed
+    * /tmp. On a real cluster the checkpoint must instead be durable
+    * shared storage (object store / DFS) for failure recovery; local
+    * AvailableNow roundtrips have no recovery story to preserve. */
+  private val tmpRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
   private[streaming] def newTempDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val dir = tmpRoot match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None       => java.nio.file.Files.createTempDirectory(prefix)
+    }
     tempDirs.add(dir.toString)
     dir
   }
@@ -368,11 +383,22 @@ object StreamOps {
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(key)
+    val prevNd = spark.conf.get(ndKey)
     spark.catalog.dropTempView(name)
-    val cap = Integer.getInteger("graft.stream.partitions", 4).intValue()
+    // Streaming shuffle parallelism = state-store instances per batch.
+    // The fixtures' per-batch state is tiny, so 2 stores saturate a
+    // local run; a cluster deployment raises this to its core count
+    // (the knob a Kafka Streams app calls num.stream.threads).
+    val cap = Integer.getInteger("graft.stream.partitions", 2).intValue()
     spark.conf.set(key,
       math.min(cap, spark.sparkContext.defaultParallelism).toString)
+    // Complete mode re-emits the whole result every batch and never
+    // waits on a watermark close, so the trailing no-data batch is one
+    // pure-overhead state-store round trip; append/update queries NEED
+    // it (final windows / outer-join padding emit there).
+    if (mode == "complete") spark.conf.set(ndKey, "false")
     try {
       // AvailableNow: process everything (including the watermark-close
       // no-data batch that emits final windows / outer-join padding) and
@@ -382,10 +408,15 @@ object StreamOps {
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation",
+          newTempDir(s"graft_ckpt_$name").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, prevNd)
+    }
     spark.table(name)
   }
 
