@@ -138,19 +138,18 @@ object VectorOps {
       .orderBy($"d1", $"d2")
   }
 
-  // v08 LSH parameters: L bands × k signed random projections per band.
-  // The ±1 hyperplane entries come from a parity formula over (plane j,
-  // dim g) — integer-exact in both Scala and DuckDB, so the oracle
-  // reproduces the bands bit-for-bit without shipping a literal matrix.
-  // The Spark side bakes each plane into a LITERAL array (a lambda-based
-  // transform(sequence(...)) is NOT constant-folded by Catalyst, so it
-  // would rebuild all 64 planes per input row).
-  private val LshBands = 8
-  private val LshBits = 8
-  private def planeArr(j: Int): Array[Double] =
-    Array.tabulate(64) { g =>
-      if (((g.toLong * 1103515245L + j * 12345L) / 65536L) % 2 == 0) 1.0 else -1.0
-    }
+  // v08 LSH parameters: 8 bands × 8 signed random projections per
+  // band, computed by the codegen'd [[org.apache.spark.sql.graft
+  // .VectorExpressions.LshBandCodes]] expression (one tight loop per
+  // row; the naive 64-separate-dot-expressions formulation generated a
+  // method too large for JIT and ran interpreted). The ±1 hyperplane
+  // entries are the parity of md5("g:j")'s first hex digit — md5
+  // exists in both engines, so the oracle reproduces the band codes
+  // bit-for-bit, and the planes are cryptographically decorrelated.
+  // (A previous linear-congruence parity formula made adjacent planes
+  // nearly identical — the per-j increment barely moved the quotient —
+  // so band bits collapsed and ~11% of ALL pairs became candidates;
+  // md5 restores the 2^-k bucket selectivity the band math assumes.)
 
   /** Bounded embedding near-dup (the v04 contract made scale-safe):
     * candidate pairs come from multi-band sign-LSH — L=8 bands of k=8
@@ -184,21 +183,14 @@ object VectorOps {
   private def lshNearDupUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    // per (band b, bit k): plane j = b*bits + k, baked in as a literal
-    val bandCols = (0 until LshBands).map { b =>
-      val bits = (0 until LshBits).map { k =>
-        val j = b * LshBits + k
-        when(call_function("graft_dot", $"v", typedlit(planeArr(j))) >= 0d,
-          "1").otherwise("0")
-      }
-      struct(lit(b.toLong).as("band"), concat(bits: _*).as("bh"))
-    }
+    // one codegen'd pass → 8 long band codes per vector; the self-join
+    // key is a primitive (band, code) pair
     val bands = e
-      .select($"vec_id", $"v", explode(array(bandCols: _*)).as("x"))
-      .select($"vec_id", $"x.band".as("band"), $"x.bh".as("bh"))
+      .select($"vec_id",
+        posexplode(call_function("graft_lsh_bands", $"v")).as(Seq("band", "code")))
     val cand = bands.as("a")
       .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+        $"a.band" === $"b.band" && $"a.code" === $"b.code" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
       .distinct()
@@ -446,20 +438,22 @@ object VectorOps {
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "v08_lsh_neardup" -> {
-      // same parity-formula hyperplanes as the Spark side: plane
-      // j = b*bits + k, sign = parity of ((g*1103515245 + j*12345) // 65536)
+      // same md5-parity hyperplanes as the Spark side: plane
+      // j = b*8 + k, sign = parity of md5('g:j')'s first hex digit;
+      // band code = Σ_k 2^k·bit_k, matching LshBandCodes bit order
       val bitExpr =
-        """CASE WHEN list_dot_product(v, [CASE WHEN ((g::BIGINT * 1103515245
-          |  + (b*8 + k) * 12345) // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END
-          |  for g in range(0, 64)]) >= 0 THEN '1' ELSE '0' END""".stripMargin
+        """CASE WHEN list_dot_product(v, [CASE WHEN substr(md5(g::VARCHAR ||
+          |  ':' || (b*8 + k)::VARCHAR), 1, 1) IN
+          |  ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+          |  for g in range(0, 64)]) >= 0 THEN (1::BIGINT << k) ELSE 0 END""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
          |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
          |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
-         |bands AS (SELECT vec_id, b, string_agg(bit, '' ORDER BY k) AS bh
+         |bands AS (SELECT vec_id, b, SUM(bit) AS code
          |  FROM bits GROUP BY vec_id, b),
          |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.code = c.code
          |  AND a.vec_id < c.vec_id)
          |SELECT d1, d2, round(${cos("ea.v", "eb.v")}, 6) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
@@ -470,17 +464,18 @@ object VectorOps {
       // v08's band pipeline + recursive transitive closure (the same
       // reach/nodes tail as d12's oracle)
       val bitExpr =
-        """CASE WHEN list_dot_product(v, [CASE WHEN ((g::BIGINT * 1103515245
-          |  + (b*8 + k) * 12345) // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END
-          |  for g in range(0, 64)]) >= 0 THEN '1' ELSE '0' END""".stripMargin
+        """CASE WHEN list_dot_product(v, [CASE WHEN substr(md5(g::VARCHAR ||
+          |  ':' || (b*8 + k)::VARCHAR), 1, 1) IN
+          |  ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+          |  for g in range(0, 64)]) >= 0 THEN (1::BIGINT << k) ELSE 0 END""".stripMargin
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
          |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
          |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
-         |bands AS (SELECT vec_id, b, string_agg(bit, '' ORDER BY k) AS bh
+         |bands AS (SELECT vec_id, b, SUM(bit) AS code
          |  FROM bits GROUP BY vec_id, b),
          |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.code = c.code
          |  AND a.vec_id < c.vec_id),
          |m AS (SELECT d1, d2 FROM cand
          |  JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2

@@ -205,11 +205,111 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** All 8 sign-LSH band codes of a vector in ONE codegen'd pass:
+    * code_b = Σ_k 2^k·[dot(v, plane_{b·8+k}) ≥ 0]. The 64 md5-derived
+    * ±1 hyperplanes live in a static flat matrix referenced once per
+    * generated class — expressing the same thing as 64 separate
+    * dot-product expressions generates a method too large for JIT and
+    * silently runs interpreted (~30× slower per row; measured on the
+    * v08 band build). Long codes also make the band self-join key a
+    * primitive (band, code) pair instead of a string. */
+  case class LshBandCodes(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    import LshBandCodes._
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_lsh_bands"
+
+    protected override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), Dim)
+      val codes = new Array[Long](Bands)
+      var b = 0
+      while (b < Bands) {
+        var code = 0L
+        var k = 0
+        while (k < Bits) {
+          val off = (b * Bits + k) * Dim
+          var s = 0.0
+          var g = 0
+          while (g < n) { s += x.getDouble(g) * Planes(off + g); g += 1 }
+          if (s >= 0) code |= 1L << k
+          k += 1
+        }
+        codes(b) = code
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planes = ctx.addReferenceObj("lshPlanes", Planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val codes = ctx.freshName("codes")
+        val b = ctx.freshName("b")
+        val k = ctx.freshName("k")
+        val g = ctx.freshName("g")
+        val s = ctx.freshName("s")
+        val code = ctx.freshName("code")
+        val off = ctx.freshName("off")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $Dim);
+           |long[] $codes = new long[$Bands];
+           |for (int $b = 0; $b < $Bands; $b++) {
+           |  long $code = 0L;
+           |  for (int $k = 0; $k < $Bits; $k++) {
+           |    int $off = ($b * $Bits + $k) * $Dim;
+           |    double $s = 0.0;
+           |    for (int $g = 0; $g < $n; $g++) {
+           |      $s += $a.getDouble($g) * $planes[$off + $g];
+           |    }
+           |    if ($s >= 0) $code |= 1L << $k;
+           |  }
+           |  $codes[$b] = $code;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object LshBandCodes {
+    val Bands = 8
+    val Bits = 8
+    val Dim = 64
+    /** Flat (plane-major) ±1 matrix: entry (j, g) is the parity of
+      * md5("g:j")'s first hex digit — reproducible integer-exactly in
+      * DuckDB (`substr(md5(...), 1, 1)`), cryptographically
+      * decorrelated across planes. */
+    val Planes: Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Double](Bands * Bits * Dim)
+      var j = 0
+      while (j < Bands * Bits) {
+        var g = 0
+        while (g < Dim) {
+          val hex = md.digest(s"$g:$j".getBytes("UTF-8"))
+          md.reset()
+          out(j * Dim + g) = if (((hex(0) >> 4) & 1) == 0) 1.0 else -1.0
+          g += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot"    -> (es => DotProduct(es(0), es(1))),
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_norm"   -> (es => L2Norm(es.head)),
     "graft_sorted_isect" -> (es => SortedIntersectSize(es(0), es(1))),
+    "graft_lsh_bands" -> (es => LshBandCodes(es.head)),
   )
 
   /** Imperative registration for an existing session (tests, Verify). */
@@ -238,5 +338,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_sorted_isect"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_isect"),
       es => SortedIntersectSize(es(0), es(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandCodes].getName, "graft_lsh_bands"),
+      es => LshBandCodes(es.head)))
   }
 }

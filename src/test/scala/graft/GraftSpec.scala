@@ -1066,6 +1066,46 @@ class LshRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     info(f"recall@cos>=0.4: $overall%.3f (${lsh.size}/${exact.size})")
   }
 
+  test("band planes: >=90% recall on near-identical twins, selective on random pairs") {
+    // The fixtures contain no cos>=0.9 pairs, so the recall contract
+    // above is vacuous there; pin the PLANE QUALITY directly instead.
+    // (This is the property a correlated plane formula silently broke:
+    // buckets collapsed, every pair collided, and the "LSH" was an
+    // all-pairs scan in disguise.)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val base = Array.fill(300)(unit())
+    // twin = base + small Gaussian noise → cos ≈ 0.97
+    val twins = base.map { v =>
+      val t = v.map(_ + 0.12 * rnd.nextGaussian() / math.sqrt(dim.toDouble))
+      assert(cosine(v, t) >= 0.9)
+      t
+    }
+    val df = (base ++ twins).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "v")
+    val codes = df.select($"id", call_function("graft_lsh_bands", $"v").as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def collide(a: Long, b: Long): Boolean =
+      codes(a).zip(codes(b)).exists { case (x, y) => x == y }
+    val recalled = base.indices.count(i => collide(i.toLong, (i + 300).toLong))
+    assert(recalled >= 270, s"near-identical twin recall $recalled/300 < 90%")
+    // unrelated base pairs (cos ~ 0): collision must be RARE — the
+    // selectivity half of the LSH contract (expected ~8/256 ≈ 3%)
+    val randomHits = (0 until 299).count(i => collide(i.toLong, (i + 1).toLong))
+    assert(randomHits <= 30, s"random-pair collisions $randomHits/299 > 10%")
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
