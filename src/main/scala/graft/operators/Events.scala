@@ -194,6 +194,51 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Ten deterministic 36-hour "promo" intervals (start 06:00, every
+    * 3 days across the fixture's January span) — the interval side of
+    * the range join. Derived from constants, not data, so the oracle
+    * rebuilds it exactly. */
+  private[graft] def promoIntervals(spark: SparkSession): DataFrame =
+    spark.range(10).selectExpr(
+      "id AS promo_id",
+      "timestampadd(DAY, cast(id*3 AS int), timestamp'2024-01-01 06:00:00') AS p_start",
+      "timestampadd(HOUR, 36, timestampadd(DAY, cast(id*3 AS int), " +
+        "timestamp'2024-01-01 06:00:00')) AS p_end")
+
+  /** RANGE JOIN via bucketing: every event joined to the promo
+    * interval(s) containing its timestamp, as an EQUI-join.
+    *
+    * A naive `e.ts BETWEEN p_start AND p_end` join has no equi key, so
+    * Spark plans a nested-loop scan — quadratic, and only salvageable
+    * by broadcasting one side. The scale-safe shape for BIG-BIG
+    * interval joins bins the time axis: each interval explodes into
+    * the day buckets it covers (bounded: ceil(len/1day)+1 rows), each
+    * event keys by its own day bucket, and the join becomes a shuffled
+    * equi-join on the bucket with the exact range check as a residual
+    * filter. Neither side needs to fit in memory, the shuffle is
+    * uniform in the time dimension, and bucket width tunes the
+    * replication-vs-selectivity trade-off (match it to the median
+    * interval length). Here the interval side is 10 rows, so Catalyst
+    * broadcasts it anyway — the PLAN SHAPE is what generalizes. */
+  def promoRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val promoDays = promoIntervals(spark)
+      .select($"promo_id", $"p_start", $"p_end",
+        explode(expr(
+          "sequence(date_trunc('DAY', p_start), date_trunc('DAY', p_end), interval 1 day)"))
+          .as("bucket"))
+    Tables.events(spark, sfDir)
+      .withColumn("bucket", date_trunc("DAY", $"ts"))
+      .join(promoDays,
+        Seq("bucket")) // equi on bucket; exact range as residual below
+      .filter($"ts" >= $"p_start" && $"ts" < $"p_end")
+      .groupBy($"promo_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"promo_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
     "e02_tumbling_daily" -> tumblingDaily _,
@@ -207,11 +252,25 @@ object Events {
     "e10_user_pivot"     -> userPivot _,
     "e18_rank_variants"  -> rankVariants _,
     "e19_cogroup"        -> cogroupActivity _,
+    "e21_promo_range_join" -> promoRangeJoin _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e21_promo_range_join" ->
+      s"""WITH promos AS (SELECT p AS promo_id,
+         |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY AS p_start,
+         |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY
+         |    + INTERVAL 36 HOUR AS p_end
+         |  FROM (SELECT unnest(range(10)) AS p))
+         |SELECT promo_id, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${D.dsum("value", "sum_value")}
+         |FROM promos JOIN events e
+         |  ON epoch_us(e.ts) >= epoch_us(p_start)
+         |  AND epoch_us(e.ts) < epoch_us(p_end)
+         |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
     "e19_cogroup" ->
       """SELECT user_id,
         |count(*) FILTER (WHERE event_type = 'view') AS n_views,

@@ -357,7 +357,43 @@ object VectorOps {
     "v08_lsh_neardup"     -> lshNearDup _,
     "v09_kmeans"          -> kmeans _,
     "v10_embed_dup_clusters" -> embedDupClusters _,
+    "v12_quantized_topk"  -> quantizedTopK _,
   )
+
+  /** Scalar-quantized candidate scan + exact re-rank: every vector is
+    * quantized to int8 (round(x·64), clamped to ±127 — 4-8× smaller
+    * than float32/64 storage), the query's top-50 candidates are found
+    * on QUANTIZED dot products only, and just those 50 get the exact
+    * float cosine, re-ranked to a top-10.
+    *
+    * The memory-bandwidth shape of production ANN: the full-corpus
+    * scan touches only compressed vectors (at 100 TB of float32
+    * embeddings the int8 copy is 25 TB — often the difference between
+    * in-memory and spilling), while exact math runs on a candidate set
+    * ~corpus/40000. Quantized dots are integer-exact (≤ 64·127² ≈ 10⁶,
+    * far inside exact-double range), so both engines rank candidates
+    * identically — no float-tie hazard until the final round(cos, 6)
+    * re-rank, which reuses v01's rounding contract. Top-50 and top-10
+    * both run as TakeOrderedAndProject (per-partition heap + driver
+    * merge, never a full sort). */
+  def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+      .withColumn("qv", expr(
+        "transform(v, x -> cast(greatest(-127.0, least(127.0, round(x * 64))) as double))"))
+    val q = e.filter($"vec_id" === 0).select($"qv".as("qqv"), $"v".as("refv"))
+    val cand = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"v", $"refv",
+        call_function("graft_dot", $"qv", $"qqv").cast("long").as("qdot"))
+      .orderBy(desc("qdot"), $"vec_id")
+      .limit(50)
+    cand
+      .select($"vec_id", $"qdot",
+        round(call_function("graft_cosine", $"v", $"refv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+  }
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -411,6 +447,18 @@ object VectorOps {
          |FROM e CROSS JOIN q
          |WHERE vec_id <> 0 AND bucket = q_bucket
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "v12_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  [CAST(greatest(-127.0, least(127.0, round(x * 64))) AS DOUBLE)
+         |    for x in embedding::DOUBLE[]] AS qv
+         |  FROM embeddings),
+         |q AS (SELECT qv AS qqv, v AS refv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, v, refv,
+         |  CAST(list_dot_product(qv, qqv) AS BIGINT) AS qdot
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY qdot DESC, vec_id LIMIT 50)
+         |SELECT vec_id, qdot, round(${cos("v", "refv")}, 6) AS cos
+         |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "v06_vector_stats" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, len(v) AS dim,

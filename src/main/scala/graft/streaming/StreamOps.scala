@@ -524,6 +524,34 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming RANGE enrich (stream-side of e21's binned interval
+    * join): each event picks up the deterministic promo interval(s)
+    * containing its timestamp. The join is an EQUI-join on the day
+    * bucket with the exact range check as a residual filter — the same
+    * bucketing that makes the batch big-big range join shuffle-safe;
+    * under streaming it additionally means NO state store and no
+    * watermark (plain inner stream-static join), because the bucket
+    * key is derived from the event row itself. The 10-row interval
+    * side is broadcast; a large interval table would hash-partition by
+    * bucket and co-locate with the stream's shuffle. */
+  def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val promoDays = graft.operators.Events.promoIntervals(spark)
+      .select(col("promo_id"), col("p_start"), col("p_end"),
+        explode(expr(
+          "sequence(date_trunc('DAY', p_start), date_trunc('DAY', p_end), interval 1 day)"))
+          .as("bucket"))
+    runToMemory(
+      eventsStream(spark, sfDir)
+        .withColumn("bucket", date_trunc("DAY", col("ts")))
+        .join(broadcast(promoDays), "bucket")
+        .filter(col("ts") >= col("p_start") && col("ts") < col("p_end"))
+        .select(col("event_id"), col("promo_id"), col("user_id"),
+          round(col("value"), 2).as("value")),
+      "graft_s16", "append")
+      .orderBy(col("event_id"), col("promo_id"))
+  }
+
   /** Streaming session-window aggregation in APPEND mode (the
     * SessionWindows.ofInactivityGap + suppress-until-close pairing):
     * sessions emit only when the watermark proves the gap can no longer
@@ -799,9 +827,21 @@ object StreamOps {
     "s13_stream_outer_join" -> streamViewPurchaseOuter _,
     "s14_stream_table_join" -> streamTableJoin _,
     "s15_stream_table_update" -> streamTableUpdateJoin _,
+    "s16_stream_range_join" -> streamRangeJoin _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s16_stream_range_join" ->
+      """WITH promos AS (SELECT p AS promo_id,
+        |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY AS p_start,
+        |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY
+        |    + INTERVAL 36 HOUR AS p_end
+        |  FROM (SELECT unnest(range(10)) AS p))
+        |SELECT event_id, promo_id, user_id, round(value, 2) AS value
+        |FROM events e JOIN promos
+        |  ON epoch_us(e.ts) >= epoch_us(p_start)
+        |  AND epoch_us(e.ts) < epoch_us(p_end)
+        |ORDER BY event_id, promo_id""".stripMargin,
     "s11_stream_distinct" ->
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |count(DISTINCT user_id) AS n_users, count(*) AS n_events

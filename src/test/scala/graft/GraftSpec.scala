@@ -186,6 +186,40 @@ class GraftSpec extends AnyFunSuite {
     ))
   }
 
+  test("binned range join equals the direct range join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the bucketing is an OPTIMIZATION: joining on (bucket) + residual
+    // range must produce exactly the rows of the unbinned range join
+    val binned = Events.promoRangeJoin(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .join(Events.promoIntervals(spark),
+        $"ts" >= $"p_start" && $"ts" < $"p_end")
+      .groupBy($"promo_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        graft.functions.Det.dsum($"value").as("sum_value"))
+      .orderBy($"promo_id")
+    assert(binned.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(binned).count() == 0)
+    assert(binned.count() > 0)
+  }
+
+  test("quantized top-k re-rank closely tracks the exact top-10") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val approx = VectorOps.quantizedTopK(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val exact = VectorOps.cosineTopK(spark, sf)
+      .limit(10).select($"vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    // int8 quantization at 64 dims keeps candidate ranking close to
+    // exact; with a 5x candidate margin (top-50 -> top-10) the re-rank
+    // should recover nearly all of the true top-10
+    val overlap = (approx & exact).size
+    assert(overlap >= 8, s"quantized top-10 overlaps exact top-10 only $overlap/10")
+  }
+
   test("repetition signals are bounded and detect a planted repeat") {
     import spark.implicits._
     val reps = TextOps.repetition(spark, sf).collect()
@@ -256,6 +290,20 @@ class StreamingSpec extends AnyFunSuite {
   import graft.streaming.StreamOps
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
+
+  test("streaming range enrich equals the batch binned range join rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = StreamOps.streamRangeJoin(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .join(graft.operators.Events.promoIntervals(spark),
+        $"ts" >= $"p_start" && $"ts" < $"p_end")
+      .select($"event_id", $"promo_id", $"user_id",
+        round($"value", 2).as("value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
 
   test("flatMapGroupsWithState sessionization equals batch session_window") {
     import org.apache.spark.sql.functions._
