@@ -239,6 +239,32 @@ object Events {
       .orderBy($"promo_id")
   }
 
+  /** Salted join on a deliberately HOT key: `user_id % 5` collapses the
+    * whole events table onto 5 join keys — the straggler shape where
+    * one reducer gets 20% of the data. [[SkewJoin.saltedJoin]] spreads
+    * each hot key over 8 salts (deterministic hash of event_id, not
+    * rand()), the 5-row dim replicates ×8, and the post-join
+    * aggregation re-combines. Result must equal the unsalted join —
+    * that equality IS the oracle check. AQE's skew-join split handles
+    * sort-merge plans automatically at scale; explicit salting is for
+    * the cases it won't touch (aggregations over hot keys,
+    * broadcast-ineligible plans) — declared here so the mechanism
+    * stays oracle-verified. */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hot = Tables.events(spark, sfDir)
+      .withColumn("hot_key", $"user_id" % 5)
+    val dim = Tables.nation(spark, sfDir)
+      .filter($"n_nationkey" < 5)
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    SkewJoin.saltedJoin(hot, dim, $"hot_key", $"nk", $"event_id", 8)
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
     "e02_tumbling_daily" -> tumblingDaily _,
@@ -253,11 +279,19 @@ object Events {
     "e18_rank_variants"  -> rankVariants _,
     "e19_cogroup"        -> cogroupActivity _,
     "e21_promo_range_join" -> promoRangeJoin _,
+    "e22_skew_salted_join" -> skewSaltedJoin _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e22_skew_salted_join" ->
+      s"""SELECT n_name, count(*) AS n_events,
+         |count(DISTINCT user_id) AS n_users,
+         |${D.dsum("value", "sum_value")}
+         |FROM events e JOIN nation n ON e.user_id % 5 = n.n_nationkey
+         |WHERE n.n_nationkey < 5
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "e21_promo_range_join" ->
       s"""WITH promos AS (SELECT p AS promo_id,
          |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY AS p_start,
