@@ -281,8 +281,11 @@ object TextOps {
   private def simhashSigs(spark: SparkSession, sfDir: String,
       width: Int): DataFrame = {
     import spark.implicits._
+    // bit i set ⇔ hex digit i ≥ 8; lexicographic `>= '8'` is exact for
+    // the md5 alphabet 0-9a-f (one comparison instead of a substring
+    // search per bit — this runs width× per token occurrence)
     val bitSums = (1 to width).map(i =>
-      sum(when(expr(s"instr('89abcdef', substr(m, $i, 1))") > 0, 1)
+      sum(when(expr(s"substr(m, $i, 1) >= '8'"), 1)
         .otherwise(-1)).as(s"s_$i"))
     docsWithToks(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
