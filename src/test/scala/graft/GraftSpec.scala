@@ -1276,6 +1276,40 @@ class SessionCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Physical-plan audit over EVERY declared batch query: the "no
+  * quadratic plan in the query set" claim, asserted rather than
+  * reviewed. CartesianProductExec (shuffle nested-loop over both full
+  * sides) must never appear; BroadcastNestedLoopJoinExec is tolerated
+  * only because every use here broadcasts a provably tiny side (a
+  * 1-row query vector / scalar), which the companion check pins by
+  * requiring a BroadcastExchange/BroadcastQueryStage beneath it.
+  * Streaming queries are excluded: invoking them executes the whole
+  * stream, and their batch analogues are all audited here. */
+class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("no declared batch query plans a cartesian product; NL joins are broadcast-fed") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("s"))
+      .sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        // every BroadcastNestedLoopJoin line must co-occur with a
+        // broadcast exchange somewhere in the same plan tree
+        val nlUnfed = plan.contains("BroadcastNestedLoopJoin") &&
+          !(plan.contains("BroadcastExchange") ||
+            plan.contains("BroadcastQueryStage"))
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (nlUnfed) Some(s"$name: NL join without broadcast")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic plans in declared queries:\n  ${offenders.mkString("\n  ")}")
+  }
+}
+
 /** The connected-components loop must stay correct on the
   * no-broadcast path (what a general graph above `broadcastNodeLimit`
   * takes at scale: AQE-chosen shuffled joins instead of hinted
