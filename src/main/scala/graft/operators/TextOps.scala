@@ -717,6 +717,27 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source duplication matrix: how many near-dup pairs link
+    * each (source, source) combination — the diagnostic that decides
+    * which corpus sources to drop or down-weight before training (a
+    * source that mostly duplicates another contributes tokens but no
+    * diversity). Reuses the session-cached d06 pair table, so the
+    * marginal cost is two joins against the 2-column doc→source map
+    * and a tiny aggregation; source pairs are canonically ordered
+    * (least, greatest) so A→B and B→A collapse. */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    lshPairs(spark, sfDir)
+      .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
+      .join(src.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
+      .select(least($"s1", $"s2").as("src_a"),
+        greatest($"s1", $"s2").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d02_top_terms"     -> topTerms _,
@@ -738,7 +759,27 @@ object TextOps {
     "d18_repetition"    -> repetition _,
     "d19_simhash_neardup" -> simhashNearDup _,
     "d20_mix_weights"   -> mixWeights _,
+    "d21_cross_source_dups" -> crossSourceDups _,
   )
+
+  /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
+    * (candidate pairs + matching-permutation counts) — shared verbatim
+    * by the d06 and d21 oracles so the two can never drift. */
+  private def mhPairsCte: String =
+    s"""t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+       |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
+       |xs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % $MhP AS x FROM tok),
+       |sig AS (SELECT doc_id, s, min((a * x + b) % $MhP) AS h
+       |  FROM xs CROSS JOIN $mhSeedsSql GROUP BY doc_id, s),
+       |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
+       |  FROM sig GROUP BY doc_id, s // 4),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+       |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d20_mix_weights" ->
@@ -897,22 +938,18 @@ object TextOps {
         |  for g in range(1, len(toks) - 3)]) AS min_shingle_md5
         |FROM t ORDER BY doc_id""".stripMargin,
     "d06_minhash_lsh" ->
-      s"""WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 3),
-         |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
-         |  for g in range(1, len(toks) - 1)])) AS t FROM t0),
-         |xs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % $MhP AS x FROM tok),
-         |sig AS (SELECT doc_id, s, min((a * x + b) % $MhP) AS h
-         |  FROM xs CROSS JOIN $mhSeedsSql GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
-         |  FROM sig GROUP BY doc_id, s // 4),
-         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
-         |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)
+      s"""WITH $mhPairsCte
          |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
          |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "d21_cross_source_dups" ->
+      s"""WITH $mhPairsCte,
+         |pairs AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM pairs JOIN documents da ON da.doc_id = d1
+         |JOIN documents db ON db.doc_id = d2
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "d07_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
         |bits AS (SELECT doc_id, i,
