@@ -781,6 +781,41 @@ object StreamOps {
       .orderBy(col("w_start"))
   }
 
+  /** Hot-key streaming aggregation via SALTING (the streaming face of
+    * e22's SkewJoin): `event_type` has only 5 values, so a single-stage
+    * streaming groupBy puts 20% of the stream through one state-store
+    * instance — the classic streaming straggler. Stage 1 aggregates by
+    * (event_type, salt) with a deterministic 8-way salt (hash of
+    * event_id), spreading each hot key over 8 stores; stage 2
+    * re-combines the 5×8 partials per key. Chained stateful
+    * aggregations keep both stages in ONE streaming query; stage-2
+    * state is bounded by live (window, key, salt) triples. Both stages
+    * run on the s11 skeleton — watermarked day windows, flush-sentinel
+    * close, append mode (chained stateful aggregations require the
+    * window+watermark form; an unwindowed chain trips Spark's
+    * global-watermark correctness check). Decimal partial sums re-sum
+    * exactly, so the result equals the unsalted daily aggregation —
+    * which is what the oracle checks. */
+  def streamSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+    val stage1 = ev
+      .withColumn("salt", pmod(hash(col("event_id")), lit(8)))
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,4)")).as("psum"))
+    val stage2 = stage1
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")).cast("double"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToMemory(stage2, "graft_s17", "append")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Streaming `cogroup` THROUGH THE DSL (the same CogroupedG that
     * runs e19 in batch): three event-type branches of the stream fold
     * into one aggregation — a null-padding union feeding a single
@@ -828,9 +863,15 @@ object StreamOps {
     "s14_stream_table_join" -> streamTableJoin _,
     "s15_stream_table_update" -> streamTableUpdateJoin _,
     "s16_stream_range_join" -> streamRangeJoin _,
+    "s17_stream_salted_agg" -> streamSaltedAgg _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s17_stream_salted_agg" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
+        |event_type, count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "s16_stream_range_join" ->
       """WITH promos AS (SELECT p AS promo_id,
         |  TIMESTAMP '2024-01-01 06:00:00' + (p*3) * INTERVAL 1 DAY AS p_start,
