@@ -14,9 +14,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * `TakeOrderedAndProject` uses for global top-k, generalized per
   * group.
   *
-  * Ordering: cos DESC, then vec_id ASC — cos must already be rounded
-  * to a stable grain (round(…, 6) upstream) so the comparator is a
-  * total order both engines agree on.
+  * Ordering: cos DESC, then vec_id ASC, then label ASC — cos must
+  * already be rounded to a stable grain (round(…, 6) upstream). In
+  * v11 (vec_id unique per group) the label leg is unreachable; it
+  * completes the total order so the buffer is deterministic for ANY
+  * input, which TopKProps checks against arbitrary duplicates.
   *
   * Usage (untyped, via [[org.apache.spark.sql.functions.udaf]]):
   * `df.groupBy($"q_id").agg(topkUdaf($"cos", $"vec_id", $"label"))`.
@@ -25,7 +27,10 @@ class TopKAggregator(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
   private def better(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
+    a.cos > b.cos ||
+      (a.cos == b.cos &&
+        (a.vec_id < b.vec_id ||
+          (a.vec_id == b.vec_id && a.label < b.label)))
 
   override def zero: Seq[ScoredNeighbor] = Nil
 

@@ -754,11 +754,13 @@ class ExtensionsInjectionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val row = fresh.sql(
       """SELECT graft_cosine(array(1D, 0D), array(1D, 0D)) AS c,
         |graft_dot(array(2D, 3D), array(4D, 5D)) AS d,
-        |graft_sorted_isect(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i
+        |graft_sorted_isect(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
+        |size(graft_lsh_bands(array_repeat(1D, 64))) AS nb
         |""".stripMargin).collect()(0)
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
     assert(math.abs(row.getDouble(1) - 23.0) < 1e-9)
     assert(row.getInt(2) == 2)
+    assert(row.getInt(3) == 8)
   }
 }
 
