@@ -7,20 +7,24 @@ import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions
 
 /** Embedding / similarity-search operators over `embeddings`
-  * (Array[Float], dim 64): brute-force cosine top-k, per-label
-  * centroids, nearest-centroid classification, cosine near-dup pairs,
-  * and sign-LSH bucketed ANN.
+  * (Array[Float], dim 64): brute-force cosine top-k, kNN-join
+  * classification, per-label centroids, nearest-centroid
+  * classification, multi-band sign-LSH near-dup + dup clusters,
+  * sign-LSH / IVF bucketed ANN, k-means, int8-quantized candidate
+  * scan with exact re-rank, and vector stats.
   *
   * Scale path (100 TB of embeddings):
   *  - the query vector / centroid set is always the broadcast side —
   *    the big table streams through a codegen'd cosine loop
   *    ([[org.apache.spark.sql.graft.VectorExpressions]]) with no shuffle at all;
   *  - global top-k goes through TakeOrderedAndProject (per-partition
-  *    heap + driver merge), never a full sort;
-  *  - all-pairs near-dup is the one genuinely quadratic op — the ANN
-  *    query shows the bucketed alternative (hash vectors into sign
-  *    buckets, join within buckets only), which is how you'd bound it
-  *    on a cluster.
+  *    heap + driver merge), never a full sort; per-GROUP top-k goes
+  *    through the bounded [[graft.functions.TopKAggregator]] buffer;
+  *  - all-pairs near-dup is the one genuinely quadratic op — v08
+  *    bounds it with band-bucket LSH collisions (codegen'd
+  *    `graft_lsh_bands` codes, equi-join on (band, code)), and v12
+  *    shows the compressed-scan path (int8 candidates, exact re-rank
+  *    on ~corpus/40000 rows).
   */
 object VectorOps {
 
