@@ -389,12 +389,34 @@ object TextOps {
     * past ~10B distinct shingles, widen to two independent xxhash64
     * seeds (128 bits) or verify candidates on raw shingle strings.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardCore(spark, docsWithToks(spark, sfDir))
+
+  /** d22: the scale-correct composition the 10× scaling probe (SURVEY
+    * round-5 note) prescribes — collapse EXACT duplicates first, then
+    * run all-pairs near-dup among canonical representatives only. An
+    * all-pairs output is inherently quadratic in duplicate-group size
+    * (c copies ⇒ c² pairs), so a 100 TB corpus with heavy verbatim
+    * duplication must canonicalize before the pair stage: the collapse
+    * is one sublinear hash-agg, and the pair stage then runs on the
+    * (much smaller) canonical set. Pair list ⊆ d08's, restricted to
+    * min-doc_id representatives of each identical-text group. */
+  def canonicalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reps = docsWithToks(spark, sfDir)
+      .withColumn("rep",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"rep")
+      .select($"doc_id", $"toks")
+    ngramJaccardCore(spark, reps)
+  }
+
+  private def ngramJaccardCore(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
     val t = 0.5
     // one (doc, shingle-hash) row per distinct shingle occurrence
-    val tok = docsWithToks(spark, sfDir)
+    val tok = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
@@ -760,6 +782,7 @@ object TextOps {
     "d19_simhash_neardup" -> simhashNearDup _,
     "d20_mix_weights"   -> mixWeights _,
     "d21_cross_source_dups" -> crossSourceDups _,
+    "d22_canonical_neardup" -> canonicalNearDup _,
   )
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
@@ -959,6 +982,21 @@ object TextOps {
         |sh AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id)
         |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "d22_canonical_neardup" ->
+      """WITH reps AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM documents) x WHERE doc_id = rep),
+        |t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM reps WHERE len(str_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS s FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+        |WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "d08_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE len(str_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]

@@ -220,6 +220,34 @@ class GraftSpec extends AnyFunSuite {
     assert(overlap >= 8, s"quantized top-10 overlaps exact top-10 only $overlap/10")
   }
 
+  test("canonical-first near-dup drops copy pairs, keeps cross-doc pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic corpus: 2 byte-identical copies, 1 near-dup, 1 unrelated
+    // (the sf0.01 fixture has no byte-identical texts, so this semantic
+    // difference needs a synthetic input to be visible)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d22").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "src0", 15L),
+      (2L, "a b c d e f g h", "en", "src1", 15L),  // exact copy of 1
+      (3L, "a b c d e f g x", "en", "src0", 15L),  // near-dup of 1
+      (4L, "z q w z q w z q w", "en", "src0", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val all = TextOps.ngramJaccard(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val canon = TextOps.canonicalNearDup(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    // all-pairs sees the copy pair and both its echoes
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // canonical-first collapses doc 2 into doc 1; only the true
+    // cross-document near-dup remains
+    assert(canon == Set((1L, 3L)))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("repetition signals are bounded and detect a planted repeat") {
     import spark.implicits._
     val reps = TextOps.repetition(spark, sf).collect()
