@@ -390,7 +390,7 @@ object TextOps {
     * seeds (128 bits) or verify candidates on raw shingle strings.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardCore(spark, docsWithToks(spark, sfDir))
+    pairsFromByDoc(spark, byDocCached(spark, sfDir))
 
   /** d22: the scale-correct composition the 10× scaling probe (SURVEY
     * round-5 note) prescribes — collapse EXACT duplicates first, then
@@ -398,50 +398,69 @@ object TextOps {
     * all-pairs output is inherently quadratic in duplicate-group size
     * (c copies ⇒ c² pairs), so a 100 TB corpus with heavy verbatim
     * duplication must canonicalize before the pair stage: the collapse
-    * is one sublinear hash-agg, and the pair stage then runs on the
-    * (much smaller) canonical set. Pair list ⊆ d08's, restricted to
-    * min-doc_id representatives of each identical-text group. */
+    * is one sublinear window over md5(text), and the pair stage then
+    * runs on the (much smaller) canonical set. Pair list ⊆ d08's,
+    * restricted to min-doc_id representatives of each identical-text
+    * group.
+    *
+    * Shares d08's cached per-doc shingle table, filtered to reps with
+    * a semi-join: the prefix ordering inside that table uses document
+    * frequencies over ALL docs, which is still ONE consistent global
+    * shingle order — PPJoin completeness only requires both prefixes
+    * to be taken under the same total order, not any particular one —
+    * so the rep-subset pair set is exact. */
   def canonicalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val reps = docsWithToks(spark, sfDir)
+    val repIds = Tables.documents(spark, sfDir)
       .withColumn("rep",
         min($"doc_id").over(Window.partitionBy(md5($"text"))))
       .filter($"doc_id" === $"rep")
-      .select($"doc_id", $"toks")
-    ngramJaccardCore(spark, reps)
+      .select($"doc_id")
+    pairsFromByDoc(spark,
+      byDocCached(spark, sfDir).join(repIds, Seq("doc_id"), "left_semi"))
   }
 
-  private def ngramJaccardCore(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private val JaccT = 0.5
+
+  /** Per-doc shingle table (n, sorted hash set, rarest-first prefix) —
+    * ONE session-cached materialization serving d08's prefix path,
+    * both verify sides, and d22's rep-filtered rerun. */
+  private def byDocCached(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "d08_bydoc") {
+      import spark.implicits._
+      val t = JaccT
+      // one (doc, shingle-hash) row per distinct shingle occurrence
+      val tok = docsWithToks(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+      // Document frequency in the SAME pass as the shingle shuffle: one
+      // window count over (partition by h) — the rows are already
+      // hash-partitioned by h for it, so this replaces the former
+      // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
+      // then builds EVERYTHING array-side in one pass: the df-ordered
+      // struct list (sort_array over ~doc-length elements — bounded per
+      // row, no global WindowExec sort by (doc, df, h)), the sorted hash
+      // set for the verify step, and the rarest-first prefix slice. One
+      // materialization serves the prefix path and both verify sides.
+      val withDf = tok.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"h")))
+      withDf
+        .groupBy($"doc_id").agg(
+          sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
+        .select($"doc_id",
+          size($"sdh").cast("long").as("n"),
+          expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
+          expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
+            .as("pref"))
+    }
+
+  private def pairsFromByDoc(spark: SparkSession, byDoc: DataFrame): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    val t = 0.5
-    // one (doc, shingle-hash) row per distinct shingle occurrence
-    val tok = docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    // Document frequency in the SAME pass as the shingle shuffle: one
-    // window count over (partition by h) — the rows are already
-    // hash-partitioned by h for it, so this replaces the former
-    // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
-    // then builds EVERYTHING array-side in one pass: the df-ordered
-    // struct list (sort_array over ~doc-length elements — bounded per
-    // row, no global WindowExec sort by (doc, df, h)), the sorted hash
-    // set for the verify step, and the rarest-first prefix slice. One
-    // materialization serves the prefix path and both verify sides.
-    val withDf = tok.withColumn("df",
-      count(lit(1)).over(Window.partitionBy($"h")))
-    val byDoc = withDf
-      .groupBy($"doc_id").agg(
-        sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
-      .select($"doc_id",
-        size($"sdh").cast("long").as("n"),
-        expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
-        expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
-          .as("pref"))
-      .localCheckpoint()
+    val t = JaccT
     val prefix = byDoc.select($"doc_id", $"n",
         posexplode($"pref").as(Seq("r0", "x")))
       .select($"doc_id", $"n", $"x.h".as("h"), ($"r0" + 1).as("r"))
