@@ -307,6 +307,58 @@ object Relational {
       .orderBy($"p_brand", $"p_size")
   }
 
+  /** IN / NOT IN predicate subqueries (TPC-H Q20 shape): brands whose
+    * parts appear in some very-large-quantity lineitem but never in a
+    * returned near-max-quantity one. Written through the SQL entry so
+    * Catalyst's subquery rewrites are what runs: the IN becomes a
+    * left-semi join and the NOT IN a null-aware anti join — both
+    * hash joins on p_partkey, no per-row subquery execution. The keys
+    * are non-null on both sides, so NOT IN's three-valued-logic trap
+    * (one NULL empties the result) cannot fire — but the plan is still
+    * the null-aware one, which is the surface this query pins. */
+  def brandsInNotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_parts,
+        |round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_price
+        |FROM graft_part
+        |WHERE p_partkey IN (SELECT l_partkey FROM graft_lineitem
+        |                    WHERE l_quantity >= 45)
+        |  AND p_partkey NOT IN (SELECT l_partkey FROM graft_lineitem
+        |                        WHERE l_returnflag = 'R' AND l_quantity >= 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q22 shape — idle capital: customers with above-average
+    * positive balance and no recent orders, summarized per segment.
+    * Exercises uncorrelated scalar subqueries + NOT EXISTS (anti join).
+    *
+    * Determinism: `bal > avg(bal)` compared as doubles would hang rows
+    * within an ulp of each engine's float-summation order; instead the
+    * 2-dp balances are exact integer cents and the predicate is the
+    * cross-multiplied rational `cents·n > sum_cents` — bit-identical in
+    * both engines (products stay far under 2⁶³ even at sf10k). */
+  def idleCapital(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH pos AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM graft_customer)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(cents) / 100.0, 2) AS total_bal
+        |FROM pos
+        |WHERE cents * (SELECT count(*) FROM pos WHERE cents > 0)
+        |      > (SELECT sum(cents) FROM pos WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
@@ -324,6 +376,8 @@ object Relational {
     "q16_part_type_revenue"  -> partTypeRevenue _,
     "q18_market_share"       -> marketShare _,
     "q19_brand_suppliers"    -> brandSupplierStats _,
+    "q20_brands_in_not_in"   -> brandsInNotIn _,
+    "q21_idle_capital"       -> idleCapital _,
   )
 
   private val D = Det.sql
@@ -482,5 +536,29 @@ object Relational {
         |SELECT p_brand, p_size, n_suppliers, n_parts FROM base
         |WHERE n_suppliers > (SELECT avg(n_suppliers) FROM base)
         |ORDER BY p_brand, p_size""".stripMargin,
+    "q20_brands_in_not_in" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_price
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE l_quantity >= 45)
+        |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE l_returnflag = 'R' AND l_quantity >= 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q21_idle_capital" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(cents) / 100.0, 2) AS total_bal
+        |FROM pos
+        |WHERE cents * (SELECT count(*) FROM pos WHERE cents > 0)
+        |      > (SELECT sum(cents) FROM pos WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
