@@ -620,6 +620,65 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Decontamination through a DISTRIBUTED BLOOM FILTER — the shape d15
+    * takes when the held-out corpus outgrows a plain broadcast set: the
+    * held-out shingle hashes are folded into a fixed 64 Kbit / 4-probe
+    * Bloom filter by a distributed `bit_or` aggregation (1024 int64
+    * words, ≤ 8 KB collected to the driver — a scalar-sized pull like
+    * the k-means centroids), and the TRAIN side probes the 8 KB literal
+    * map-side inside codegen. Only bloom-positive shingles — true hits
+    * plus the ~2⁻¹³-per-probe false-positive trickle at this fill — pay
+    * the exact verification join, so the shuffle is proportional to the
+    * candidate hits, not to the corpus.
+    *
+    * The result is EXACTLY the no-bloom answer (Bloom filters have no
+    * false negatives; the verify join removes false positives), which
+    * is what the oracle checks. Held-out here is the val+test splits —
+    * a larger held-out side than d15's (test-only), i.e. the regime the
+    * bloom path is for.
+    *
+    * At 100 TB: the filter size is a tuning constant (a real benchmark
+    * suite's shingle set at ~1% fill of m bits keeps the false-positive
+    * rate ≈ (k·n/m)^k); the build stays one agg + one tiny collect, and
+    * the probe stays free of any join or shuffle. */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withSampleSplit(docsWithToks(spark, sfDir))
+    def shingles(df: DataFrame) = df
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+    val train = shingles(docs.filter($"split" === "train"))
+    // held-out = everything not trained on; one materialization feeds
+    // both the bloom build and the exact verify join
+    val heldout = shingles(docs.filter($"split" =!= "train"))
+      .select($"h").distinct().localCheckpoint()
+    // build: 4 probe positions per hash → (word, bit) → bit_or per word
+    val wordMap = heldout
+      .select(explode(expr(
+        "transform(sequence(0, 3), j -> pmod(xxhash64(h, j), 65536))")).as("pos"))
+      .select(expr("CAST(pos AS INT) DIV 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val bloom = typedLit((0 until 1024).map(i => wordMap.getOrElse(i, 0L)))
+    // probe: same position derivation; variable shifts go through expr
+    // (the functions-API shiftleft takes only literal shift amounts)
+    val member = (0 until 4).map { j =>
+      s"""((element_at(bw, CAST(CAST(pmod(xxhash64(h, $j), 65536) AS INT) DIV 64 + 1 AS INT))
+         & shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(h, $j), 65536) % 64 AS INT))) != 0)"""
+    }.mkString(" AND ")
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
+    train.withColumn("bw", bloom).filter(expr(member)).drop("bw")
+      .join(heldout, "h") // exact verify: drops bloom false positives
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select($"doc_id", $"n_ngrams", $"n_shared",
+        r4($"n_shared", $"n_ngrams").as("contamination"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-bigram language-model quality score — the perplexity-filter
     * shape of a training-data pipeline, with the LM trained on the
     * corpus itself: P(w2|w1) = c(w1,w2)/c(w1·) over all bigram
@@ -802,6 +861,7 @@ object TextOps {
     "d20_mix_weights"   -> mixWeights _,
     "d21_cross_source_dups" -> crossSourceDups _,
     "d22_canonical_neardup" -> canonicalNearDup _,
+    "d23_bloom_decontaminate" -> bloomDecontaminate _,
   )
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
@@ -899,6 +959,29 @@ object TextOps {
         |  unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
         |    for g in range(1, len(toks) - 1)])) AS s FROM k),
         |ho AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+        |tr AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
+        |sz AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ho USING (s)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, n_shared,
+        |  ((n_shared * 20000 + n_ngrams) // (n_ngrams * 2)) / 10000.0
+        |    AS contamination
+        |FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // identical to d15's oracle except the held-out side is every
+    // non-train split — the bloom is a prefilter, not a semantics change
+    "d23_bloom_decontaminate" ->
+      """WITH d AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
+        |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sb
+        |  FROM documents),
+        |k AS (SELECT doc_id, toks, CASE WHEN sb < 'cc' THEN 'train'
+        |  WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split
+        |  FROM d WHERE kb < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+        |  AND len(toks) >= 3),
+        |sh AS (SELECT doc_id, split,
+        |  unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |    for g in range(1, len(toks) - 1)])) AS s FROM k),
+        |ho AS (SELECT DISTINCT s FROM sh WHERE split <> 'train'),
         |tr AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
         |sz AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id),
         |hit AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ho USING (s)
