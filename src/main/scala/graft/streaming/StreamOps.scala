@@ -108,7 +108,7 @@ object StreamOps {
   private val flushDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
-  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -138,7 +138,7 @@ object StreamOps {
       java.nio.file.Files.isWritable(shm)) Some(shm) else None
   }
 
-  private[streaming] def newTempDir(prefix: String): java.nio.file.Path = {
+  private[graft] def newTempDir(prefix: String): java.nio.file.Path = {
     val dir = tmpRoot match {
       case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
       case None       => java.nio.file.Files.createTempDirectory(prefix)
