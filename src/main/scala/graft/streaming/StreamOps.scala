@@ -580,6 +580,8 @@ object StreamOps {
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
   private val tableUpdateDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+  private val topNDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
   /** Materialize `batches` as ONE parquet file each, mtime-ordered, so a
     * file-source stream with maxFilesPerTrigger=1 replays them as that
@@ -755,6 +757,47 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming grouped top-N (the per-key leaderboard, see
+    * [[TopNProcessor]]): events arrive in three mtime-ordered
+    * micro-batches (split by event_id mod 3 — every batch touches every
+    * key, so the cross-batch state merge is what's exercised), each
+    * batch folds into the bounded per-key buffer, and the emitted
+    * changelog is compacted to each key's final version. The oracle's
+    * batch ranking must equal that final buffer exactly — a processor
+    * that dropped state between batches, or merged order-sensitively,
+    * produces different rows. */
+  def streamTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(topNDirs, sfDir, "events.parquet",
+        "graft_topn") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, event_id BIGINT, value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[TopNEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new TopNProcessor(5),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[TopNRow])
+      .toDF()
+    val all = withRocksDb(spark) { runToMemory(stream, "graft_s18", "update") }
+    // compact the emitted changelog to each key's latest version (the
+    // result table is ≤ keys × N × batches rows — trivially small)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    all.withColumn("maxver", max(col("ver")).over(w))
+      .filter(col("ver") === col("maxver"))
+      .select(col("event_type"), col("rank"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Streaming EXACT distinct-user counts per tumbling day via CHAINED
     * STATEFUL AGGREGATIONS (Spark 3.4+ multiple-stateful-operator
     * support): stage 1 collapses (window, user) — the map-side combine
@@ -864,9 +907,17 @@ object StreamOps {
     "s15_stream_table_update" -> streamTableUpdateJoin _,
     "s16_stream_range_join" -> streamRangeJoin _,
     "s17_stream_salted_agg" -> streamSaltedAgg _,
+    "s18_stream_topn"       -> streamTopN _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s18_stream_topn" ->
+      """SELECT event_type, rank, event_id, round(value, 2) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events) t
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "s17_stream_salted_agg" ->
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |event_type, count(*) AS n_events,
