@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -322,6 +322,111 @@ object VectorOps {
       .orderBy($"cluster", $"pos")
   }
 
+  // v13 product-quantization parameters: 4 subspaces × 16 dims, 4
+  // codewords per subspace, 2 Lloyd iterations per sub-codebook — same
+  // determinism recipe as v09 (centroids rounded to 6 dp each update,
+  // argmin tiebreak by codeword id).
+  private val PqS = 4
+  private val PqD = 16
+  private val PqK = 4
+  private val PqIters = 2
+
+  /** Product-quantization ANN (the remaining classic next to sign-LSH
+    * v05, IVF v07, and int8-SQ v12): each vector's 64 dims split into
+    * [[PqS]] subspaces, each subspace k-means-quantized to [[PqK]]
+    * codewords, so a vector compresses to PqS small codes (here 4×2
+    * bits; production uses 8–16×8 bits). The query never touches raw
+    * vectors at scan time — it precomputes an ADC (asymmetric distance
+    * computation) table of per-subspace distances to every codeword,
+    * and each row's approximate distance is PqS table lookups + adds.
+    *
+    * Scale design: sub-codebook training is the v09 broadcast-iteration
+    * Lloyd run on PqD-dim slices (one long-format pass per iteration —
+    * all subspaces train in the SAME job; only S·K·D doubles reach the
+    * driver); encoding is one shuffle-free codegen pass; the ADC scan
+    * reads only the code columns (4 longs/row instead of 64 doubles —
+    * the compression that keeps a 100 TB corpus scannable) and the ADC
+    * table rides along as an S·K-entry literal. Codes and distances are
+    * argmin/lookup arithmetic on 6-dp-rounded centroids, so both
+    * engines rank identically (ties broken by vec_id; the abundant
+    * equal-code ties are exact equalities, not float hazards). */
+  def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir).select($"vec_id", $"v")
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // one row per (vec_id, subspace): the shared training frame
+    val subCols = (0 until PqS).map(s =>
+      struct(lit(s).as("s"), slice($"v", s * PqD + 1, PqD).as("vs")))
+    val es = e.select($"vec_id", explode(array(subCols: _*)).as("sub"))
+      .select($"vec_id", $"sub.s".as("s"), $"sub.vs".as("vs"))
+      .localCheckpoint()
+    // seeds: the first PqK vectors' slices, rounded like later updates
+    var cents: Map[(Int, Long), Array[Double]] =
+      es.filter($"vec_id" < PqK).collect().map { r =>
+        (r.getInt(1), r.getLong(0)) ->
+          r.getSeq[Double](2).map(round6).toArray
+      }.toMap
+    // argmin codeword per (row, subspace) as a when-chain over s — each
+    // subspace's codebook is its own literal set. dist² − ‖vs‖² =
+    // ‖c‖² − 2·vs·c as in v09. A codeword that loses all members drops
+    // out of the map in BOTH engines (the oracle's update CTE loses the
+    // row), keeping the iterations aligned.
+    def argmin(vs: Column, cs: Map[(Int, Long), Array[Double]], s: Int): Column = {
+      val structs = cs.keys.filter(_._1 == s).map(_._2).toSeq.sorted.map { cl =>
+        val c = cs((s, cl))
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) *
+          call_function("graft_dot", vs, typedlit(c.toSeq))).as("d"),
+          lit(cl).as("cl"))
+      }
+      array_min(array(structs: _*)).getField("cl")
+    }
+    def assignCol(cs: Map[(Int, Long), Array[Double]]): Column =
+      (1 until PqS).foldLeft(when($"s" === 0, argmin($"vs", cs, 0))) {
+        (acc, s) => acc.when($"s" === s, argmin($"vs", cs, s))
+      }
+    for (_ <- 1 to PqIters) {
+      cents = es.withColumn("cl", assignCol(cents))
+        .select($"s", $"cl", posexplode($"vs").as(Seq("pos", "x")))
+        .groupBy($"s", $"cl", $"pos").agg(avg($"x").as("c"))
+        .groupBy($"s", $"cl")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)")
+          .as("cv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Double](2).map(round6).toArray).toMap
+    }
+    // encode wide (one code column per subspace) so the ADC sum below
+    // adds in a FIXED left-to-right order — a groupBy-sum over a long
+    // format would re-associate float adds nondeterministically
+    val coded = e.select($"vec_id" +: (0 until PqS).map(s =>
+      argmin(slice($"v", s * PqD + 1, PqD), cents, s).as(s"c$s")): _*)
+    // ADC table: per (subspace, codeword) distance contribution to the
+    // query (vec_id 0); ‖q_s‖² is constant per subspace and dropped
+    val q = e.filter($"vec_id" === 0).select($"v").collect()(0)
+      .getSeq[Double](0).toArray
+    val flatT = (0 until PqS).flatMap { s =>
+      val qs = q.slice(s * PqD, s * PqD + PqD)
+      (0L until PqK.toLong).map { cl =>
+        cents.get((s, cl)).map(c => dot(c, c) - 2.0 * dot(qs, c))
+          .getOrElse(Double.MaxValue)
+      }
+    }
+    val tLit = typedlit(flatT)
+    val adist = (0 until PqS).map(s =>
+      element_at(tLit, (lit(s * PqK) + col(s"c$s") + 1).cast("int")))
+      .reduceLeft(_ + _)
+    coded.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3",
+        round(adist, 6).as("adist"))
+      .orderBy($"adist", $"vec_id")
+      .limit(10)
+  }
+
   /** Per-vector stats: dimension, L2 norm, mean/min/max component. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -362,6 +467,7 @@ object VectorOps {
     "v09_kmeans"          -> kmeans _,
     "v10_embed_dup_clusters" -> embedDupClusters _,
     "v12_quantized_topk"  -> quantizedTopK _,
+    "v13_pq_ann"          -> pqAnn _,
   )
 
   /** Scalar-quantized candidate scan + exact re-rank: every vector is
@@ -541,6 +647,45 @@ object VectorOps {
          |SELECT n.vec_id, least(n.vec_id, min(r.b)) AS cluster_id
          |FROM nodes n LEFT JOIN reach r ON r.a = n.vec_id
          |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
+    },
+    "v13_pq_ann" -> {
+      // the v09 unrolled-Lloyd oracle, instantiated once per subspace
+      // slice, plus PQ encode + ADC table + code-joined distance sum
+      def chain(s: Int): String = {
+        val lo = s * PqD + 1; val hi = s * PqD + PqD
+        def assign(prev: String, out: String, proj: String) =
+          s"""$out AS (SELECT $proj FROM (SELECT t.vec_id, t.vs, c.cl,
+             |  row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(t.vs, c.cv), c.cl) AS rn
+             |  FROM e$s t CROSS JOIN $prev c) z WHERE rn = 1)""".stripMargin
+        val iters = (1 to PqIters).map { i =>
+          assign(s"c${s}_${i - 1}", s"a${s}_$i", "vec_id, vs, cl") + ",\n" +
+            s"""c${s}_$i AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
+               |  (SELECT cl, i, avg(vs[i]) AS c FROM a${s}_$i
+               |   CROSS JOIN generate_series(1, $PqD) t(i) GROUP BY cl, i) u
+               |  GROUP BY cl)""".stripMargin
+        }.mkString(",\n")
+        Seq(
+          s"e$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e)",
+          s"""c${s}_0 AS (SELECT vec_id AS cl, [round(x, 6) for x in vs] AS cv
+             |  FROM e$s WHERE vec_id < $PqK)""".stripMargin,
+          iters,
+          assign(s"c${s}_$PqIters", s"k$s", s"vec_id, cl AS c$s"),
+          s"""t$s AS (SELECT cl, list_dot_product(cv, cv)
+             |  - 2*list_dot_product(q.vs, cv) AS t FROM c${s}_$PqIters
+             |  CROSS JOIN (SELECT vs FROM e$s WHERE vec_id = 0) q)""".stripMargin
+        ).mkString(",\n")
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${(0 until PqS).map(chain).mkString(",\n")}
+         |SELECT k0.vec_id, c0, c1, c2, c3,
+         |round(t0.t + t1.t + t2.t + t3.t, 6) AS adist
+         |FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
+         |JOIN k3 USING (vec_id)
+         |JOIN t0 ON t0.cl = c0 JOIN t1 ON t1.cl = c1
+         |JOIN t2 ON t2.cl = c2 JOIN t3 ON t3.cl = c3
+         |WHERE vec_id <> 0
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin
     },
     "v09_kmeans" -> {
       // unrolled Lloyd iterations, mirroring the Spark loop exactly:

@@ -380,7 +380,8 @@ object StreamOps {
     * fixture scale. Cap the stateful parallelism for the streaming query
     * and restore the session value afterwards (the knob a Kafka Streams
     * app would call num.stream.threads). */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: String,
+      partitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -388,10 +389,14 @@ object StreamOps {
     val prevNd = spark.conf.get(ndKey)
     spark.catalog.dropTempView(name)
     // Streaming shuffle parallelism = state-store instances per batch.
-    // The fixtures' per-batch state is tiny, so 2 stores saturate a
-    // local run; a cluster deployment raises this to its core count
-    // (the knob a Kafka Streams app calls num.stream.threads).
-    val cap = Integer.getInteger("graft.stream.partitions", 2).intValue()
+    // Most fixture queries keep tiny per-batch state (≤150 keys), so 2
+    // stores saturate a local run; queries that push the full event
+    // volume THROUGH the store per batch (the transformWithState
+    // changelogs) pass a higher `partitions` — the same sizing call a
+    // Kafka Streams deployment makes with num.stream.threads: match
+    // store parallelism to per-batch state traffic, not to key count.
+    val cap = partitions.getOrElse(
+      Integer.getInteger("graft.stream.partitions", 2).intValue())
     spark.conf.set(key,
       math.min(cap, spark.sparkContext.defaultParallelism).toString)
     // Complete mode re-emits the whole result every batch and never
@@ -671,7 +676,7 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[FkJoined])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s10", "update")
+      runToMemory(stream, "graft_s10", "update", Some(8))
         .orderBy(col("left_key"), col("right_val"))
     }
   }
@@ -720,7 +725,7 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[StJoined])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s15", "update")
+      runToMemory(stream, "graft_s15", "update", Some(8))
         .orderBy(col("event_id"))
     }
   }
@@ -787,7 +792,9 @@ object StreamOps {
         OutputMode.Update(),
         org.apache.spark.sql.Encoders.product[TopNRow])
       .toDF()
-    val all = withRocksDb(spark) { runToMemory(stream, "graft_s18", "update") }
+    val all = withRocksDb(spark) {
+      runToMemory(stream, "graft_s18", "update", Some(8))
+    }
     // compact the emitted changelog to each key's latest version (the
     // result table is ≤ keys × N × batches rows — trivially small)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
