@@ -265,8 +265,34 @@ object Events {
       .orderBy($"n_name")
   }
 
+  /** Window NAVIGATION functions (first_value / last_value / nth_value
+    * over an explicit full frame): one summary row per (user, day) —
+    * how the session opened, how it closed, and the second event id.
+    * All four window columns share one partitioning+ordering, so the
+    * plan pays a single exchange+sort regardless of how many navigation
+    * columns ride on it. */
+  def windowNavigation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val full = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ord = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_trunc("day", $"ts"))
+      .withColumn("first_type", first($"event_type").over(full))
+      .withColumn("last_type", last($"event_type").over(full))
+      .withColumn("second_id", nth_value($"event_id", 2).over(full))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", $"first_type", $"last_type",
+        $"second_id", $"n")
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
+    "e25_window_navigation" -> windowNavigation _,
     "e02_tumbling_daily" -> tumblingDaily _,
     "e03_hopping_hourly" -> hoppingHourly _,
     "e04_session_windows" -> sessionWindows _,
@@ -285,6 +311,22 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e25_window_navigation" ->
+      """WITH t AS (SELECT user_id,
+        |  make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+        |  ts, event_id, event_type FROM events),
+        |w AS (SELECT user_id, day,
+        |  first_value(event_type) OVER win AS first_type,
+        |  last_value(event_type) OVER win AS last_type,
+        |  nth_value(event_id, 2) OVER win AS second_id,
+        |  count(*) OVER win AS n,
+        |  row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id, day ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, first_type, last_type, second_id, n FROM w
+        |WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
     "e22_skew_salted_join" ->
       s"""SELECT n_name, count(*) AS n_events,
          |count(DISTINCT user_id) AS n_users,

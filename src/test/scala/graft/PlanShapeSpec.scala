@@ -85,6 +85,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing window not shard-partitioned:\n$plan")
   }
 
+  test("q20's NOT IN subquery plans as a hash anti join, not a per-row subquery") {
+    val df = graft.operators.Relational.brandsInNotIn(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // Catalyst rewrites NOT IN to a null-aware LeftAnti hash join; a
+    // regression to nested-loop re-execution per row would be quadratic
+    assert(plan.contains("LeftAnti"), s"NOT IN not an anti join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"IN not a semi join:\n$plan")
+  }
+
+  test("d23's bloom probe runs map-side in codegen before the verify join") {
+    val df = graft.operators.TextOps.bloomDecontaminate(spark, sf)
+    val plan = planOf(df)
+    // the 8 KB filter is probed by a plain Filter expression (shiftleft/
+    // element_at bit test) on the corpus side — no join, no shuffle for
+    // the probe itself; the exact verify join then sees only survivors
+    assert(plan.contains("shiftleft"), s"bloom probe not in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"verify join expected broadcast at fixture scale:\n$plan")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective shuffle join") {
     // the APPLICATION side must normally exceed 10 GB for injection —
     // force that minimum to 0 so the fixture-scale join qualifies; the
