@@ -601,9 +601,16 @@ object StreamOps {
       cache.updateWith(sfDir) { _ =>
         Some((srcMtime, {
           val dir = newTempDir(prefix)
-          batches.zipWithIndex.foreach { case (df, i) =>
+          // each batch is its own Spark job — run them concurrently
+          // (the scheduler interleaves them across the idle cores) and
+          // skip compression: this is throwaway scratch on tmpfs, the
+          // snappy encode of a full event batch is pure timed overhead
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.{Await, Future}
+          val writes = batches.zipWithIndex.map { case (df, i) => Future {
             val tmp = dir.resolve(s"b$i")
-            df.coalesce(1).write.parquet(tmp.toString)
+            df.coalesce(1).write.option("compression", "none")
+              .parquet(tmp.toString)
             val part = java.nio.file.Files.list(tmp).iterator()
             val f = Iterator.continually(part).takeWhile(_.hasNext)
               .map(_.next()).find(_.toString.endsWith(".parquet")).get
@@ -611,7 +618,8 @@ object StreamOps {
             java.nio.file.Files.move(f, dst)
             deleteRecursively(tmp)
             dst.toFile.setLastModified(1700000000000L + i * 60000L)
-          }
+          }}
+          writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
           dir.toString
         }))
       }.get._2)
