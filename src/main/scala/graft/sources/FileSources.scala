@@ -92,9 +92,121 @@ object FileSources {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy(col("hour"))
 
+  /** A deliberately dirty JSON-lines copy of events: every row whose
+    * event_id is divisible by 97 is written as a truncated non-JSON
+    * line. Cached like the clean round-trip dirs. */
+  private def dirtyJsonDir(spark: SparkSession, sfDir: String): String = {
+    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
+    val key = (sfDir, "dirty")
+    dirs.get(key).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      dirs.updateWith(key) { _ =>
+        Some((srcMtime, {
+          val dir = graft.streaming.StreamOps.newTempDir("graft_src_dirty")
+          Tables.events(spark, sfDir)
+            .select(when(col("event_id") % 97 === 0, lit("{broken"))
+              .otherwise(to_json(
+                struct(col("event_id"), col("ts"), col("user_id"),
+                  col("event_type"), col("value"), col("props")),
+                java.util.Map.of("timestampFormat", TsFmt)))
+              .as("value"))
+            .write.mode("overwrite").text(dir.toString)
+          dir.toString
+        }))
+      }.get._2)
+  }
+
+  /** Corrupt-record handling (PERMISSIVE mode): parse the dirty JSON
+    * with an explicit schema plus a `_corrupt_record` column — malformed
+    * lines land there with every data column null instead of failing
+    * the job, exactly the quarantine pattern a 100 TB ingest needs (one
+    * bad producer must not kill the pipeline; it must be COUNTED). The
+    * oracle reproduces the valid/corrupt split arithmetically from the
+    * original parquet. */
+  def corruptRecordAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirStr = dirtyJsonDir(spark, sfDir)
+    spark.read
+      .schema(StructType.fromDDL(EventsDdl + ", _corrupt_record STRING"))
+      .option("timestampFormat", TsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dirStr)
+      .groupBy(coalesce(col("event_type"), lit("_corrupt")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Schema evolution via mergeSchema: half the events land in a file
+    * with (event_id, user_id, event_type), the other half in a file
+    * with (event_id, ts, value) — the schema-drift shape of a long-
+    * lived ingest directory. One mergeSchema read unions the columns,
+    * null-filling each file's missing ones; the oracle reproduces the
+    * split with a parity CASE over the original table. */
+  def mergeSchemaAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
+    val key = (sfDir, "evolve")
+    val dirStr = dirs.get(key).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      dirs.updateWith(key) { _ =>
+        Some((srcMtime, {
+          val dir = graft.streaming.StreamOps.newTempDir("graft_src_evolve")
+          val ev = Tables.events(spark, sfDir)
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .write.parquet(s"$dir/gen=0")
+          ev.filter(col("event_id") % 2 =!= 0)
+            .select(col("event_id"), col("ts"), col("value"))
+            .write.parquet(s"$dir/gen=1")
+          dir.toString
+        }))
+      }.get._2)
+    spark.read.option("mergeSchema", "true").parquet(dirStr)
+      .groupBy(coalesce(col("event_type"), lit("_newgen")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(coalesce(col("value"), lit(0.0))).as("sum_value"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Hive-style partitioned layout + partition pruning: events written
+    * once partitioned by event_type; the query filters one partition
+    * value, so the scan's PartitionFilters prune every other directory
+    * before a single row is read — THE scan-economics feature of a
+    * date/tenant-partitioned 100 TB lake (PlanShapeSpec pins the
+    * pruning; this query pins the results). */
+  def partitionedScanAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    partitionedRead(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"))
+  }
+
+  private[graft] def partitionedRead(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
+    val key = (sfDir, "parted")
+    val dirStr = dirs.get(key).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      dirs.updateWith(key) { _ =>
+        Some((srcMtime, {
+          val dir = graft.streaming.StreamOps.newTempDir("graft_src_parted")
+          Tables.events(spark, sfDir)
+            .write.mode("overwrite").partitionBy("event_type")
+            .parquet(dir.toString)
+          dir.toString
+        }))
+      }.get._2)
+    spark.read.parquet(dirStr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e23_json_source" -> jsonSourceAgg _,
     "e24_csv_source"  -> csvSourceAgg _,
+    "e26_corrupt_source" -> corruptRecordAgg _,
+    "e27_merge_schema"   -> mergeSchemaAgg _,
+    "e28_partitioned_scan" -> partitionedScanAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +221,34 @@ object FileSources {
         |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // every 97th event_id is written malformed → all-null data columns
+    // + a _corrupt_record; the oracle reproduces that split by parity
+    "e26_corrupt_source" ->
+      """SELECT coalesce(CASE WHEN event_id % 97 = 0 THEN NULL
+        |  ELSE event_type END, '_corrupt') AS bucket,
+        |count(*) AS n,
+        |count(*) FILTER (WHERE event_id % 97 = 0) AS n_corrupt,
+        |round(CAST(sum(CASE WHEN event_id % 97 = 0
+        |  THEN CAST(0 AS DECIMAL(18,4))
+        |  ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "e27_merge_schema" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN event_type
+        |  ELSE '_newgen' END AS bucket,
+        |count(*) AS n,
+        |count(DISTINCT CASE WHEN event_id % 2 = 0 THEN user_id END) AS n_users,
+        |round(CAST(sum(CASE WHEN event_id % 2 = 0
+        |  THEN CAST(0 AS DECIMAL(18,4))
+        |  ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS sum_value,
+        |max(CASE WHEN event_id % 2 = 0 THEN NULL ELSE epoch_us(ts) END)
+        |  AS last_us
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "e28_partitioned_scan" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+        |  AS w_start,
+        |count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY w_start""".stripMargin,
   )
 }

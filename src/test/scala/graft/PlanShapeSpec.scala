@@ -106,6 +106,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"verify join expected broadcast at fixture scale:\n$plan")
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val df = graft.sources.FileSources.partitionedRead(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition pruning lost:\n$plan")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective shuffle join") {
     // the APPLICATION side must normally exceed 10 GB for injection —
     // force that minimum to 0 so the fixture-scale join qualifies; the
