@@ -26,6 +26,23 @@ case class TopNBuf(ids: Seq[Long], vals: Seq[Double], ver: Long)
 case class TopNRow(event_type: String, ver: Long, rank: Long,
     event_id: Long, value: Double)
 
+object TopNProcessor {
+  /** Total order: higher value first, ties to the lower event_id. */
+  def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** Fold a batch of (id, value) pairs into a ≤n top buffer. Pure and
+    * order-insensitive (the top-n under a total order is a commutative
+    * monoid fold) — TopKProps pins that property against arbitrary
+    * batch splits and orderings. */
+  def fold(top: List[(Long, Double)], rows: IterableOnce[(Long, Double)],
+      n: Int): List[(Long, Double)] =
+    rows.iterator.foldLeft(top) { (acc, e) =>
+      // insert + trim keeps the working list at ≤ n+1 entries
+      (e :: acc).sortWith(better).take(n)
+    }
+}
+
 class TopNProcessor(n: Int)
     extends StatefulProcessor[String, TopNEvent, TopNRow] {
 
@@ -35,18 +52,11 @@ class TopNProcessor(n: Int)
     buf = getHandle.getValueState[TopNBuf]("topn",
       Encoders.product[TopNBuf], TTLConfig.NONE)
 
-  /** Total order: higher value first, ties to the lower event_id. */
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-
   override def handleInputRows(key: String, rows: Iterator[TopNEvent],
       timers: TimerValues): Iterator[TopNRow] = {
     val prev = if (buf.exists()) buf.get() else TopNBuf(Nil, Nil, 0L)
-    var top = prev.ids.zip(prev.vals).toList
-    rows.foreach { e =>
-      // insert + trim keeps the working list at ≤ n+1 entries
-      top = ((e.event_id, e.value) :: top).sortWith(better).take(n)
-    }
+    val top = TopNProcessor.fold(prev.ids.zip(prev.vals).toList,
+      rows.map(e => (e.event_id, e.value)), n)
     val ver = prev.ver + 1
     buf.update(TopNBuf(top.map(_._1), top.map(_._2), ver))
     top.iterator.zipWithIndex.map { case ((id, v), i) =>

@@ -44,4 +44,24 @@ object TopKProps extends Properties("TopKAggregator") {
       val buf = xs.foldLeft(agg.zero)(agg.reduce(_, _))
       buf.lengthCompare(k) <= 0
     }
+
+  // ---- streaming TopNProcessor fold (s18) --------------------------------
+
+  private val pairGen: Gen[(Long, Double)] = for {
+    id <- Gen.chooseNum(0L, 50L)
+    // coarse value grid so ties are real and the id tiebreak fires
+    v <- Gen.chooseNum(-5L, 5L).map(_ / 2.0)
+  } yield (id, v)
+
+  private def expectedTop(xs: List[(Long, Double)], n: Int) =
+    xs.sortBy(p => (-p._2, p._1)).take(n)
+
+  property("s18 fold over any batch split/order equals sort-take-n") =
+    Prop.forAll(Gen.listOf(pairGen), Gen.chooseNum(1, 7),
+      Gen.chooseNum(0.0, 1.0)) { (xs, n, frac) =>
+      import graft.streaming.TopNProcessor.fold
+      val (a, b) = xs.splitAt((xs.length * frac).toInt)
+      fold(fold(Nil, a, n), b, n) == expectedTop(xs, n) &&
+        fold(fold(Nil, b.reverse, n), a.reverse, n) == expectedTop(xs, n)
+    }
 }
