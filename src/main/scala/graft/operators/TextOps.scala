@@ -679,6 +679,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document BOILERPLATE detection (the C4-style cleanup pass,
+    * complementary to d18's WITHIN-doc repetition): documents are cut
+    * into non-overlapping 5-token chunks, a chunk that appears in ≥ 3
+    * distinct documents is boilerplate (nav bars, license headers,
+    * templated footers), and each document reports the fraction of its
+    * chunks that are boilerplate — the score a pretraining filter
+    * thresholds on.
+    *
+    * Scale design: chunks travel as xxhash64 int64s; the corpus-wide
+    * chunk document-frequency is one map-side-combined hash-agg over
+    * distinct (doc, chunk) rows, and the flag joins back on the chunk
+    * hash — the same exchange the count produced. Frequency skew (a
+    * chunk in millions of docs) caps at the distinct-doc collapse, and
+    * the ratio rounds in exact integer arithmetic ([[graft.functions
+    * .Det.r4]]). */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-5, 5),
+          i -> xxhash64(concat_ws(' ', slice(toks, i+1, 5))))""")).as("h"))
+      .distinct()
+    val df = chunks.groupBy($"h")
+      .agg(count(lit(1)).as("n_docs_with"))
+    chunks.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_docs_with" >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select($"doc_id", $"n_chunks", $"n_boiler",
+        r4($"n_boiler", $"n_chunks").as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-bigram language-model quality score — the perplexity-filter
     * shape of a training-data pipeline, with the LM trained on the
     * corpus itself: P(w2|w1) = c(w1,w2)/c(w1·) over all bigram
@@ -862,6 +896,7 @@ object TextOps {
     "d21_cross_source_dups" -> crossSourceDups _,
     "d22_canonical_neardup" -> canonicalNearDup _,
     "d23_bloom_decontaminate" -> bloomDecontaminate _,
+    "d24_boilerplate"   -> boilerplate _,
   )
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
@@ -967,6 +1002,21 @@ object TextOps {
         |  ((n_shared * 20000 + n_ngrams) // (n_ngrams * 2)) / 10000.0
         |    AS contamination
         |FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d24_boilerplate" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 5),
+        |ch AS (SELECT DISTINCT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |    || toks[i+3] || ' ' || toks[i+4]
+        |    for i in range(1, len(toks) - 3, 5)]) AS c FROM t),
+        |f AS (SELECT c, count(*) AS n_docs_with FROM ch GROUP BY c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |CAST(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_boiler,
+        |((sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) * 20000
+        |  + count(*)) // (count(*) * 2)) / 10000.0 AS boiler_frac
+        |FROM ch JOIN f USING (c)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // identical to d15's oracle except the held-out side is every
     // non-train split — the bloom is a prefilter, not a semantics change
     "d23_bloom_decontaminate" ->

@@ -90,6 +90,35 @@ object VectorOps {
       .orderBy($"q_id")
   }
 
+  /** Hard-negative mining (the contrastive-training data op): for every
+    * label-0 anchor, the 3 most-similar vectors with a DIFFERENT label —
+    * the near-miss negatives that make an embedding model train, mined
+    * corpus-wide. Same kNN-join scale shape as [[knnClassify]]: anchors
+    * broadcast, corpus streams through one codegen'd cosine pass with
+    * the label filter applied before scoring, per-anchor top-3 through
+    * the bounded [[graft.functions.TopKAggregator]] buffer (≤ 3 rows per
+    * (anchor, partition) reach the shuffle). */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val q = e.filter($"label" === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e.filter($"label" =!= 0)
+      .select($"vec_id", $"label", $"v")
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id", $"label",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor])
+    scored.groupBy($"q_id")
+      .agg(topk($"cos", $"vec_id", $"label").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("r0", "t")))
+      .select($"q_id", ($"r0" + 1).cast("long").as("rank"),
+        $"t.vec_id".as("neg_id"), $"t.label".as("neg_label"),
+        $"t.cos".as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Per-label centroids, one row per (label, dimension). */
   def centroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -468,6 +497,7 @@ object VectorOps {
     "v10_embed_dup_clusters" -> embedDupClusters _,
     "v12_quantized_topk"  -> quantizedTopK _,
     "v13_pq_ann"          -> pqAnn _,
+    "v14_hard_negatives"  -> hardNegatives _,
   )
 
   /** Scalar-quantized candidate scan + exact re-rank: every vector is
@@ -648,6 +678,17 @@ object VectorOps {
          |FROM nodes n LEFT JOIN reach r ON r.a = n.vec_id
          |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
     },
+    "v14_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+        |s AS (SELECT q_id, vec_id, label,
+        |  round(list_cosine_similarity(v, qv), 6) AS cos
+        |  FROM e CROSS JOIN q WHERE label <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+        |label AS neg_label, cos FROM r
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "v13_pq_ann" -> {
       // the v09 unrolled-Lloyd oracle, instantiated once per subspace
       // slice, plus PQ encode + ADC table + code-joined distance sum
