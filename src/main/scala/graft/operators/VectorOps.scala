@@ -28,6 +28,20 @@ import org.apache.spark.sql.graft.VectorExpressions
   */
 object VectorOps {
 
+  /** HALF_UP 6-dp rounding — the cross-engine determinism contract for
+    * every trained centroid (v09 Lloyd, v13 PQ codebooks): both engines
+    * must iterate from IDENTICAL values, and DuckDB's round() is
+    * half-away-from-zero. ONE definition so the contract can't drift. */
+  private def round6(x: Double): Double = BigDecimal(x)
+    .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Sequential left-to-right dot product — bit-identical to DuckDB's
+    * `list_dot_product` on the same inputs (same op sequence). */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
   private def embDouble(spark: SparkSession, sfDir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables.embeddings(spark, sfDir)
@@ -315,9 +329,6 @@ object VectorOps {
   def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir).select($"vec_id", $"v")
-    // HALF_UP = away from zero, DuckDB's round() mode
-    def round6(x: Double): Double = BigDecimal(x)
-      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     // seeds: the first k vectors, rounded like every later centroid
     var cents: Seq[(Long, Array[Double])] = e.filter($"vec_id" < KmK)
       .collect().map(r => r.getLong(0) ->
@@ -382,12 +393,6 @@ object VectorOps {
   def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir).select($"vec_id", $"v")
-    def round6(x: Double): Double = BigDecimal(x)
-      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
     // one row per (vec_id, subspace): the shared training frame
     val subCols = (0 until PqS).map(s =>
       struct(lit(s).as("s"), slice($"v", s * PqD + 1, PqD).as("vs")))
@@ -441,7 +446,7 @@ object VectorOps {
     val flatT = (0 until PqS).flatMap { s =>
       val qs = q.slice(s * PqD, s * PqD + PqD)
       (0L until PqK.toLong).map { cl =>
-        cents.get((s, cl)).map(c => dot(c, c) - 2.0 * dot(qs, c))
+        cents.get((s, cl)).map(c => dotSeq(c, c) - 2.0 * dotSeq(qs, c))
           .getOrElse(Double.MaxValue)
       }
     }

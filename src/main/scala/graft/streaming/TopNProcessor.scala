@@ -38,8 +38,10 @@ object TopNProcessor {
   def fold(top: List[(Long, Double)], rows: IterableOnce[(Long, Double)],
       n: Int): List[(Long, Double)] =
     rows.iterator.foldLeft(top) { (acc, e) =>
-      // insert + trim keeps the working list at ≤ n+1 entries
-      (e :: acc).sortWith(better).take(n)
+      // sorted insert + trim: O(n) per row, buffer stays at ≤ n entries
+      val (beats, rest) = acc.span(better(_, e))
+      val ins = beats ::: e :: rest
+      if (ins.lengthCompare(n) > 0) ins.init else ins
     }
 }
 
