@@ -29,7 +29,7 @@ import graft.functions.Det.dsum
 object FileSources {
 
   /** Microsecond-precision wire format used for both write and read. */
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   private val EventsDdl =
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
@@ -95,7 +95,7 @@ object FileSources {
   /** A deliberately dirty JSON-lines copy of events: every row whose
     * event_id is divisible by 97 is written as a truncated non-JSON
     * line. Cached like the clean round-trip dirs. */
-  private def dirtyJsonDir(spark: SparkSession, sfDir: String): String = {
+  private[graft] def dirtyJsonDir(spark: SparkSession, sfDir: String): String = {
     val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
     val key = (sfDir, "dirty")
     dirs.get(key).filter(_._1 == srcMtime).map(_._2).getOrElse(

@@ -874,6 +874,37 @@ object StreamOps {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Streaming POISON-PILL quarantine (the serde-robustness half of the
+    * Kafka source, run as a stream): the deliberately dirty JSON copy
+    * of events (see [[graft.sources.FileSources]] e26 — every 97th
+    * event_id is a malformed line) is consumed as a TEXT stream and
+    * parsed with `from_json`, which yields a null struct for corrupt
+    * lines instead of killing the query — a single bad producer must
+    * never stall the consumer group. Complete-mode counts per bucket
+    * must equal e26's batch arithmetic over the clean table. At scale
+    * the `_corrupt` bucket is the dead-letter topic's input. */
+  def streamCorruptQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirStr = graft.sources.FileSources.dirtyJsonDir(spark, sfDir)
+    val parsed = spark.readStream
+      .text(dirStr)
+      .select(col("value"), from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING"),
+        java.util.Map.of("timestampFormat",
+          graft.sources.FileSources.TsFmt)).as("e"))
+      .select(
+        coalesce(col("e.event_type"), lit("_corrupt")).as("bucket"),
+        when(col("e.event_id").isNull, 1L).otherwise(0L).as("corrupt"),
+        coalesce(col("e.value"), lit(0.0)).as("value"))
+    runToMemory(
+      parsed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("corrupt")).as("n_corrupt"),
+          graft.functions.Det.dsum(col("value")).as("sum_value")),
+      "graft_s19", "complete")
+      .orderBy(col("bucket"))
+  }
+
   /** Streaming `cogroup` THROUGH THE DSL (the same CogroupedG that
     * runs e19 in batch): three event-type branches of the stream fold
     * into one aggregation — a null-padding union feeding a single
@@ -923,9 +954,21 @@ object StreamOps {
     "s16_stream_range_join" -> streamRangeJoin _,
     "s17_stream_salted_agg" -> streamSaltedAgg _,
     "s18_stream_topn"       -> streamTopN _,
+    "s19_stream_quarantine" -> streamCorruptQuarantine _,
   )
 
   val oracles: Map[String, String] = Map(
+    // same arithmetic as e26's batch oracle — the stream must quarantine
+    // exactly the rows the batch parser does
+    "s19_stream_quarantine" ->
+      """SELECT coalesce(CASE WHEN event_id % 97 = 0 THEN NULL
+        |  ELSE event_type END, '_corrupt') AS bucket,
+        |count(*) AS n,
+        |count(*) FILTER (WHERE event_id % 97 = 0) AS n_corrupt,
+        |round(CAST(sum(CASE WHEN event_id % 97 = 0
+        |  THEN CAST(0 AS DECIMAL(18,4))
+        |  ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "s18_stream_topn" ->
       """SELECT event_type, rank, event_id, round(value, 2) AS value FROM (
         |  SELECT event_type, event_id, value,
