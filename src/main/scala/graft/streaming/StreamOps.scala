@@ -905,6 +905,35 @@ object StreamOps {
       .orderBy(col("bucket"))
   }
 
+  /** Streaming MERGE of two independent sources (KStream#merge with
+    * real heterogeneity): the parquet file stream and the dirty
+    * JSON-lines text stream run as two sources inside ONE streaming
+    * query, unioned record-wise before a shared aggregation — the
+    * fan-in topology of consuming two topics with different serdes.
+    * The JSON side contributes only its parseable rows (s19's
+    * quarantine drops the rest), so the per-type counts are exactly
+    * batch + batch-minus-corrupt, which is what the oracle checks. */
+  def streamMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = eventsStream(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val b = spark.readStream
+      .text(graft.sources.FileSources.dirtyJsonDir(spark, sfDir))
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING"),
+        java.util.Map.of("timestampFormat",
+          graft.sources.FileSources.TsFmt)).as("e"))
+      .filter(col("e.event_id").isNotNull)
+      .select(col("e.event_type").as("event_type"), col("e.value").as("value"))
+    runToMemory(
+      a.unionByName(b).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsum(col("value")).as("sum_value")),
+      "graft_s20", "complete")
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming `cogroup` THROUGH THE DSL (the same CogroupedG that
     * runs e19 in batch): three event-type branches of the stream fold
     * into one aggregation — a null-padding union feeding a single
@@ -955,9 +984,18 @@ object StreamOps {
     "s17_stream_salted_agg" -> streamSaltedAgg _,
     "s18_stream_topn"       -> streamTopN _,
     "s19_stream_quarantine" -> streamCorruptQuarantine _,
+    "s20_stream_merge"      -> streamMerge _,
   )
 
   val oracles: Map[String, String] = Map(
+    // parquet side contributes every row, JSON side all non-corrupt rows
+    "s20_stream_merge" ->
+      """SELECT event_type,
+        |count(*) + count(*) FILTER (WHERE event_id % 97 <> 0) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |  + sum(CASE WHEN event_id % 97 <> 0 THEN CAST(value AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same arithmetic as e26's batch oracle — the stream must quarantine
     // exactly the rows the batch parser does
     "s19_stream_quarantine" ->
