@@ -872,6 +872,102 @@ object TextOps {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** d25: exact shared-substring detection (the "Deduplicating Training
+    * Data Makes Language Models Better" shape): for every document pair
+    * sharing at least one 8-token window, report the LONGEST contiguous
+    * shared token run and the total shared-window count. Rolling
+    * stride-1 windows hash to int64; windows shared by a pair at
+    * positions (pa, pb) belong to one contiguous run iff they sit on
+    * the same diagonal (pa−pb) at consecutive pa — the classic
+    * gaps-and-islands grouping `pa − row_number()`.
+    *
+    * Scale design: windows travel as xxhash64 int64s (never the token
+    * strings); a document-frequency cap (≤ [[SubDfCap]] docs) drops
+    * boilerplate windows BEFORE the pair self-join, which is what keeps
+    * the join linear-ish at corpus scale — a window shared by a million
+    * docs is boilerplate (d24's territory), not substring duplication,
+    * and would otherwise contribute O(df²) pairs. The run grouping
+    * shuffles by (doc_a, doc_b) — bounded by the true near-dup pair
+    * count, not the corpus size. Collision risk of the 64-bit window
+    * hash is the same corpus-scale bound documented at
+    * [[decontaminate]] (~n²/2⁶⁴; switch both sides to a 128-bit hash
+    * pair if a trillion-window corpus needs it). */
+  private val SubW = 8
+  private val SubDfCap = 20
+  def sharedSubstrings(spark: SparkSession, sfDir: String): DataFrame =
+    sharedSubstringsCore(docsWithToks(spark, sfDir))
+
+  private[graft] def sharedSubstringsCore(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs
+      .filter(size($"toks") >= SubW)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, size(toks)-$SubW),
+           i -> xxhash64(concat_ws(' ', slice(toks, i+1, $SubW))))"""))
+        .as(Seq("pos", "h")))
+    val df = w.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" <= SubDfCap)
+    val wf = w.join(df, "h")
+    val p = wf.as("a").join(wf.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val runs = p
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(
+        Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")))
+      .groupBy($"da", $"db", $"diag", $"grp")
+      .agg(count(lit(1)).as("nwin"))
+    runs.groupBy($"da", $"db")
+      .agg((max($"nwin") + lit(SubW - 1L)).as("longest_tokens"),
+        sum($"nwin").as("n_windows"))
+      .orderBy($"da", $"db")
+  }
+
+  /** d26: per-document token-distribution Shannon entropy (nats) — the
+    * "repetitive junk" quality signal a pretraining filter thresholds
+    * low (a doc that is one token repeated has entropy 0; rich text
+    * approaches ln(n_types)). H = Σ (c_i/n)·ln(n/c_i) over the doc's
+    * token counts.
+    *
+    * Determinism across engines: like [[bigramLm]], each type's
+    * ln(n/c_i) is rounded ONCE to integer micro-nats (one double op,
+    * identical in both engines to well below the grain), weighted by
+    * the exact integer count c_i, summed as exact int64, and the final
+    * per-doc average rounds in exact integer arithmetic — no
+    * order-dependent float summation anywhere.
+    *
+    * Scale design: two chained hash-aggs — (doc, token) counts, then
+    * per-doc roll-up — both map-side combined; the second groupBy and
+    * the count join reuse the doc_id-prefixed exchange. No windows, no
+    * joins wider than doc_id. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropyCore(docsWithToks(spark, sfDir))
+
+  private[graft] def tokenEntropyCore(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnt = docs
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
+    cnt.join(n, "doc_id")
+      .withColumn("wmicro",
+        $"c" * round(log($"n" / $"c".cast("double")) * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(first($"n").as("n_tokens"), first($"n_types").as("n_types"),
+        sum($"wmicro").as("sm"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        (call_function("div",
+          $"sm" * 20000L + $"n_tokens" * 1000000L,
+          $"n_tokens" * 2000000L) / 10000.0).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d02_top_terms"     -> topTerms _,
@@ -897,6 +993,8 @@ object TextOps {
     "d22_canonical_neardup" -> canonicalNearDup _,
     "d23_bloom_decontaminate" -> bloomDecontaminate _,
     "d24_boilerplate"   -> boilerplate _,
+    "d25_shared_substrings" -> sharedSubstrings _,
+    "d26_token_entropy" -> tokenEntropy _,
   )
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
@@ -1017,6 +1115,47 @@ object TextOps {
         |  + count(*)) // (count(*) * 2)) / 10000.0 AS boiler_frac
         |FROM ch JOIN f USING (c)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the window hash differs per engine (xxhash64 vs DuckDB hash) but
+    // is internal only: equal windows hash equal, and 64-bit collisions
+    // are negligible at fixture scale (documented at the operator)
+    "d25_shared_substrings" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= $SubW),
+        |w AS (SELECT doc_id, unnest([{'pos': i,
+        |  'h': hash(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |    || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+        |    || toks[i+6] || ' ' || toks[i+7])}
+        |  for i in range(1, len(toks) - ${SubW - 2})], recursive := true)
+        |  FROM t),
+        |df AS (SELECT h FROM w GROUP BY h
+        |  HAVING count(DISTINCT doc_id) <= $SubDfCap),
+        |wf AS (SELECT w.* FROM w JOIN df USING (h)),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM wf a JOIN wf b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, pa - pb AS diag,
+        |  pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+        |    AS grp FROM p),
+        |island AS (SELECT da, db, count(*) AS nwin FROM runs
+        |  GROUP BY da, db, diag, grp)
+        |SELECT da, db, CAST(max(nwin) + ${SubW - 1} AS BIGINT)
+        |  AS longest_tokens,
+        |CAST(sum(nwin) AS BIGINT) AS n_windows
+        |FROM island GROUP BY da, db ORDER BY da, db""".stripMargin,
+    "d26_token_entropy" ->
+      """WITH c AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types FROM c GROUP BY doc_id),
+        |sc AS (SELECT doc_id, n_tokens, n_types,
+        |  c * CAST(round(ln(n_tokens / CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS wmicro
+        |  FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, n_tokens, n_types,
+        |  ((sum(wmicro) * 20000 + n_tokens * 1000000)
+        |    // (n_tokens * 2000000)) / 10000.0 AS entropy
+        |FROM sc GROUP BY doc_id, n_tokens, n_types
+        |ORDER BY doc_id""".stripMargin,
     // identical to d15's oracle except the held-out side is every
     // non-train split — the bloom is a prefilter, not a semantics change
     "d23_bloom_decontaminate" ->

@@ -493,6 +493,54 @@ object VectorOps {
       .orderBy($"vec_id")
   }
 
+  /** v15: semantic dedup (the SemDeDup shape — Abbas et al. 2023):
+    * cluster the corpus, then find near-identical pairs ONLY within a
+    * cluster and drop each pair's higher id. Clustering here is one
+    * deterministic nearest-seed assignment (seeds = the first
+    * [[SemK]] vectors, the same argmin tie-break as v09's Lloyd step);
+    * within each cluster, pairs with cosine ≥ [[SemTau]] mark the
+    * higher vec_id as a duplicate of the lower. Output: one row per
+    * dropped vector with its lowest-id keeper and strongest cosine.
+    *
+    * Scale design: this is WHY SemDeDup exists — the cluster
+    * assignment is a broadcast-centroid codegen pass (no shuffle of
+    * the corpus beyond the cluster-key exchange), and the quadratic
+    * pair search is confined to within-cluster blocks: k clusters cut
+    * all-pairs cost by ~k when balanced (production runs pick
+    * k ≈ √n and cap block sizes; a skewed mega-cluster would be
+    * salted or recursively re-clustered — at fixture scale k=8 blocks
+    * of ~60 are exact and cheap). The pair join keys on the cluster
+    * id, so it shuffles each vector once. */
+  private val SemK = 8
+  private val SemTau = 0.4
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir).select($"vec_id", $"v")
+    val seeds = e.filter($"vec_id" < SemK).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toIndexedSeq
+    // same argmin encoding as v09: min over (distance, cluster) structs
+    // == row_number() ORDER BY d, cl in the oracle
+    val distCols = seeds.map { case (cl, c) =>
+      val cc = dotSeq(c, c)
+      struct((lit(cc) - lit(2.0) *
+        call_function("graft_dot", $"v", typedlit(c))).as("d"),
+        lit(cl).as("cl"))
+    }
+    val assigned = e
+      .withColumn("m", array_min(array(distCols: _*)))
+      .select($"vec_id", $"v", $"m.cl".as("cl"))
+    assigned.as("a").join(assigned.as("b"),
+        $"a.cl" === $"b.cl" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", call_function("graft_cosine", $"a.v", $"b.v"))
+      .filter($"cos" >= SemTau)
+      .select($"a.cl".as("cluster"), $"a.vec_id".as("keep_id"),
+        $"b.vec_id".as("drop_id"), $"cos")
+      .groupBy($"cluster", $"drop_id")
+      .agg(min($"keep_id").as("kept_id"), round(max($"cos"), 6).as("max_cos"))
+      .orderBy($"cluster", $"drop_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk"     -> cosineTopK _,
     "v11_knn_classify"    -> knnClassify _,
@@ -510,6 +558,7 @@ object VectorOps {
     "v12_quantized_topk"  -> quantizedTopK _,
     "v13_pq_ann"          -> pqAnn _,
     "v14_hard_negatives"  -> hardNegatives _,
+    "v15_semantic_dedup"  -> semanticDedup _,
   )
 
   /** Scalar-quantized candidate scan + exact re-rank: every vector is
@@ -766,5 +815,24 @@ object VectorOps {
          |JOIN (SELECT cl, count(*) AS n FROM a$KmIters GROUP BY cl) n ON n.cl = c.cl
          |ORDER BY cluster, pos""".stripMargin
     },
+    // nearest-seed assignment reuses v09's argmin contract (same
+    // distance expression, same (d, cl) tie-break); the cosine verify
+    // reuses v08's threshold + round-6 contract
+    "v15_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < $SemK),
+         |a AS (SELECT vec_id, v, cl FROM (SELECT e.vec_id, e.v, s.cl,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(s.cv, s.cv) - 2*list_dot_product(e.v, s.cv),
+         |    s.cl) AS rn
+         |  FROM e CROSS JOIN s) t WHERE rn = 1),
+         |p AS (SELECT x.cl AS cluster, x.vec_id AS keep_id,
+         |  y.vec_id AS drop_id, list_cosine_similarity(x.v, y.v) AS cos
+         |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE list_cosine_similarity(x.v, y.v) >= $SemTau)
+         |SELECT cluster, drop_id, min(keep_id) AS kept_id,
+         |  round(max(cos), 6) AS max_cos
+         |FROM p GROUP BY cluster, drop_id
+         |ORDER BY cluster, drop_id""".stripMargin,
   )
 }

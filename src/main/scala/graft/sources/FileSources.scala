@@ -57,6 +57,7 @@ object FileSources {
         fmt match {
           case "json" => w.json(dir.toString)
           case "csv"  => w.option("header", "true").csv(dir.toString)
+          case "orc"  => w.orc(dir.toString)
         }
         dir.toString
       }))
@@ -66,6 +67,7 @@ object FileSources {
     fmt match {
       case "json" => r.json(dirStr)
       case "csv"  => r.option("header", "true").csv(dirStr)
+      case "orc"  => r.orc(dirStr)
     }
   }
 
@@ -91,6 +93,22 @@ object FileSources {
         dsum(col("value")).as("sum_value"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy(col("hour"))
+
+  /** Daily profile computed from the ORC round trip — the third
+    * columnar lake format next to parquet (ORC ships in Spark's core
+    * jars; its binary timestamp encoding makes the round trip
+    * format-string-free). min/max epoch-µs again pin microsecond
+    * fidelity; countDistinct event_type proves dictionary-encoded
+    * strings survive. */
+  def orcSourceAgg(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "orc")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum(col("value")).as("sum_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("day"))
 
   /** A deliberately dirty JSON-lines copy of events: every row whose
     * event_id is divisible by 97 is written as a truncated non-JSON
@@ -207,6 +225,7 @@ object FileSources {
     "e26_corrupt_source" -> corruptRecordAgg _,
     "e27_merge_schema"   -> mergeSchemaAgg _,
     "e28_partitioned_scan" -> partitionedScanAgg _,
+    "e29_orc_source"     -> orcSourceAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +269,11 @@ object FileSources {
         |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "e29_orc_source" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |count(DISTINCT event_type) AS n_types,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

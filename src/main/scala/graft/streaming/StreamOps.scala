@@ -964,6 +964,41 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** s21: the composed end-to-end ingest topology in ONE streaming
+    * query — type filter → windowed dedup → broadcast dim-enrich →
+    * tumbling daily aggregation per dimension value. This is the full
+    * Kafka Streams consumer-chain shape (filter → transform →
+    * join(GlobalKTable) → windowedBy → aggregate) running as TWO
+    * chained stateful operators (the dedup store feeding the window
+    * store — Spark 3.4+ multi-stateful append mode) with a stateless
+    * broadcast join between them.
+    *
+    * Scale: the dedup state is keyed by event_id and bounded by the
+    * watermark; the dim is broadcast so the stream shuffles ONCE (for
+    * dedup) and the window agg reuses nothing wider than the
+    * dedup-partitioned stream; at 1000 executors each operator scales
+    * by its own key space exactly like the standalone s03/s08/s01. */
+  def streamPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("nk", col("user_id") % 25)
+      .join(broadcast(dim), "nk")
+    runToMemory(
+      ev.groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+            .as("sum_value"))
+        .select(col("w.start").as("w_start"), col("n_name"),
+          col("n_events"), col("sum_value")),
+      "graft_s21", "append")
+      .orderBy(col("w_start"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -985,6 +1020,7 @@ object StreamOps {
     "s18_stream_topn"       -> streamTopN _,
     "s19_stream_quarantine" -> streamCorruptQuarantine _,
     "s20_stream_merge"      -> streamMerge _,
+    "s21_stream_pipeline"   -> streamPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1043,6 +1079,17 @@ object StreamOps {
         |  FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2) AS purchase_value
         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // dedup is a no-op on the fixture (unique event_ids) but exercises
+    // the chained state store; the oracle is the batch equivalent of
+    // the whole filter→enrich→window chain
+    "s21_stream_pipeline" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+        |  AS w_start, n_name, count(*) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY w_start, n_name""".stripMargin,
     "s01_stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
         |event_type, count(*) AS n,

@@ -167,6 +167,87 @@ class GraftSpec extends AnyFunSuite {
       }
   }
 
+  test("shared-substring runs: known 12-token overlap → longest=12, 5 windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: a1..a20; doc 2: 5 fresh tokens ++ a5..a16 (12-token shared
+    // run) ++ 3 fresh; doc 3: fully disjoint. The only shared 8-token
+    // windows are the 5 inside the run (positions on one diagonal).
+    val t1 = (1 to 20).map("a" + _)
+    val t2 = (1 to 5).map("x" + _) ++ (5 to 16).map("a" + _) ++
+      (1 to 3).map("y" + _)
+    val t3 = (1 to 10).map("z" + _)
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "toks")
+    val out = TextOps.sharedSubstringsCore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 12L, 5L)))
+    // a second, disjoint shared run in the same pair must NOT merge
+    // with the first: two islands, longest = the bigger one
+    val t4 = (1 to 20).map("a" + _) ++ (1 to 10).map("q" + _)
+    val t5 = (5 to 16).map("a" + _) ++ (1 to 8).map("w" + _) ++
+      (1 to 9).map("q" + _)
+    val out2 = TextOps.sharedSubstringsCore(
+      Seq((4L, t4), (5L, t5)).toDF("doc_id", "toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // runs: a5..a16 (12 tokens → 5 windows) and q1..q9 (9 → 2 windows)
+    assert(out2.toSeq == Seq((4L, 5L, 12L, 7L)))
+  }
+
+  test("token entropy: repeated-token doc scores 0; uniform doc scores ln(k)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("r", "r", "r", "r")),
+      (2L, Seq("a", "b", "c", "d"))).toDF("doc_id", "toks")
+    val out = TextOps.tokenEntropyCore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // ln(4) = 1.386294…; micro-nat rounding → 1.3863 at 4 dp
+    assert(out == Seq((1L, 4L, 1L, 0.0), (2L, 4L, 4L, 1.3863)))
+    // fixture-level invariants: entropy ∈ [0, ln(n_types)] (+ rounding
+    // grain) — the upper bound is the uniform distribution
+    TextOps.tokenEntropy(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val bound = math.log(r.getAs[Long]("n_types").toDouble)
+      assert(h >= 0.0 && h <= bound + 1e-3)
+    }
+  }
+
+  test("semantic dedup equals brute-force within-cluster pairs") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val seeds = vecs.filter(_._1 < 8)
+    def assign(v: Array[Double]): Long =
+      seeds.map { case (cl, c) => (dot(c, c) - 2.0 * dot(v, c), cl) }
+        .min._2
+    val byCluster = vecs.groupBy { case (_, v) => assign(v) }
+    val expected = (for {
+      (cl, members) <- byCluster.toSeq
+      Array((i1, v1), (i2, v2)) <- members.sortBy(_._1).combinations(2)
+      c = cos(v1, v2) if c >= 0.4
+    } yield ((cl, i2), (i1, c)))
+      .groupBy(_._1)
+      .map { case ((cl, drop), hits) =>
+        (cl, drop, hits.map(_._2._1).min,
+          BigDecimal(hits.map(_._2._2).max)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = VectorOps.semanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("packing places docs by START token; long docs span windows") {
     import spark.implicits._
     // cap=10: doc 1 (4 tok) starts seq 0; doc 2 (25 tok) STARTS in seq 0
