@@ -20,7 +20,9 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ TextOps.queries ++
       Extras.queries ++ EventAnalytics.queries ++
       VectorOps.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.StreamOps.queries ++ graft.sources.FileSources.queries
+      graft.streaming.StreamOps.queries ++
+      graft.sources.FileSources.queries ++
+      graft.pipeline.TrainingDataPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +30,7 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
       Extras.oracles ++ EventAnalytics.oracles ++
       VectorOps.oracles ++ graft.multimodal.Multimodal.oracles ++
-      graft.streaming.StreamOps.oracles ++ graft.sources.FileSources.oracles
+      graft.streaming.StreamOps.oracles ++
+      graft.sources.FileSources.oracles ++
+      graft.pipeline.TrainingDataPipeline.oracles
 }

@@ -906,14 +906,23 @@ object TextOps {
         s"""transform(sequence(0, size(toks)-$SubW),
            i -> xxhash64(concat_ws(' ', slice(toks, i+1, $SubW))))"""))
         .as(Seq("pos", "h")))
-    val df = w.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" <= SubDfCap)
-    val wf = w.join(df, "h")
-    val p = wf.as("a").join(wf.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
-        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    // ONE shuffle of the window table: gather each window's (doc, pos)
+    // occurrence list and expand ordered pairs in place — the corpus is
+    // never hashed twice and never self-joined. Singleton windows
+    // (one distinct doc — can never pair) and boilerplate windows
+    // (> SubDfCap distinct docs) prune inside the same aggregation.
+    // Per-window list size is bounded by the df cap × within-doc
+    // repeats, so the m² pair expansion is a small map-side loop.
+    val p = w.groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("occ"),
+        countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= SubDfCap)
+      .select(explode(expr(
+        """flatten(transform(occ, a ->
+             transform(filter(occ, b -> b.doc_id > a.doc_id),
+               b -> struct(a.doc_id AS da, b.doc_id AS db,
+                 a.pos AS pa, b.pos AS pb))))""")).as("pr"))
+      .select($"pr.da", $"pr.db", $"pr.pa", $"pr.pb")
     val runs = p
       .withColumn("diag", $"pa" - $"pb")
       .withColumn("grp", $"pa" - row_number().over(
@@ -1128,7 +1137,7 @@ object TextOps {
         |  for i in range(1, len(toks) - ${SubW - 2})], recursive := true)
         |  FROM t),
         |df AS (SELECT h FROM w GROUP BY h
-        |  HAVING count(DISTINCT doc_id) <= $SubDfCap),
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubDfCap),
         |wf AS (SELECT w.* FROM w JOIN df USING (h)),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
         |  FROM wf a JOIN wf b ON a.h = b.h AND a.doc_id < b.doc_id),

@@ -116,4 +116,44 @@ object TrainingDataPipeline {
       survivors.select($"doc_id", $"source", $"n_tokens".as("n_tok")),
       2048L)
   }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_curate" -> ((s, dir) => curate(s, dir)),
+  )
+
+  /** The capstone oracle is the stage oracles COMPOSED: d04's quality
+    * arithmetic, d14's normalization canonical, d01's bag-of-words
+    * keeper, and d12's recursive dup clusters (embedded verbatim from
+    * `TextOps.oracles` so the stages can never drift from their
+    * standalone contracts). */
+  val oracles: Map[String, String] = Map(
+    "d27_curate" ->
+      s"""WITH qt AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks
+         |  FROM documents),
+         |qm AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))
+         |    AS BIGINT) AS n_stop
+         |  FROM qt),
+         |q AS (SELECT doc_id, n_tokens,
+         |  (((n_uniq * 4000 + (n_tokens - n_stop) * 3000
+         |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
+         |   // (n_tokens * 20000)) / 10000.0 AS quality FROM qm),
+         |keep_norm AS (SELECT doc_id FROM (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS canonical_id
+         |  FROM documents) WHERE doc_id = canonical_id),
+         |keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
+         |clusters AS (SELECT * FROM (${TextOps.oracles("d12_dup_clusters")}) z),
+         |drop_near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality, q.n_tokens
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE q.quality >= 0.5
+         |  AND d.doc_id IN (SELECT doc_id FROM keep_norm)
+         |  AND d.doc_id IN (SELECT doc_id FROM keep_exact)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+         |ORDER BY doc_id""".stripMargin,
+  )
 }
