@@ -358,7 +358,14 @@ object StreamOps {
         state.update(open)
         if (open.isEmpty && state.exists) state.remove()
         else if (open.nonEmpty)
-          state.setTimeoutTimestamp(open.map(_._2).max / 1000L + gapMs + 1)
+          // arm on the EARLIEST open session's close boundary: with the
+          // max, one far-future session (e.g. a key that also received a
+          // flush sentinel) would postpone the timer past every earlier
+          // session's close and they would never emit; with the min, the
+          // timeout fires at each next close, emits, and re-arms here
+          // for the remaining open sessions. Always > current watermark:
+          // open sessions satisfy e + gap > wm by the partition above.
+          state.setTimeoutTimestamp(open.map(_._2).min / 1000L + gapMs + 1)
         closed.sortBy(_._1).iterator.map { case (s, e, n) =>
           SessionOut(userId, fromMicros(s), fromMicros(e + gapUs), n)
         }
@@ -999,6 +1006,27 @@ object StreamOps {
       .orderBy(col("w_start"), col("n_name"))
   }
 
+  /** s22: the CUSTOM-STATE sessionizer ([[sessionize]],
+    * `flatMapGroupsWithState` + event-time timeout — the Processor API
+    * + punctuate shape) declared as an oracle query: 2 h inactivity
+    * gap over the event stream, emitted on watermark close. The flush
+    * sentinels advance the watermark past every real event so all real
+    * sessions close; the sentinels' own 2100-era session stays open
+    * (its end + gap is beyond the final watermark) and is therefore
+    * never emitted — no post-filter needed. s09 is the declarative
+    * `session_window` twin; this one proves the hand-rolled state
+    * machine against the same gaps-and-islands SQL. */
+  def streamFmgwsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")).as[EventRow]
+    runToMemory(
+      sessionize(ev, 2L * 3600 * 1000, "10 minutes").toDF(),
+      "graft_s22", "append")
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1021,6 +1049,7 @@ object StreamOps {
     "s19_stream_quarantine" -> streamCorruptQuarantine _,
     "s20_stream_merge"      -> streamMerge _,
     "s21_stream_pipeline"   -> streamPipeline _,
+    "s22_fmgws_sessions"    -> streamFmgwsSessions _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1079,6 +1108,23 @@ object StreamOps {
         |  FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2) AS purchase_value
         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // e04's gaps-and-islands session SQL minus the value sum (the
+    // custom state machine tracks (start, end, count) per session)
+    "s22_fmgws_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     // dedup is a no-op on the fixture (unique event_ids) but exercises
     // the chained state store; the oracle is the batch equivalent of
     // the whole filter→enrich→window chain
