@@ -219,6 +219,54 @@ object FileSources {
     spark.read.parquet(dirStr)
   }
 
+  /** Bucketed co-located join (e30): orders and customer are written
+    * ONCE as bucketed tables (8 buckets on the join key, sorted within
+    * buckets) and the join then runs with NO shuffle exchange on either
+    * side — the bucket layout IS the exchange, paid at write time. This
+    * is THE pre-partitioning feature for a 100 TB lake: a fact table
+    * bucketed by its FK joins every co-bucketed dimension forever
+    * without moving data; at 1000 executors the join is a per-bucket
+    * zip (bucket i ⋈ bucket i), and the within-bucket sort order
+    * lets SortMergeJoin skip its sort. PlanShapeSpec pins the
+    * no-exchange-under-the-join shape. */
+  private def bucketedName(which: String, sfDir: String): String =
+    s"graft_bk_${which}_${Integer.toHexString(sfDir.hashCode).replace('-', 'm')}"
+
+  private[graft] def ensureBucketedTables(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val to = bucketedName("orders", sfDir)
+    val tc = bucketedName("customer", sfDir)
+    val srcMtime = new java.io.File(s"$sfDir/orders.parquet").lastModified()
+    val key = (sfDir, "bucketed")
+    val fresh = dirs.get(key).exists(_._1 == srcMtime) &&
+      spark.catalog.tableExists(to) && spark.catalog.tableExists(tc)
+    if (!fresh) dirs.updateWith(key) { _ =>
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      spark.sql(s"DROP TABLE IF EXISTS $tc")
+      val dir = graft.streaming.StreamOps.newTempDir("graft_src_bucketed")
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .format("parquet").option("path", s"$dir/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+      Tables.customer(spark, sfDir).write.mode("overwrite")
+        .format("parquet").option("path", s"$dir/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      Some((srcMtime, dir.toString))
+    }
+    (to, tc)
+  }
+
+  /** Revenue per market segment over the bucket-co-located join. */
+  def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (to, tc) = ensureBucketedTables(spark, sfDir)
+    spark.table(to)
+      .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e23_json_source" -> jsonSourceAgg _,
     "e24_csv_source"  -> csvSourceAgg _,
@@ -226,6 +274,7 @@ object FileSources {
     "e27_merge_schema"   -> mergeSchemaAgg _,
     "e28_partitioned_scan" -> partitionedScanAgg _,
     "e29_orc_source"     -> orcSourceAgg _,
+    "e30_bucketed_join"  -> bucketedJoinAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +324,12 @@ object FileSources {
         |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
         |min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e30_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |count(DISTINCT o_custkey) AS n_customers,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -39,6 +39,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("bucketed join: co-bucketed tables join with NO shuffle exchange") {
+    val (to, tc) = graft.sources.FileSources.ensureBucketedTables(spark, sf)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    // at fixture scale the dimension would broadcast (also correct);
+    // the bucketing contract is about the big-big case, so force the
+    // sort-merge path the 100 TB join takes
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val df = spark.table(to)
+        .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+      df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scan not bucket-aware:\n$plan")
+      // the bucket layout IS the exchange: none may appear in the plan
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("flagship aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.entry(spark)
     df.collect() // AQE materializes codegen stages only in the final plan
