@@ -594,6 +594,8 @@ object StreamOps {
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
   private val topNDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+  private val boundedTriggerDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
   /** Materialize `batches` as ONE parquet file each, mtime-ordered, so a
     * file-source stream with maxFilesPerTrigger=1 replays them as that
@@ -1027,6 +1029,49 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** s23: trigger-invariance under bounded micro-batches — the
+    * backpressure contract. The month of events is split into three
+    * time-ordered files (+ a flush sentinel) and consumed with
+    * `maxFilesPerTrigger=1`, so the daily aggregation runs across FOUR
+    * real triggers with the watermark advancing between them: early
+    * windows close and emit after trigger 1 while later data is still
+    * unread. The append-mode result must equal the all-at-once batch
+    * aggregate — slicing the stream into bounded batches (what a rate
+    * limit / backpressure control does to a Kafka consumer) may never
+    * change the answer, only the emission schedule. */
+  def streamBoundedTrigger(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirStr = orderedBatchDir(boundedTriggerDirs, sfDir, "events.parquet",
+        "graft_bounded") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val day = dayofmonth(col("ts"))
+      val flush = ev.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+        .select(ev.columns.map(col): _*)
+      Seq(ev.filter(day <= 10), ev.filter(day > 10 && day <= 20),
+        ev.filter(day > 20), flush)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+    runToMemory(
+      stream.withWatermark("ts", "10 minutes")
+        .filter(col("ts") < flushBound)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+            .as("sum_value"))
+        .select(col("w.start").as("w_start"), col("n"), col("sum_value")),
+      "graft_s23", "append")
+      .orderBy(col("w_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1050,6 +1095,7 @@ object StreamOps {
     "s20_stream_merge"      -> streamMerge _,
     "s21_stream_pipeline"   -> streamPipeline _,
     "s22_fmgws_sessions"    -> streamFmgwsSessions _,
+    "s23_bounded_trigger"   -> streamBoundedTrigger _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1108,6 +1154,12 @@ object StreamOps {
         |  FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2) AS purchase_value
         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s23_bounded_trigger" ->
+      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+        |  AS w_start, count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_value
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
     // e04's gaps-and-islands session SQL minus the value sum (the
     // custom state machine tracks (start, end, count) per session)
     "s22_fmgws_sessions" ->
