@@ -243,18 +243,29 @@ object TextOps {
     // sampler's extra pass over the band join, and d12 doesn't need it
     lshPairs(spark, sfDir).orderBy("d1", "d2")
 
+  /** LSH band table (doc_id, band, bh): one row per (doc, band), band
+    * hash = the 4 signature entries of that band joined as a string.
+    * Shared by d06's candidate self-join and the s24 streaming
+    * incremental near-dup ([[graft.streaming.StreamOps]]), so the band
+    * definition cannot drift between the batch and streaming faces. */
+  private[graft] def lshBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
+    sigs.select($"doc_id", explode(expr(
+      """transform(sequence(0, 3),
+        b -> struct(b AS band,
+          array_join(transform(slice(sig, b*4 + 1, 4),
+            v -> cast(v as string)), '|') AS bh))""")).as("x"))
+      .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
+  }
+
   private def minhashLshUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // One row per doc; materialized once and read by the band join (both
     // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
     // across executors, well within a cluster's storage fraction.
     val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
-    val bands = sigs.select($"doc_id", explode(expr(
-      """transform(sequence(0, 3),
-        b -> struct(b AS band,
-          array_join(transform(slice(sig, b*4 + 1, 4),
-            v -> cast(v as string)), '|') AS bh))""")).as("x"))
-      .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
+    val bands = lshBands(spark, sfDir)
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
@@ -977,6 +988,62 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Fixed keyword workload for d28 — terms drawn from the fixture
+    * vocabulary; a retrieval benchmark's query set is a bounded literal
+    * input, never data-dependent. */
+  private[graft] val Bm25Terms = Seq("spark", "join", "vector", "customer", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** d28: BM25 keyword retrieval — top-5 documents per query term under
+    * the Okapi BM25 ranking function (k1=1.2, b=0.75, the
+    * Robertson/Sparck-Jones idf in its always-positive `ln(1 + …)`
+    * form). The inverted-index scoring pass of a search engine,
+    * expressed relationally: tf per (term, doc), df per term, doc
+    * length vs corpus average for length normalization.
+    *
+    * Scale design: the term filter lands directly on the exploded token
+    * stream, so only postings of the 5 query terms survive the first
+    * hash-agg (at 100 TB: the posting lists, not the corpus, get
+    * shuffled); doc lengths are a second map-side-combined hash-agg;
+    * corpus totals (N, Σdl) and per-term df are single-row/5-row
+    * broadcasts. Per-term top-5 is a window over ≤ df rows partitioned
+    * by term — at scale the [[graft.functions.TopKAggregator]] bounded
+    * buffer (v11) would replace the window; df here is fixture-small.
+    *
+    * Cross-engine determinism: tf, df, dl, N, Σdl are exact integers;
+    * the score is a handful of double ops on those integers with
+    * literal constants, rounded once to 1e-4 — same residual risk class
+    * as d09/d16 (a value within 1 ulp of a rounding boundary could
+    * differ; accepted there, accepted here). Rank ties break on doc_id
+    * over the ROUNDED score, so both engines rank identically. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docsWithToks(spark, sfDir)
+    val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val totals = dl.agg(sum($"dl").as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("score", round(
+        $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * $"dl" * $"n_docs" / $"sum_dl")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"term").orderBy(desc("score"), $"doc_id")))
+      .filter($"rank" <= 5)
+      .select($"term", $"rank".cast("long").as("rank"), $"doc_id", $"score")
+      .orderBy($"term", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d02_top_terms"     -> topTerms _,
@@ -1004,12 +1071,14 @@ object TextOps {
     "d24_boilerplate"   -> boilerplate _,
     "d25_shared_substrings" -> sharedSubstrings _,
     "d26_token_entropy" -> tokenEntropy _,
+    "d28_bm25"          -> bm25 _,
   )
 
-  /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
-    * (candidate pairs + matching-permutation counts) — shared verbatim
-    * by the d06 and d21 oracles so the two can never drift. */
-  private def mhPairsCte: String =
+  /** The shingle→minhash→band prefix of the MinHash pipeline as a DuckDB
+    * CTE chain ending at `bands(doc_id, band, bh)` — shared by
+    * [[mhPairsCte]] and the s24 streaming near-dup oracle
+    * ([[graft.streaming.StreamOps]]), mirroring [[lshBands]]. */
+  private[graft] def mhBandsCte: String =
     s"""t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
        |  WHERE len(str_split(text, ' ')) >= 3),
        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
@@ -1018,7 +1087,13 @@ object TextOps {
        |sig AS (SELECT doc_id, s, min((a * x + b) % $MhP) AS h
        |  FROM xs CROSS JOIN $mhSeedsSql GROUP BY doc_id, s),
        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
-       |  FROM sig GROUP BY doc_id, s // 4),
+       |  FROM sig GROUP BY doc_id, s // 4)""".stripMargin
+
+  /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
+    * (candidate pairs + matching-permutation counts) — shared verbatim
+    * by the d06 and d21 oracles so the two can never drift. */
+  private def mhPairsCte: String =
+    s"""$mhBandsCte,
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
@@ -1026,6 +1101,24 @@ object TextOps {
        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d28_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(toks) AS term FROM tk) x
+         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * (tf * ${Bm25K1 + 1.0})
+         |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl * n_docs / sum_dl)), 4) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot),
+         |rk AS (SELECT term, doc_id, score, row_number()
+         |  OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT term, rank, doc_id, score FROM rk WHERE rank <= 5
+         |ORDER BY term, rank""".stripMargin,
     "d20_mix_weights" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens

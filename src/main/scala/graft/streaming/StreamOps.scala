@@ -1072,6 +1072,64 @@ object StreamOps {
       .orderBy(col("w_start"))
   }
 
+  private val nearDupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s24: INCREMENTAL near-dup ingest — the streaming face of the d06
+    * MinHash/LSH pipeline, driven as two mtime-ordered micro-batches:
+    *   batch 0 — the "existing corpus" (even doc_ids): every corpus
+    *     doc's 4 LSH band buckets fold into per-bucket state;
+    *   batch 1 — the "incoming crawl" (odd doc_ids): each new doc
+    *     probes its own 4 buckets against that state.
+    * The declared result is, per incoming doc that hit ≥ 1 occupied
+    * bucket: the minimum corpus doc sharing any band (min over buckets
+    * of the per-bucket minimum = min of the union) and how many of its
+    * 4 bands matched. The oracle recomputes the same bands in SQL
+    * ([[graft.operators.TextOps.mhBandsCte]] — shared text, zero
+    * drift) and joins odd against even, so what the hash verifies is
+    * the incremental contract itself: state must hold exactly the
+    * corpus batch, and probes must not see other incoming docs.
+    *
+    * Scale design: this is THE shape for deduping new data against an
+    * already-ingested 100 TB corpus — the corpus is never rescanned; it
+    * exists only as ≤ 4-buckets-per-doc state (RocksDB, one Long per
+    * occupied bucket), and each incoming doc costs 4 point lookups. */
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(nearDupDirs, sfDir, "documents.parquet",
+        "graft_neardup") {
+      val bands = graft.operators.TextOps.lshBands(spark, sfDir)
+        .select(concat_ws(":", col("band"), col("bh")).as("bucket"),
+          col("doc_id"))
+      def side(tag: String) = lit(tag).as("side")
+      Seq(
+        bands.filter(col("doc_id") % 2 === 0)
+          .select(col("bucket"), side("O"), col("doc_id")),
+        bands.filter(col("doc_id") % 2 === 1)
+          .select(col("bucket"), side("N"), col("doc_id")))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "bucket STRING, side STRING, doc_id BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[BandEvent]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[BandMatch])
+      .toDF()
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s24", "update", Some(8))
+    }
+      .groupBy(col("new_doc"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        count(lit(1)).as("matched_bands"))
+      .orderBy(col("new_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1096,9 +1154,21 @@ object StreamOps {
     "s21_stream_pipeline"   -> streamPipeline _,
     "s22_fmgws_sessions"    -> streamFmgwsSessions _,
     "s23_bounded_trigger"   -> streamBoundedTrigger _,
+    "s24_stream_neardup"    -> streamNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
+    // the d06 band CTE (shared text), odd docs probing even-doc buckets
+    "s24_stream_neardup" ->
+      s"""WITH ${graft.operators.TextOps.mhBandsCte},
+         |old AS (SELECT band, bh, min(doc_id) AS min_old FROM bands
+         |  WHERE doc_id % 2 = 0 GROUP BY band, bh),
+         |nw AS (SELECT b.doc_id, o.min_old FROM bands b
+         |  JOIN old o ON b.band = o.band AND b.bh = o.bh
+         |  WHERE b.doc_id % 2 = 1)
+         |SELECT doc_id AS new_doc, min(min_old) AS dup_of,
+         |  count(*) AS matched_bands
+         |FROM nw GROUP BY doc_id ORDER BY new_doc""".stripMargin,
     // parquet side contributes every row, JSON side all non-corrupt rows
     "s20_stream_merge" ->
       """SELECT event_type,

@@ -352,6 +352,22 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25: ranks dense per term, scores positive and non-increasing") {
+    import spark.implicits._
+    val rows = TextOps.bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("term"))
+    assert(byTerm.keySet.subsetOf(TextOps.Bm25Terms.toSet))
+    byTerm.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.forall(_ > 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("kNN classify: one prediction per label-0 query, votes in 1..5") {
     import spark.implicits._
     val nQueries = Tables.embeddings(spark, sf).filter($"label" === 0).count()
@@ -399,6 +415,25 @@ class StreamingSpec extends AnyFunSuite {
   import graft.streaming.StreamOps
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
+
+  test("s24 incremental near-dup equals the batch band join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = StreamOps.streamNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bands = graft.operators.TextOps.lshBands(spark, sf)
+    val oldMin = bands.filter($"doc_id" % 2 === 0)
+      .groupBy($"band", $"bh").agg(min($"doc_id").as("min_old"))
+    val expect = bands.filter($"doc_id" % 2 === 1)
+      .join(oldMin, Seq("band", "bh"))
+      .groupBy($"doc_id")
+      .agg(min($"min_old").as("dup_of"), count(lit(1)).as("mb"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("mb"))).toSet
+    assert(out.map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"),
+      r.getAs[Long]("matched_bands"))).toSet == expect)
+  }
 
   test("streaming range enrich equals the batch binned range join rows") {
     import org.apache.spark.sql.functions._
