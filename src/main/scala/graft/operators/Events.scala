@@ -290,8 +290,38 @@ object Events {
       .orderBy($"user_id", $"day")
   }
 
+  /** e31: SCD type-2 dimension build from a changelog — the warehouse
+    * pattern that turns a per-key stream of attribute values into
+    * versioned dimension rows with validity intervals. Per user, the
+    * event_type sequence (ordered by ts, event_id) is compacted to its
+    * CHANGE points — a consecutive repeat is a no-op update and opens
+    * no new version — and each change opens a version valid
+    * [ts, next-change ts); the latest version is open-ended
+    * (valid_to NULL, is_current true).
+    *
+    * Scale design: one exchange on user_id + one sort feed all three
+    * window functions (the post-filter windows reuse the lag window's
+    * sort order — a Filter preserves ordering, so no second exchange or
+    * sort appears in the plan). No joins; per-key work is linear in the
+    * key's history — the same cost model as any changelog compaction. */
+  def scd2Versions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(ord))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(ord).cast("long"))
+      .withColumn("valid_to", lead($"ts", 1).over(ord))
+      .select($"user_id", $"version", $"event_type".as("status"),
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
+    "e31_scd2_versions"  -> scd2Versions _,
     "e25_window_navigation" -> windowNavigation _,
     "e02_tumbling_daily" -> tumblingDaily _,
     "e03_hopping_hourly" -> hoppingHourly _,
@@ -311,6 +341,22 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e31_scd2_versions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_type FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS version,
+        |  event_type AS status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        |  FROM c)
+        |SELECT user_id, version, status, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "e25_window_navigation" ->
       """WITH t AS (SELECT user_id,
         |  make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,

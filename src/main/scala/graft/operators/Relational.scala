@@ -359,7 +359,42 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** q22: recursive-CTE hierarchy rollup (Spark 4's WITH RECURSIVE /
+    * UnionLoop — the iterative-query surface: org charts, BOM
+    * explosions, graph reachability). The part table is read as an
+    * implicit binary assembly tree — part k's sub-assemblies are parts
+    * 2k and 2k+1 — and each anchor part (keys 1..7) is rolled up over
+    * its whole subtree: component count, tree height, total retail
+    * price.
+    *
+    * Scale design: each recursion level is ONE hash equi-join
+    * (c.p_partkey DIV 2 = level's frontier keys) — never a
+    * nested-loop — so a level costs one shuffle bounded by the frontier
+    * size, and the loop depth is the hierarchy height (log n here,
+    * BOM depth in practice), the same iterate-until-empty shape as
+    * [[Graph.connectedComponents]]. Sums are exact DECIMAL cents.
+    * Key 0 is excluded from the tree: 0 DIV 2 = 0 would make it its own
+    * child and the recursion non-terminating. */
+  def subtreeRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """WITH RECURSIVE sub(anchor, k, depth, price) AS (
+        |  SELECT p_partkey, p_partkey, 0,
+        |    CAST(p_retailprice AS DECIMAL(18,4))
+        |  FROM graft_part WHERE p_partkey BETWEEN 1 AND 7
+        |  UNION ALL
+        |  SELECT s.anchor, c.p_partkey, s.depth + 1,
+        |    CAST(c.p_retailprice AS DECIMAL(18,4))
+        |  FROM sub s JOIN graft_part c
+        |    ON c.p_partkey DIV 2 = s.k AND c.p_partkey >= 2)
+        |SELECT anchor, count(*) AS n_parts,
+        |  max(depth) AS max_depth,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS subtree_price
+        |FROM sub GROUP BY anchor ORDER BY anchor""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_subtree_rollup" -> subtreeRollup _,
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
     "q03_top_customers"      -> topCustomers _,
@@ -386,6 +421,20 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    "q22_subtree_rollup" ->
+      """WITH RECURSIVE sub(anchor, k, depth, price) AS (
+        |  SELECT p_partkey, p_partkey, 0,
+        |    CAST(p_retailprice AS DECIMAL(18,4))
+        |  FROM part WHERE p_partkey BETWEEN 1 AND 7
+        |  UNION ALL
+        |  SELECT s.anchor, c.p_partkey, s.depth + 1,
+        |    CAST(c.p_retailprice AS DECIMAL(18,4))
+        |  FROM sub s JOIN part c
+        |    ON c.p_partkey // 2 = s.k AND c.p_partkey >= 2)
+        |SELECT anchor, count(*) AS n_parts,
+        |  max(depth) AS max_depth,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS subtree_price
+        |FROM sub GROUP BY anchor ORDER BY anchor""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${D.dsum("l_quantity", "sum_qty")},

@@ -352,6 +352,41 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2: dense versions, seamless intervals, one open version per user") {
+    import spark.implicits._
+    val rows = Events.scd2Versions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // exactly one open-ended (current) version, and it is the last
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // no no-op versions, and intervals chain without gaps
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("recursive subtree rollup covers the whole binary tree from anchor 1") {
+    import spark.implicits._
+    val byAnchor = Relational.subtreeRollup(spark, sf).collect()
+      .map(r => r.getAs[Long]("anchor") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Int]("max_depth"))).toMap
+    val nParts = Tables.part(spark, sf).filter($"p_partkey" >= 1).count()
+    // anchor 1's subtree is every part key >= 1; its height is log2(max)
+    assert(byAnchor(1L)._1 == nParts)
+    // anchors 2 and 3 partition anchor 1's subtree minus the root
+    assert(byAnchor(2L)._1 + byAnchor(3L)._1 == nParts - 1)
+    assert(byAnchor(1L)._2 == byAnchor(2L)._2.max(byAnchor(3L)._2) + 1)
+  }
+
   test("BM25: ranks dense per term, scores positive and non-increasing") {
     import spark.implicits._
     val rows = TextOps.bm25(spark, sf).collect()
