@@ -1130,6 +1130,56 @@ object StreamOps {
       .orderBy(col("new_doc"))
   }
 
+  private val asOfDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s25: streaming AS-OF join (see [[AsOfJoinProcessor]]) in two
+    * mtime-ordered micro-batches:
+    *   batch 0 — reference side: every 'view' event as a (ts, value)
+    *     quote, appended to per-user ListState;
+    *   batch 1 — probe side: every 'purchase' event, each resolving
+    *     the latest quote with ts ≤ its own (null if none — the
+    *     left-outer as-of contract).
+    * The oracle reproduces the same semantics as a windowed left range
+    * join, so the hash verifies the temporal lookup itself: an
+    * off-by-one on the ≤ bound, a wrong tiebreak, or a dropped
+    * unmatched probe all change the result. */
+  def streamAsOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(asOfDirs, sfDir, "events.parquet",
+        "graft_asof") {
+      val ev = graft.Tables.events(spark, sfDir)
+      def shape(tpe: String, tag: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), lit(tag).as("side"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"))
+      Seq(shape("view", "Q"), shape("purchase", "T"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, side STRING, ts_us BIGINT, event_id BIGINT, " +
+        "value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[AsOfJoined])
+      .toDF()
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s25", "update", Some(8))
+    }
+      .select($"trade_id", $"user_id",
+        timestamp_micros($"trade_ts_us").as("trade_ts"),
+        timestamp_micros($"quote_ts_us").as("quote_ts"),
+        $"quote_value")
+      .orderBy($"trade_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1155,9 +1205,23 @@ object StreamOps {
     "s22_fmgws_sessions"    -> streamFmgwsSessions _,
     "s23_bounded_trigger"   -> streamBoundedTrigger _,
     "s24_stream_neardup"    -> streamNearDup _,
+    "s25_stream_asof"       -> streamAsOfJoin _,
   )
 
   val oracles: Map[String, String] = Map(
+    // left-outer as-of: latest view at-or-before each purchase, per user
+    "s25_stream_asof" ->
+      """WITH q AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view'),
+        |t AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT t.event_id AS trade_id, t.user_id, t.ts AS trade_ts,
+        |  q.ts AS quote_ts, q.value AS quote_value,
+        |  row_number() OVER (PARTITION BY t.event_id
+        |    ORDER BY q.ts DESC, q.event_id DESC) AS rn
+        |  FROM t LEFT JOIN q ON q.user_id = t.user_id AND q.ts <= t.ts)
+        |SELECT trade_id, user_id, trade_ts, quote_ts, quote_value
+        |FROM j WHERE rn = 1 ORDER BY trade_id""".stripMargin,
     // the d06 band CTE (shared text), odd docs probing even-doc buckets
     "s24_stream_neardup" ->
       s"""WITH ${graft.operators.TextOps.mhBandsCte},

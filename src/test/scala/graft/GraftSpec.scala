@@ -451,6 +451,34 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
 
+  test("s25 streaming as-of join equals the batch window as-of") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = StreamOps.streamAsOfJoin(spark, sf)
+    assert(out.count() > 0)
+    val ev = Tables.events(spark, sf)
+    val q = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("quote_ts"), $"event_id".as("q_id"),
+        $"value".as("quote_value"))
+    val t = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("trade_ts"), $"event_id".as("trade_id"))
+    val w = Window.partitionBy($"trade_id")
+      .orderBy($"quote_ts".desc, $"q_id".desc)
+    // inner as-of matches, then left-join back so quote-less trades
+    // surface as null-quote rows (the left-outer as-of contract)
+    val matched = t.join(q, Seq("user_id"))
+      .filter($"quote_ts" <= $"trade_ts")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"trade_id", $"quote_ts", $"quote_value")
+    val batch = t.join(matched, Seq("trade_id"), "left")
+      .select($"trade_id", $"user_id", $"trade_ts", $"quote_ts",
+        $"quote_value")
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
   test("s24 incremental near-dup equals the batch band join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
