@@ -1044,8 +1044,56 @@ object TextOps {
       .orderBy($"term", $"rank")
   }
 
+  /** d29: PageRank over the document similarity graph (nodes = all
+    * docs, undirected edges = the d06 LSH near-dup pairs) — the graph
+    * centrality a curation pipeline uses to pick the CANONICAL copy of
+    * a duplicated document: highly-replicated content accumulates rank.
+    * Five power iterations, damping 0.85.
+    *
+    * Cross-engine determinism, by construction rather than tolerance:
+    * ranks are INTEGER pico-units (10¹² ≈ total mass), every update is
+    * integer arithmetic — r₀ = 10¹²÷N, per-edge contribution
+    * r÷deg, next r = (15·(10¹²÷N))÷100 + (85·Σcontrib)÷100 with ÷ =
+    * floor division — so both engines produce bit-identical BIGINTs;
+    * no float summation order anywhere. The oracle unrolls the five
+    * iterations as CTEs over the same shared band/pair chain.
+    *
+    * Scale design: the edge list with degrees is checkpointed once and
+    * re-joined per iteration; each iteration is one shuffled
+    * contribution aggregation + one left join back to the node set —
+    * the [[Graph.connectedComponents]] loop shape with a fixed
+    * iteration count, linear per iteration in |E|. Ranks are
+    * checkpointed per iteration so the plan never grows with the loop.
+    * The only driver-side values are N (one count) and the two derived
+    * Long constants. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val n = docs.count()
+    val unit = 1000000000000L / n
+    val base = 15L * unit / 100L
+    val pairs = lshPairs(spark, sfDir).select($"d1", $"d2")
+    val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint()
+    var ranks = docs.select($"doc_id", lit(unit).as("r")).localCheckpoint()
+    for (_ <- 1 to 5) {
+      val contrib = ed.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      ranks = docs
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"doc_id", $"r".as("rank_pico")).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
+    "d29_pagerank"      -> pageRank _,
     "d02_top_terms"     -> topTerms _,
     "d03_lang_stats"    -> langStats _,
     "d04_quality_score" -> qualityScore _,
@@ -1100,7 +1148,35 @@ object TextOps {
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)""".stripMargin
 
+  /** The d29 power iterations unrolled as CTEs (it1..it5), each one
+    * contribution-aggregate + node left join in exact integer
+    * arithmetic — mirrors the Spark loop body verbatim. */
+  private def pagerankIterCtes: String =
+    (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (SELECT d.doc_id,
+         |  (15 * (1000000000000 // nn.n)) // 100
+         |    + (85 * COALESCE(s.s, 0)) // 100 AS r
+         |  FROM documents d CROSS JOIN nn LEFT JOIN
+         |    (SELECT ed.dst, sum($prev.r // ed.deg) AS s
+         |     FROM ed JOIN $prev ON $prev.doc_id = ed.src
+         |     GROUP BY ed.dst) s ON s.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "d29_pagerank" ->
+      s"""WITH $mhPairsCte,
+         |p AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+         |  UNION ALL SELECT d2, d1 FROM p),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+         |  JOIN deg d ON d.src = e.src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id, (1000000000000 // nn.n) AS r
+         |  FROM documents CROSS JOIN nn),
+         |$pagerankIterCtes
+         |SELECT doc_id, r AS rank_pico FROM it5 ORDER BY doc_id""".stripMargin,
     "d28_bm25" ->
       s"""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),

@@ -387,6 +387,24 @@ class GraftSpec extends AnyFunSuite {
     assert(byAnchor(1L)._2 == byAnchor(2L)._2.max(byAnchor(3L)._2) + 1)
   }
 
+  test("PageRank: isolated docs hold the base rank, linked docs exceed it") {
+    import spark.implicits._
+    val n = Tables.documents(spark, sf).count()
+    val unit = 1000000000000L / n
+    val base = 15L * unit / 100L
+    val linked = TextOps.minhashLsh(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val ranks = TextOps.pageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_pico")).toMap
+    assert(ranks.size == n)
+    ranks.foreach { case (doc, r) =>
+      if (linked(doc)) assert(r > base, s"linked doc $doc at base rank")
+      else assert(r == base, s"isolated doc $doc not at base rank $base: $r")
+    }
+    // floor divisions only ever drop mass: total stays under n·unit
+    assert(ranks.values.sum <= n * unit)
+  }
+
   test("BM25: ranks dense per term, scores positive and non-increasing") {
     import spark.implicits._
     val rows = TextOps.bm25(spark, sf).collect()
