@@ -541,7 +541,72 @@ object VectorOps {
       .orderBy($"cluster", $"drop_id")
   }
 
+  /** v16: MMR-diversified retrieval (Maximal Marginal Relevance,
+    * Carbonell & Goldstein '98) — the diversity-aware selection a
+    * training-data pipeline uses where plain top-k returns
+    * near-duplicates of one passage: greedily pick 8 of the top-30
+    * candidates, each step maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected` (λ=½,
+    * equivalent under argmax to `rel − maxsim` in integer micro-units).
+    *
+    * Scale design: the distributed parts are exactly the unbounded
+    * ones — candidate generation is v01's broadcast-query codegen'd
+    * cosine scan over the full corpus, and the 30×30 candidate
+    * similarity matrix is a broadcast-fed join of a LIMIT-bounded set.
+    * The greedy loop itself is O(k·C) = 240 integer comparisons on
+    * driver-collected micro-unit scores — the same bounded-collect
+    * class as the k-means centroid pull; it never touches
+    * non-candidate data.
+    *
+    * Determinism: relevance and pair similarities are rounded ONCE
+    * from the raw cosine to integer micro-units; every later
+    * comparison (including ties → smaller vec_id) is integer, so both
+    * engines select identical sets. The oracle unrolls the 8 greedy
+    * steps as CTEs. */
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val cand = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"v",
+        round(call_function("graft_cosine", $"v", $"qv") * lit(1e6))
+          .cast("long").as("rel"))
+      .orderBy(desc("rel"), $"vec_id")
+      .limit(30)
+      .localCheckpoint()
+    val sims = cand.select($"vec_id".as("a_id"), $"v".as("av"))
+      .crossJoin(broadcast(cand.select($"vec_id".as("b_id"), $"v".as("bv"))))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id",
+        round(call_function("graft_cosine", $"av", $"bv") * lit(1e6))
+          .cast("long").as("sim"))
+    val rels = cand.select($"vec_id", $"rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)] // rank, id, rel, maxsim, score
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (rank <- 1L to 8L) {
+      val best = rels.keysIterator
+        .filterNot(selected.contains)
+        .map { id =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(s => simMap((id, s))).max
+          (rels(id) - ms, id, ms)
+        }
+        .minBy { case (score, id, _) => (-score, id) }
+      selected += best._2
+      picks += ((rank, best._2, rels(best._2), best._3, best._1))
+    }
+    picks.toSeq
+      .toDF("rank", "vec_id", "rel_micro", "maxsim_micro", "score_micro")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_mmr_diversify"   -> mmrDiversify _,
     "v01_cosine_topk"     -> cosineTopK _,
     "v11_knn_classify"    -> knnClassify _,
     "v02_centroids"       -> centroids _,
@@ -601,7 +666,44 @@ object VectorOps {
   private def cos(a: String, b: String): String =
     cosSql.format(a, b, a, a, b, b)
 
+  /** The v16 greedy MMR steps 2..8 unrolled as CTE pairs (pick sᵢ,
+    * accumulate selᵢ) — mirrors the Spark driver loop in exact integer
+    * micro-units. */
+  private def mmrStepCtes: String = (2 to 8).map { i =>
+    s"""s$i AS MATERIALIZED (SELECT c.vec_id, c.rel, m.ms AS max_sim,
+       |  c.rel - m.ms AS score, CAST($i AS BIGINT) AS rank
+       |  FROM cand c JOIN (SELECT a_id, max(sim) AS ms FROM sims
+       |    WHERE b_id IN (SELECT vec_id FROM sel${i - 1}) GROUP BY a_id) m
+       |    ON m.a_id = c.vec_id
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+       |  ORDER BY score DESC, c.vec_id LIMIT 1),
+       |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+       |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "v16_mmr_diversify" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+         |sc AS (SELECT vec_id, v,
+         |  CAST(round((${cos("v", "qv")}) * 1000000) AS BIGINT) AS rel
+         |  FROM e CROSS JOIN q),
+         |cand AS MATERIALIZED (SELECT * FROM sc ORDER BY rel DESC, vec_id LIMIT 30),
+         |sims AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(round((${cos("a.v", "b.v")}) * 1000000) AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) AS max_sim,
+         |  rel AS score, CAST(1 AS BIGINT) AS rank
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+         |$mmrStepCtes
+         |SELECT rank, vec_id, rel AS rel_micro, max_sim AS maxsim_micro,
+         |  score AS score_micro
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |  UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
+         |  UNION ALL SELECT * FROM s7 UNION ALL SELECT * FROM s8)
+         |ORDER BY rank""".stripMargin,
     "v01_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)

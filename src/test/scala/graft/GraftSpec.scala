@@ -421,6 +421,29 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR: 8 distinct picks, pure-relevance first, consistent arithmetic") {
+    import spark.implicits._
+    val rows = VectorOps.mmrDiversify(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 8)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 8)
+    // rank 1 is the pure-relevance argmax — v01's top hit — and the
+    // most relevant pick overall (later marginal scores CAN exceed it
+    // when similarities to the selected set are negative, but raw
+    // relevance cannot)
+    val top1 = VectorOps.cosineTopK(spark, sf).limit(1).collect()
+      .head.getAs[Long]("vec_id")
+    assert(rows.head.getAs[Long]("vec_id") == top1)
+    assert(rows.head.getAs[Long]("maxsim_micro") == 0L)
+    assert(rows.head.getAs[Long]("rel_micro") ==
+      rows.map(_.getAs[Long]("rel_micro")).max)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_micro") ==
+        r.getAs[Long]("rel_micro") - r.getAs[Long]("maxsim_micro"))
+    }
+  }
+
   test("kNN classify: one prediction per label-0 query, votes in 1..5") {
     import spark.implicits._
     val nQueries = Tables.embeddings(spark, sf).filter($"label" === 0).count()
