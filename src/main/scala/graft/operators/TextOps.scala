@@ -1091,9 +1091,41 @@ object TextOps {
     ranks.select($"doc_id", $"r".as("rank_pico")).orderBy($"doc_id")
   }
 
+  /** d30: corpus-order novelty scoring — per document, the fraction of
+    * its distinct 3-token shingles that NO earlier document (smaller
+    * doc_id = earlier ingest) contains. The freshness signal an
+    * incremental ingest pipeline tracks as it appends data: a crawl
+    * whose novelty trend decays is re-crawling what the corpus already
+    * holds. Complements s24 (which flags near-dup DOCS incrementally;
+    * this measures marginal n-gram-level information).
+    *
+    * Scale design: one exploded distinct-shingle table feeds a
+    * min(doc_id) hash-agg (the "first owner" of each shingle) and the
+    * per-doc roll-up joins back ON THE SHINGLE KEY — the join reuses
+    * the agg's exchange, so the pipeline is two map-side-combined aggs
+    * + one co-partitioned join. Novelty ratio rounds in exact integer
+    * rational arithmetic ([[graft.functions.Det.r4]]). */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
+    val owner = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+    sh.join(owner, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        r4($"n_novel", $"n_grams").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> exactDedup _,
     "d29_pagerank"      -> pageRank _,
+    "d30_novelty"       -> noveltyScore _,
     "d02_top_terms"     -> topTerms _,
     "d03_lang_stats"    -> langStats _,
     "d04_quality_score" -> qualityScore _,
@@ -1164,6 +1196,17 @@ object TextOps {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "d30_novelty" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS s FROM t0),
+        |own AS (SELECT s, min(doc_id) AS first_doc FROM tok GROUP BY s)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 20000 + count(*))
+        |  // (count(*) * 2)) / 10000.0 AS novelty
+        |FROM tok JOIN own USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d29_pagerank" ->
       s"""WITH $mhPairsCte,
          |p AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5),

@@ -387,6 +387,23 @@ class GraftSpec extends AnyFunSuite {
     assert(byAnchor(1L)._2 == byAnchor(2L)._2.max(byAnchor(3L)._2) + 1)
   }
 
+  test("novelty: doc 0 fully novel, ratios in (0,1], novel <= grams") {
+    import spark.implicits._
+    val rows = TextOps.noveltyScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the first-ingested doc can only contain first-seen shingles
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    rows.foreach { r =>
+      val (g, n) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))
+      assert(g >= 1 && n >= 0 && n <= g)
+      val ratio = r.getAs[Double]("novelty")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // novelty must not be universally 1 — later docs reuse early shingles
+    assert(rows.exists(_.getAs[Double]("novelty") < 1.0))
+  }
+
   test("PageRank: isolated docs hold the base rank, linked docs exceed it") {
     import spark.implicits._
     val n = Tables.documents(spark, sf).count()
