@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× dup-heavy scaling probe (the SURVEY §7 evidence table):
+  * replicates the sf0.1 fixtures 10× in tmpfs — documents/embeddings as
+  * 10 EXACT copies per base row (the worst case for dedup operators:
+  * every dup group has multiplicity 10), events as 10 disjoint-id
+  * copies — then times the named queries against both directories.
+  * Never writes under /root/testdata; not part of the harness.
+  *
+  * Usage: runMain graft.tools.ScaleProbe q1 [q2 ...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val dir = "/dev/shm/graft_sf10x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    new java.io.File(dir).mkdirs()
+    def missing(name: String) =
+      !new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists()
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      if (missing(name)) {
+        val src = spark.read.parquet(s"$base/$name.parquet")
+        (0 until 10).map(i => f(src, i)).reduce(_ unionAll _)
+          .coalesce(4).write.mode("overwrite")
+          .parquet(s"$dir/$name.parquet")
+      }
+    rep("documents")((d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+    rep("embeddings")((d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+    // events.ts is TIMESTAMP(NANOS) in the fixture — go through
+    // Tables.events (nanos→µs) and write back plain µs timestamps,
+    // which every query reads identically
+    if (missing("events")) {
+      val src = graft.Tables.events(spark, base)
+      (0 until 10).map(i =>
+          src.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+        .coalesce(4).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+    }
+    // relational dims pass through unchanged (the probed ops don't
+    // replicate them)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      if (missing(t))
+        spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite")
+          .parquet(s"$dir/$t.parquet")
+    }
+
+    args.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      def time(sf: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val b = time(base)
+      val x = time(dir)
+      println(f"[probe] $n%-24s sf0.1=$b%6.2fs  10x=$x%7.2fs  ratio=${x / b}%5.1f")
+    }
+    spark.stop()
+  }
+}
