@@ -1105,13 +1105,22 @@ object TextOps {
     * the agg's exchange, so the pipeline is two map-side-combined aggs
     * + one co-partitioned join. Novelty ratio rounds in exact integer
     * rational arithmetic ([[graft.functions.Det.r4]]). */
-  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** One row per (doc, distinct 3-token shingle) — the raw-string
+    * shingle table shared by d30 and the s26 streaming novelty
+    * ([[graft.streaming.StreamOps]]), so the shingle definition cannot
+    * drift between the batch and streaming contracts. */
+  private[graft] def distinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = docsWithToks(spark, sfDir)
+    docsWithToks(spark, sfDir)
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
+  }
+
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = distinctShingles(spark, sfDir)
     val owner = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
     sh.join(owner, "s")
       .groupBy($"doc_id")

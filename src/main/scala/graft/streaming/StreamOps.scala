@@ -1180,6 +1180,64 @@ object StreamOps {
       .orderBy($"trade_id")
   }
 
+  private val noveltyDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s26: INCREMENTAL novelty scoring — the streaming face of d30, and
+    * s24's n-gram-level companion: the corpus batch (even doc_ids)
+    * loads every distinct 3-token shingle into per-shingle state; the
+    * incoming batch (odd doc_ids) probes, and each incoming doc's
+    * novelty is the fraction of its shingles the corpus does NOT hold.
+    * Reuses [[NearDupProcessor]] verbatim — the bucket key is the raw
+    * shingle instead of an LSH band, the emitted match count per doc is
+    * the SEEN-shingle count, and the post-aggregation joins the
+    * batch-side shingle counts to surface zero-match docs. The shingle
+    * table is [[graft.operators.TextOps.distinctShingles]] — shared
+    * text with d30's batch contract, zero drift.
+    *
+    * Scale design: state is one Long per distinct corpus shingle (the
+    * RocksDB-backed inverted vocabulary); each incoming doc costs one
+    * point lookup per shingle — no corpus rescan, the same
+    * append-only-ingest shape as s24. */
+  def streamNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shingles = graft.operators.TextOps.distinctShingles(spark, sfDir)
+    val dirStr = orderedBatchDir(noveltyDirs, sfDir, "documents.parquet",
+        "graft_novelty") {
+      def side(parity: Int, tag: String) = shingles
+        .filter(col("doc_id") % 2 === parity)
+        .select(col("s").as("bucket"), lit(tag).as("side"), col("doc_id"))
+      Seq(side(0, "O"), side(1, "N"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "bucket STRING, side STRING, doc_id BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[BandEvent]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[BandMatch])
+      .toDF()
+    val seen = withRocksDb(spark) {
+      runToMemory(stream, "graft_s26", "update", Some(8))
+    }
+      .groupBy(col("new_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_seen"))
+    shingles.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_seen"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_novel"),
+        graft.functions.Det.r4(
+          col("n_grams") - col("n_seen"), col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1206,9 +1264,23 @@ object StreamOps {
     "s23_bounded_trigger"   -> streamBoundedTrigger _,
     "s24_stream_neardup"    -> streamNearDup _,
     "s25_stream_asof"       -> streamAsOfJoin _,
+    "s26_stream_novelty"    -> streamNovelty _,
   )
 
   val oracles: Map[String, String] = Map(
+    // d30's shingle CTE text, odd docs probing the even-doc vocabulary
+    "s26_stream_novelty" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |tok AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+        |  for g in range(1, len(toks) - 1)])) AS s FROM t0),
+        |old AS (SELECT DISTINCT s FROM tok WHERE doc_id % 2 = 0)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  count(*) - count(o.s) AS n_novel,
+        |(((count(*) - count(o.s)) * 20000 + count(*)) // (count(*) * 2)) / 10000.0
+        |  AS novelty
+        |FROM tok t LEFT JOIN old o ON o.s = t.s
+        |WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // left-outer as-of: latest view at-or-before each purchase, per user
     "s25_stream_asof" ->
       """WITH q AS (SELECT user_id, ts, event_id, value FROM events

@@ -537,6 +537,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(out).count() == 0)
   }
 
+  test("s26 streaming novelty equals the batch corpus/increment split") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = StreamOps.streamNovelty(spark, sf).collect()
+    assert(out.nonEmpty)
+    val sh = graft.operators.TextOps.distinctShingles(spark, sf)
+    val oldS = sh.filter($"doc_id" % 2 === 0).select($"s").distinct()
+      .withColumn("seen", lit(1))
+    val expect = sh.filter($"doc_id" % 2 === 1)
+      .join(oldS, Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("g"), sum(coalesce($"seen", lit(0))).as("ns"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("g"), r.getAs[Long]("ns"))).toMap
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (g, ns) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == g)
+      assert(r.getAs[Long]("n_novel") == g - ns)
+    }
+    // (no domination vs d30: the s26 corpus is the even HALF, not the
+    // earlier-id prefix — an even doc with a larger id can hold a
+    // shingle d30 counts as novel)
+  }
+
   test("s24 incremental near-dup equals the batch band join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
