@@ -208,8 +208,60 @@ object Multimodal {
       .orderBy($"d1", $"d2")
   }
 
+  private val mediaStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** m08: STREAMING media ingest dedup at the FRAME level — the s24
+    * incremental pattern on the m07 contract: the already-ingested
+    * media corpus (even doc_ids) exists only as per-frame-fingerprint
+    * state (one Long per distinct 256-byte-frame digest — the keyframe
+    * index of a video store), and each incoming payload (odd doc_ids)
+    * probes its own frames with point lookups. A re-upload that shares
+    * ANY content segment — re-muxed container, truncated copy — is
+    * flagged at ingest without rescanning stored media; whole-file
+    * byte-dup (m06's digest) is the degenerate single-frame case.
+    * Reuses [[graft.streaming.NearDupProcessor]] with the frame
+    * fingerprint as bucket key: per incoming doc, `dup_of` = min
+    * corpus doc sharing any frame (min over per-bucket minima) and
+    * `n_shared_frames` = how many of its distinct frames the corpus
+    * already holds. */
+  def streamMediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.{BandEvent, BandMatch, NearDupProcessor, StreamOps}
+    val dirStr = StreamOps.orderedBatchDir(mediaStreamDirs, sfDir,
+        "documents.parquet", "graft_media_stream") {
+      val fr = frameSample(spark, sfDir)
+        .select($"frame_md5".as("bucket"), $"doc_id").distinct()
+      def side(parity: Int, tag: String) = fr
+        .filter($"doc_id" % 2 === parity)
+        .select($"bucket", lit(tag).as("side"), $"doc_id")
+      Seq(side(0, "O"), side(1, "N"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "bucket STRING, side STRING, doc_id BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[BandEvent]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[BandMatch])
+      .toDF()
+    StreamOps.withRocksDb(spark) {
+      StreamOps.runToMemory(stream, "graft_m08", "update", Some(8))
+    }
+      .groupBy($"new_doc")
+      .agg(min($"dup_of").as("dup_of"),
+        count(lit(1)).as("n_shared_frames"))
+      .orderBy($"new_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"  -> binaryMeta _,
+    "m08_stream_media_dedup" -> streamMediaDedup _,
     "m02_media_decode" -> mediaDecode _,
     "m03_frame_sample" -> frameSample _,
     "m04_media_features" -> mediaFeatures _,
@@ -219,6 +271,20 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // odd payloads sharing >= 1 frame fingerprint with an even payload
+    // (frame derivation = m03's CTE text)
+    "m08_stream_media_dedup" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents),
+        |fr AS (SELECT DISTINCT doc_id,
+        |  md5(substr(text, (f * 256 + 1)::INT, 256)) AS fm
+        |  FROM (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM t)),
+        |old AS (SELECT fm, min(doc_id) AS dup_of FROM fr
+        |  WHERE doc_id % 2 = 0 GROUP BY fm)
+        |SELECT fr.doc_id AS new_doc, min(old.dup_of) AS dup_of,
+        |  count(*) AS n_shared_frames
+        |FROM fr JOIN old USING (fm) WHERE fr.doc_id % 2 = 1
+        |GROUP BY fr.doc_id ORDER BY new_doc""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,

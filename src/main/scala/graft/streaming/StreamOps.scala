@@ -601,7 +601,7 @@ object StreamOps {
     * file-source stream with maxFilesPerTrigger=1 replays them as that
     * exact micro-batch sequence — the harness's stand-in for ordered
     * Kafka topic offsets. Cached per (sfDir, fixture mtime). */
-  private def orderedBatchDir(cache:
+  private[graft] def orderedBatchDir(cache:
       scala.collection.concurrent.TrieMap[String, (Long, String)],
       sfDir: String, srcFixture: String, prefix: String)(
       batches: => Seq[DataFrame]): String = {
@@ -636,7 +636,7 @@ object StreamOps {
 
   /** transformWithState requires the RocksDB state store provider; set it
     * for the duration of `body` and restore the session value after. */
-  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+  private[graft] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val pk = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(pk)
     spark.conf.set(pk,

@@ -563,6 +563,26 @@ class StreamingSpec extends AnyFunSuite {
     // shingle d30 counts as novel)
   }
 
+  test("m08 streaming frame dedup equals the batch frame join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = graft.multimodal.Multimodal.streamMediaDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val fr = graft.multimodal.Multimodal.frameSample(spark, sf)
+      .select($"doc_id", $"frame_md5").distinct()
+    val oldMin = fr.filter($"doc_id" % 2 === 0)
+      .groupBy($"frame_md5").agg(min($"doc_id").as("dup_of"))
+    val expect = fr.filter($"doc_id" % 2 === 1)
+      .join(oldMin, Seq("frame_md5"))
+      .groupBy($"doc_id")
+      .agg(min($"dup_of").as("dup_of"), count(lit(1)).as("nf"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("nf"))).toSet
+    assert(out.map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"),
+      r.getAs[Long]("n_shared_frames"))).toSet == expect)
+  }
+
   test("s24 incremental near-dup equals the batch band join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
