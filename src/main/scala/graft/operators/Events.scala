@@ -319,9 +319,32 @@ object Events {
       .orderBy($"user_id", $"version")
   }
 
+  /** e32: changelog compaction WITH TOMBSTONES — the Kafka compacted-
+    * topic contract that plain latest-by-key (e05) doesn't express: a
+    * delete marker as the latest record REMOVES the key from the
+    * materialized table. Here 'error' events are the tombstones: each
+    * user's table row is their latest event by (ts, event_id), and
+    * users whose latest record is a tombstone are absent from the
+    * result entirely.
+    *
+    * Scale design: same single window as e05 (one exchange on the key,
+    * per-key sort) + a codegen'd filter — compaction never costs more
+    * than latest-by-key. */
+  def compactionTombstones(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
+    "e32_compaction_tombstones" -> compactionTombstones _,
     "e25_window_navigation" -> windowNavigation _,
     "e02_tumbling_daily" -> tumblingDaily _,
     "e03_hopping_hourly" -> hoppingHourly _,
@@ -341,6 +364,14 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e32_compaction_tombstones" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id, ts, event_type,
+        |  round(value, 2) AS value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "e31_scd2_versions" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -352,6 +352,19 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction tombstones: one row per surviving user, deletes absent") {
+    import spark.implicits._
+    val out = Events.compactionTombstones(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("user_id")).distinct.length == out.length)
+    assert(out.forall(_.getAs[String]("event_type") != "error"))
+    // survivors + tombstoned users == all users with events
+    val latest = Events.latestByKey(spark, sf)
+    val all = latest.count()
+    val tomb = latest.filter($"event_type" === "error").count()
+    assert(out.length == all - tomb && tomb > 0)
+  }
+
   test("SCD2: dense versions, seamless intervals, one open version per user") {
     import spark.implicits._
     val rows = Events.scd2Versions(spark, sf).collect()
