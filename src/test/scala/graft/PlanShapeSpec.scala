@@ -107,6 +107,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing window not shard-partitioned:\n$plan")
   }
 
+  test("SCD2 plans ONE exchange: post-filter windows reuse the lag sort") {
+    val plan = planOf(graft.operators.Events.scd2Versions(spark, sf))
+    // all three window functions share the (user_id → ts, event_id)
+    // ordering; only the single hashpartitioning(user_id) exchange and
+    // the final output ordering's range exchange may appear
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"SCD2 expected exactly one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("compaction+tombstones costs exactly the e05 latest-by-key window") {
+    val plan = planOf(graft.operators.Events.compactionTombstones(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"compaction expected one hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"compaction must not join:\n$plan")
+  }
+
+  test("BM25 broadcasts df and corpus stats; only postings shuffle") {
+    val plan = planOf(graft.operators.TextOps.bm25(spark, sf))
+    // df (5 rows) and totals (1 row) must arrive by broadcast — the
+    // posting-list hash-aggs are the only shuffled data
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"BM25 stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"BM25 joins all went SMJ:\n$plan")
+  }
+
   test("q20's NOT IN subquery plans as a hash anti join, not a per-row subquery") {
     val df = graft.operators.Relational.brandsInNotIn(spark, sf)
     df.collect()
