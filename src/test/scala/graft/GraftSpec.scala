@@ -596,6 +596,32 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Long]("n_shared_frames"))).toSet == expect)
   }
 
+  test("s25 as-of tiebreak: equal quote timestamps resolve to larger event_id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // constructed fixture: two quotes at the SAME instant (event_id 1, 2)
+    // before one trade, one quote after it (must not match), one user
+    // with no quotes at all (null padding)
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_tie")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    Seq(
+      (1L, t0, 7L, "view", 10.0, "{}"),
+      (2L, t0, 7L, "view", 20.0, "{}"),
+      (3L, t2, 7L, "view", 99.0, "{}"),
+      (4L, t1, 7L, "purchase", 0.0, "{}"),
+      (5L, t1, 8L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = StreamOps.streamAsOfJoin(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        (Option(r.getAs[java.lang.Double]("quote_value")))).toMap
+    assert(out(4L).contains(20.0)) // same-ts tie -> larger event_id's quote
+    assert(out(5L).isEmpty)        // no quotes for user 8 -> null padded
+  }
+
   test("s24 incremental near-dup equals the batch band join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
