@@ -234,6 +234,38 @@ object StreamOps {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** Windowed stream-stream LEFT SEMI join — the streaming EXISTS:
+    * each view emits ONCE if any purchase lands in its window, never
+    * duplicated per match and never null-padded. Kafka Streams spells
+    * this as join + distinct-by-left-key; Spark's native semi join
+    * keeps only a match BIT per buffered left row, so state and output
+    * are strictly smaller than the inner join's (s05). Matched rows
+    * emit as soon as the match arrives — no watermark-close dependence
+    * — while the watermark still bounds both sides' buffers. */
+  def viewPurchaseSemiJoin(events: DataFrame, joinWindow: String): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", joinWindow)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", joinWindow)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"),
+      "left_semi")
+  }
+
+  /** s27: the semi join driven as a true stream against the EXISTS
+    * oracle. */
+  def streamViewPurchaseSemi(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      viewPurchaseSemiJoin(eventsStream(spark, sfDir), "60 minutes"),
+      "graft_s27", "append")
+      .orderBy(col("view_id"))
+
   /** Windowed stream-stream LEFT OUTER join (KStream.leftJoin with
     * JoinWindows): every view row is emitted — matched with each
     * purchase in [view_ts, view_ts + Δ], or null-padded once the
@@ -1265,9 +1297,19 @@ object StreamOps {
     "s24_stream_neardup"    -> streamNearDup _,
     "s25_stream_asof"       -> streamAsOfJoin _,
     "s26_stream_novelty"    -> streamNovelty _,
+    "s27_stream_semi_join"  -> streamViewPurchaseSemi _,
   )
 
   val oracles: Map[String, String] = Map(
+    // streaming EXISTS: views with at least one purchase in-window
+    "s27_stream_semi_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts
+        |FROM events v
+        |WHERE v.event_type = 'view' AND EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = v.user_id AND p.ts >= v.ts
+        |    AND p.ts <= v.ts + INTERVAL 60 MINUTE)
+        |ORDER BY view_id""".stripMargin,
     // d30's shingle CTE text, odd docs probing the even-doc vocabulary
     "s26_stream_novelty" ->
       """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents

@@ -596,6 +596,17 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Long]("n_shared_frames"))).toSet == expect)
   }
 
+  test("s27 streaming semi join equals distinct-left of the inner join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val semi = StreamOps.streamViewPurchaseSemi(spark, sf)
+      .select($"view_id").collect().map(_.getLong(0)).toSet
+    val inner = StreamOps.streamViewPurchase(spark, sf)
+      .select($"view_id").collect().map(_.getLong(0)).toSet
+    assert(semi.nonEmpty)
+    assert(semi == inner) // semi = distinct left keys of the inner join
+  }
+
   test("s25 as-of tiebreak: equal quote timestamps resolve to larger event_id") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
