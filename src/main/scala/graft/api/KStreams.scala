@@ -126,6 +126,13 @@ final case class KStreamG(df: DataFrame, key: String, ts: String) {
   def outerJoinWithin(other: KStreamG, within: String): DataFrame =
     joinWithin(other, within, "full_outer")
 
+  /** The windowed EXISTS (Kafka Streams spells it join + distinct by
+    * left key): each left record once if ANY right record lands in its
+    * window — match-bit state only, output ⊆ left. The streaming face
+    * is s27 ([[graft.streaming.StreamOps.viewPurchaseSemiJoin]]). */
+  def semiJoinWithin(other: KStreamG, within: String): DataFrame =
+    joinWithin(other, within, "left_semi")
+
   /** KStream⋈KTable: enrich each record with the latest table state.
     * The output keeps the STREAM's key (the table's key column is
     * dropped by reference, so a same-named stream key is untouched) —

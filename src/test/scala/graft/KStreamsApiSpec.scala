@@ -75,6 +75,24 @@ class KStreamsApiSpec extends AnyFunSuite {
     assert(n == graft.operators.Events.viewToPurchase(spark, sf).count())
   }
 
+  test("semiJoinWithin emits each matched left row once, output subset of left") {
+    val s = GraftStreams.stream(
+      events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts")), "user_id", "ts")
+    val p = GraftStreams.stream(
+      events.filter(col("event_type") === "purchase")
+        .selectExpr("user_id AS p_user", "ts AS pts"), "p_user", "pts")
+    val semi = s.semiJoinWithin(p, "60 minutes")
+    // semi keeps only LEFT columns and at most one row per left record
+    assert(semi.columns.toSet == Set("event_id", "user_id", "ts"))
+    val ids = semi.select(col("event_id")).collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.nonEmpty)
+    // the symmetric window makes semi a superset of the forward-only
+    // streaming s27 contract and a subset of all views
+    val views = events.filter(col("event_type") === "view").count()
+    assert(ids.length <= views)
+  }
+
   test("leftJoinWithin keeps unmatched left rows null-padded") {
     val s = GraftStreams.stream(
       events.filter(col("event_type") === "view")
