@@ -1247,6 +1247,45 @@ class WatermarkSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows(java.sql.Timestamp.valueOf("2024-01-01 10:40:00")) == 2L)
   }
 
+  test("incremental ingest state (NearDupProcessor) survives a restart") {
+    import spark.implicits._
+    import graft.streaming.{BandEvent, BandMatch, NearDupProcessor, StreamOps}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val input = MemoryStream[BandEvent]
+    val out = input.toDS()
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[BandMatch])
+      .toDF()
+    // memory sink refuses checkpoint recovery; collect via foreachBatch
+    // (the recoverable sink shape)
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = out.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          sunk.add((r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"))))
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    StreamOps.withRocksDb(spark) {
+      // run 1: only corpus rows — builds bucket state, emits nothing
+      val q1 = start()
+      input.addData(BandEvent("b1", "O", 2L), BandEvent("b1", "O", 8L),
+        BandEvent("b2", "O", 4L))
+      q1.processAllAvailable(); q1.stop()
+      // run 2 from the SAME checkpoint: probes must see run 1's state
+      val q2 = start()
+      input.addData(BandEvent("b1", "N", 5L), BandEvent("b3", "N", 7L))
+      q2.processAllAvailable(); q2.stop()
+    }
+    val got = sunk.toArray(Array.empty[(Long, Long)])
+    // b1's min corpus doc (2) found after restart; unseen b3 silent
+    assert(got.toSeq == Seq((5L, 2L)), s"state lost across restart: ${got.toSeq}")
+  }
+
   test("streaming aggregation state survives a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
