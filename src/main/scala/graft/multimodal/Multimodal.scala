@@ -251,7 +251,8 @@ object Multimodal {
         org.apache.spark.sql.Encoders.product[BandMatch])
       .toDF()
     StreamOps.withRocksDb(spark) {
-      StreamOps.runToMemory(stream, "graft_m08", "update", Some(8))
+      StreamOps.runToMemory(stream, "graft_m08", "update", Some(8),
+        noDataBatch = false)
     }
       .groupBy($"new_doc")
       .agg(min($"dup_of").as("dup_of"),

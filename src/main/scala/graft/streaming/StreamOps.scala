@@ -420,7 +420,8 @@ object StreamOps {
     * and restore the session value afterwards (the knob a Kafka Streams
     * app would call num.stream.threads). */
   def runToMemory(df: DataFrame, name: String, mode: String,
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None,
+      noDataBatch: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -441,8 +442,11 @@ object StreamOps {
     // Complete mode re-emits the whole result every batch and never
     // waits on a watermark close, so the trailing no-data batch is one
     // pure-overhead state-store round trip; append/update queries NEED
-    // it (final windows / outer-join padding emit there).
-    if (mode == "complete") spark.conf.set(ndKey, "false")
+    // it (final windows / outer-join padding emit there) — EXCEPT the
+    // TimeMode.None transformWithState pipelines, which have no
+    // watermark and no timers to fire, so their callers pass
+    // noDataBatch = false and skip the same overhead.
+    if (mode == "complete" || !noDataBatch) spark.conf.set(ndKey, "false")
     try {
       // AvailableNow: process everything (including the watermark-close
       // no-data batch that emits final windows / outer-join padding) and
@@ -725,7 +729,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[FkJoined])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s10", "update", Some(8))
+      runToMemory(stream, "graft_s10", "update", Some(8),
+        noDataBatch = false)
         .orderBy(col("left_key"), col("right_val"))
     }
   }
@@ -774,7 +779,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[StJoined])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s15", "update", Some(8))
+      runToMemory(stream, "graft_s15", "update", Some(8),
+        noDataBatch = false)
         .orderBy(col("event_id"))
     }
   }
@@ -842,7 +848,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[TopNRow])
       .toDF()
     val all = withRocksDb(spark) {
-      runToMemory(stream, "graft_s18", "update", Some(8))
+      runToMemory(stream, "graft_s18", "update", Some(8),
+        noDataBatch = false)
     }
     // compact the emitted changelog to each key's latest version (the
     // result table is ≤ keys × N × batches rows — trivially small)
@@ -1154,7 +1161,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[BandMatch])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s24", "update", Some(8))
+      runToMemory(stream, "graft_s24", "update", Some(8),
+        noDataBatch = false)
     }
       .groupBy(col("new_doc"))
       .agg(min(col("dup_of")).as("dup_of"),
@@ -1203,7 +1211,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[AsOfJoined])
       .toDF()
     withRocksDb(spark) {
-      runToMemory(stream, "graft_s25", "update", Some(8))
+      runToMemory(stream, "graft_s25", "update", Some(8),
+        noDataBatch = false)
     }
       .select($"trade_id", $"user_id",
         timestamp_micros($"trade_ts_us").as("trade_ts"),
@@ -1255,7 +1264,8 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[BandMatch])
       .toDF()
     val seen = withRocksDb(spark) {
-      runToMemory(stream, "graft_s26", "update", Some(8))
+      runToMemory(stream, "graft_s26", "update", Some(8),
+        noDataBatch = false)
     }
       .groupBy(col("new_doc").as("doc_id"))
       .agg(count(lit(1)).as("n_seen"))
