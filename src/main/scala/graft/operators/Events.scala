@@ -75,6 +75,32 @@ object Events {
       .orderBy($"user_id", $"s_start")
   }
 
+  /** e33: DYNAMIC-GAP sessionization — the gap depends on the event
+    * itself (`session_window(ts, gapExpr)`): an error closes its
+    * session after 5 minutes, a purchase holds it 30, anything else 2
+    * hours — the "different activity types have different idle
+    * horizons" semantic fixed-gap e04 can't express. Each event spans
+    * [ts, ts+gap); overlapping spans merge; the session end is the max
+    * covered instant (NOT last-ts + constant).
+    *
+    * Scale design: identical to e04 — one exchange on user_id feeding
+    * the session merge; the dynamic gap is a codegen'd CASE inside the
+    * window assignment, costing nothing extra. The oracle reproduces
+    * the merge with a running `max(ts + gap)` over the per-user
+    * ordering (a fixed gap degenerates to e04's lag() form). */
+  def dynamicSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gap = when($"event_type" === "error", "5 minutes")
+      .when($"event_type" === "purchase", "30 minutes")
+      .otherwise("2 hours")
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", gap).as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("s_start"), $"w.end".as("s_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
   /** KTable materialization: latest event per user (changelog compaction). */
   def latestByKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -345,6 +371,7 @@ object Events {
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
+    "e33_dynamic_sessions" -> dynamicSessions _,
     "e25_window_navigation" -> windowNavigation _,
     "e02_tumbling_daily" -> tumblingDaily _,
     "e03_hopping_hourly" -> hoppingHourly _,
@@ -364,6 +391,23 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e33_dynamic_sessions" ->
+      s"""WITH g AS (SELECT user_id, ts, event_id, value,
+         |  CASE event_type WHEN 'error' THEN INTERVAL 5 MINUTE
+         |    WHEN 'purchase' THEN INTERVAL 30 MINUTE
+         |    ELSE INTERVAL 2 HOUR END AS gap FROM events),
+         |r AS (SELECT *, max(ts + gap) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM g),
+         |f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+         |    THEN 1 ELSE 0 END AS new_s FROM r),
+         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id, min(ts) AS s_start, max(ts + gap) AS s_end,
+         |  count(*) AS n_events, ${D.dsum("value", "sum_value")}
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin,
     "e32_compaction_tombstones" ->
       """WITH r AS (SELECT user_id, event_id, ts, event_type, value,
         |  row_number() OVER (PARTITION BY user_id

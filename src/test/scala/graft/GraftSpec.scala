@@ -352,6 +352,26 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic-gap sessions refine fixed-gap sessions, intervals disjoint") {
+    import spark.implicits._
+    val dyn = Events.dynamicSessions(spark, sf).collect()
+    val fixed = Events.sessionWindows(spark, sf).collect()
+    assert(dyn.nonEmpty)
+    // every dynamic gap is <= the fixed 2 h, so sessions only split more
+    assert(dyn.length >= fixed.length)
+    assert(dyn.map(_.getAs[Long]("n_events")).sum ==
+      fixed.map(_.getAs[Long]("n_events")).sum)
+    dyn.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[java.sql.Timestamp]("s_start").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("s_end").getTime <=
+            b.getAs[java.sql.Timestamp]("s_start").getTime)
+        case _ => ()
+      }
+    }
+  }
+
   test("compaction tombstones: one row per surviving user, deletes absent") {
     import spark.implicits._
     val out = Events.compactionTombstones(spark, sf).collect()
