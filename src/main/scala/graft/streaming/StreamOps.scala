@@ -622,6 +622,28 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** s28: streaming DYNAMIC-GAP sessions — e33's per-event idle horizon
+    * (error 5 min / purchase 30 min / else 2 h) under append-mode
+    * Structured Streaming, same flush-sentinel watermark close as s09.
+    * Verifies that gap-expression session merging behaves identically
+    * when sessions are assembled incrementally in the state store. */
+  def streamDynamicSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val gap = when(col("event_type") === "error", "5 minutes")
+      .when(col("event_type") === "purchase", "30 minutes")
+      .otherwise("2 hours")
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+    runToMemory(
+      ev.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n_events"), col("sum_value")),
+      "graft_s28", "append")
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   // s10/s15 changelog dirs: derived from the fixture tables; cached per
   // (sfDir, fixture mtime) like flushDirs, cleaned on JVM exit
   private val fkStreamDirs =
@@ -1308,9 +1330,13 @@ object StreamOps {
     "s25_stream_asof"       -> streamAsOfJoin _,
     "s26_stream_novelty"    -> streamNovelty _,
     "s27_stream_semi_join"  -> streamViewPurchaseSemi _,
+    "s28_stream_dyn_sessions" -> streamDynamicSessions _,
   )
 
   val oracles: Map[String, String] = Map(
+    // e33's oracle text verbatim: streaming assembly must equal batch
+    "s28_stream_dyn_sessions" ->
+      graft.operators.Events.oracles("e33_dynamic_sessions"),
     // streaming EXISTS: views with at least one purchase in-window
     "s27_stream_semi_join" ->
       """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts
