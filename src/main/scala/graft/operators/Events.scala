@@ -101,6 +101,66 @@ object Events {
       .orderBy($"user_id", $"s_start")
   }
 
+  /** e34: gap-fill / LOCF (last observation carried forward) — the
+    * IGNORE NULLS window family: every event carries the most recent
+    * PURCHASE value of its user (null until the user's first
+    * purchase). The sensor/price forward-fill every time-series store
+    * implements, expressed as `last(col, ignoreNulls = true)` over an
+    * unbounded-preceding frame — one exchange + one sort, no joins,
+    * no per-row subqueries.
+    *
+    * `value` is projected to purchases only (CASE → null elsewhere),
+    * so the same column exercises the null-skipping semantics both
+    * engines must agree on. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("pv",
+        when($"event_type" === "purchase", round($"value", 2)))
+      .select($"event_id", $"user_id", $"event_type",
+        last($"pv", ignoreNulls = true).over(w).as("last_purchase_value"))
+      .orderBy($"event_id")
+  }
+
+  /** e35: time-weighted average (TWAP) — each event's value holds until
+    * the user's next event; the per-user average weights each value by
+    * its holding duration. The financial/sensor aggregation a plain
+    * `avg` gets wrong whenever sampling is irregular.
+    *
+    * Cross-engine determinism by integer arithmetic: durations are
+    * exact µs (lead(unix_micros)), values are exact integer cents, the
+    * weighted sum is Σ cents·µs in int64 (≤ ~1e16 per term at fixture
+    * scale, bounded by value·month in general — far under 2⁶³), and
+    * the final division rounds with the exact-rational [[Det]] grain.
+    * The last event of a user has no successor → no duration → it is
+    * excluded from the integral (the open interval has no width yet).
+    *
+    * Scale: one exchange on user_id feeds both the lead() and the
+    * aggregation (the groupBy reuses the window's partitioning). */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("dur_us",
+        lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .filter($"dur_us".isNotNull)
+      .withColumn("cents", round($"value" * 100, 0).cast("long"))
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"dur_us").as("wsum"),
+        sum($"dur_us").as("tot_us"),
+        count(lit(1)).as("n_intervals"))
+      .select($"user_id", $"n_intervals", $"tot_us",
+        // round(wsum/(100·tot), 4) as an exact integer rational; the
+        // ×200 needs |wsum| < 2⁶³/200 ≈ 4.6e16 (fixture max ~2.6e15;
+        // a 100 TB run lifts the sums to DECIMAL(38,0) — DuckDB's
+        // HUGEINT sum does so natively)
+        (call_function("div", $"wsum" * 200L + $"tot_us", $"tot_us" * 2L)
+          / 10000.0).as("twap"))
+      .orderBy($"user_id")
+  }
+
   /** KTable materialization: latest event per user (changelog compaction). */
   def latestByKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -372,6 +432,8 @@ object Events {
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
     "e33_dynamic_sessions" -> dynamicSessions _,
+    "e34_gap_fill" -> gapFill _,
+    "e35_time_weighted_avg" -> timeWeightedAvg _,
     "e25_window_navigation" -> windowNavigation _,
     "e02_tumbling_daily" -> tumblingDaily _,
     "e03_hopping_hourly" -> hoppingHourly _,
@@ -391,6 +453,26 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e34_gap_fill" ->
+      """SELECT event_id, user_id, event_type,
+        |last_value(CASE WHEN event_type = 'purchase'
+        |    THEN round(value, 2) END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e35_time_weighted_avg" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        |  FROM events),
+        |a AS (SELECT user_id, sum(cents * dur_us) AS wsum,
+        |  sum(dur_us) AS tot_us, count(*) AS n_intervals
+        |  FROM d WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, CAST(tot_us AS BIGINT) AS tot_us,
+        |  ((wsum * 200 + tot_us) // (tot_us * 2)) / 10000.0 AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
     "e33_dynamic_sessions" ->
       s"""WITH g AS (SELECT user_id, ts, event_id, value,
          |  CASE event_type WHEN 'error' THEN INTERVAL 5 MINUTE

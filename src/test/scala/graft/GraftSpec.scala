@@ -372,6 +372,54 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("gap-fill carries the last purchase forward, null before the first") {
+    import spark.implicits._
+    val rows = Events.gapFill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .collect()
+      .sortBy(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+    // sequential reconstruction of LOCF per user
+    val expect = scala.collection.mutable.Map.empty[Long, Option[Double]]
+    val locf = scala.collection.mutable.Map.empty[Long, Option[Double]]
+    ev.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      if (r.getAs[String]("event_type") == "purchase")
+        locf(u) = Some(math.round(r.getAs[Double]("value") * 100) / 100.0)
+      expect(r.getAs[Long]("event_id")) = locf.getOrElse(u, None)
+    }
+    rows.foreach { r =>
+      val got = Option(r.getAs[java.lang.Double]("last_purchase_value"))
+        .map(_.doubleValue)
+      assert(got == expect(r.getAs[Long]("event_id")),
+        s"event ${r.getAs[Long]("event_id")}: $got != ${expect(r.getAs[Long]("event_id"))}")
+    }
+  }
+
+  test("TWAP stays within each user's value range; intervals cover events-1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Events.timeWeightedAvg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stats = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n"))).toMap
+    rows.foreach { r =>
+      val (lo, hi, n) = stats(r.getAs[Long]("user_id"))
+      val tw = r.getAs[Double]("twap")
+      // a weighted mean can't leave the value hull (1-cent rounding slack)
+      assert(tw >= lo - 0.01 && tw <= hi + 0.01, s"twap $tw outside [$lo,$hi]")
+      assert(r.getAs[Long]("n_intervals") == n - 1)
+      assert(r.getAs[Long]("tot_us") > 0)
+    }
+  }
+
   test("compaction tombstones: one row per surviving user, deletes absent") {
     import spark.implicits._
     val out = Events.compactionTombstones(spark, sf).collect()
