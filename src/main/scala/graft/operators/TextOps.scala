@@ -1017,7 +1017,10 @@ object TextOps {
     * as d09/d16 (a value within 1 ulp of a rounding boundary could
     * differ; accepted there, accepted here). Rank ties break on doc_id
     * over the ROUNDED score, so both engines rank identically. */
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The BM25 scored table (doc_id, term, score) — shared by d28's
+    * ranking and v17's retrieve-then-expand seed selection
+    * ([[graft.operators.VectorOps]]); mirrors [[bm25Cte]]. */
+  private[graft] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = docsWithToks(spark, sfDir)
     val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
@@ -1027,7 +1030,7 @@ object TextOps {
       .filter($"term".isin(Bm25Terms: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dl, "doc_id")
+    tf.join(dl, "doc_id")
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(totals))
       .withColumn("idf",
@@ -1036,7 +1039,11 @@ object TextOps {
         $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
           ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
             lit(Bm25B) * $"dl" * $"n_docs" / $"sum_dl")), 4))
-    scored
+  }
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bm25Scored(spark, sfDir)
       .withColumn("rank", row_number().over(
         Window.partitionBy($"term").orderBy(desc("score"), $"doc_id")))
       .filter($"rank" <= 5)
@@ -1189,6 +1196,25 @@ object TextOps {
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)""".stripMargin
 
+  /** The d28 BM25 scoring pipeline as a DuckDB CTE chain ending at
+    * `sc(doc_id, term, score)` — shared by the d28 oracle and the v17
+    * retrieve-then-expand oracle ([[graft.operators.VectorOps]]), so
+    * the scoring definition cannot drift. */
+  private[graft] def bm25Cte: String =
+    s"""tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+       |  (SELECT doc_id, unnest(toks) AS term FROM tk) x
+       |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * (tf * ${Bm25K1 + 1.0})
+       |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl * n_docs / sum_dl)), 4) AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot)""".stripMargin
+
   /** The d29 power iterations unrolled as CTEs (it1..it5), each one
     * contribution-aggregate + node left join in exact integer
     * arithmetic — mirrors the Spark loop body verbatim. */
@@ -1230,19 +1256,7 @@ object TextOps {
          |$pagerankIterCtes
          |SELECT doc_id, r AS rank_pico FROM it5 ORDER BY doc_id""".stripMargin,
     "d28_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM
-         |  (SELECT doc_id, unnest(toks) AS term FROM tk) x
-         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
-         |  GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id, tf.term,
-         |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |    * (tf * ${Bm25K1 + 1.0})
-         |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl * n_docs / sum_dl)), 4) AS score
-         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot),
+      s"""WITH $bm25Cte,
          |rk AS (SELECT term, doc_id, score, row_number()
          |  OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank FROM sc)
          |SELECT term, rank, doc_id, score FROM rk WHERE rank <= 5

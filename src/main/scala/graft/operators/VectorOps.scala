@@ -605,8 +605,42 @@ object VectorOps {
       .orderBy($"rank")
   }
 
+  /** v17: retrieve-then-expand — the RAG-shaped two-stage pipeline:
+    * BM25 picks the best keyword match for the query term 'spark'
+    * among docs that HAVE an embedding (the lexical seed), then the
+    * seed's embedding pulls its 10 nearest corpus neighbors by cosine
+    * (the semantic expansion that surfaces relevant docs sharing no
+    * keyword). Composes d28's scoring ([[graft.operators.TextOps
+    * .bm25Scored]] — shared code, zero drift) with v01's broadcast
+    * cosine scan.
+    *
+    * Scale design: stage 1 is posting-list-sized (only 'spark'
+    * postings survive, semi-joined against embedding keys, one
+    * TakeOrdered for the seed); stage 2 broadcasts the single seed
+    * vector and streams the corpus through one codegen'd cosine pass
+    * into TakeOrderedAndProject — neither stage shuffles the corpus. */
+  def searchExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val seed = graft.operators.TextOps.bm25Scored(spark, sfDir)
+      .filter($"term" === "spark")
+      .join(e.select($"vec_id".as("doc_id")), "doc_id")
+      .orderBy(desc("score"), $"doc_id")
+      .limit(1)
+      .select($"doc_id".as("seed_id"), $"score".as("seed_score"))
+    val seedVec = seed
+      .join(e.select($"vec_id".as("seed_id"), $"v".as("sv")), "seed_id")
+    e.crossJoin(broadcast(seedVec))
+      .filter($"vec_id" =!= $"seed_id")
+      .select($"seed_id", $"seed_score", $"vec_id".as("neighbor_id"),
+        round(call_function("graft_cosine", $"v", $"sv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"neighbor_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v16_mmr_diversify"   -> mmrDiversify _,
+    "v17_search_expand"   -> searchExpand _,
     "v01_cosine_topk"     -> cosineTopK _,
     "v11_knn_classify"    -> knnClassify _,
     "v02_centroids"       -> centroids _,
@@ -682,6 +716,20 @@ object VectorOps {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // d28's scoring CTE (shared text) seeds v01's cosine expansion
+    "v17_search_expand" ->
+      s"""WITH ${graft.operators.TextOps.bm25Cte},
+         |seed AS (SELECT sc.doc_id AS seed_id, sc.score AS seed_score
+         |  FROM sc JOIN embeddings e ON e.vec_id = sc.doc_id
+         |  WHERE sc.term = 'spark'
+         |  ORDER BY sc.score DESC, sc.doc_id LIMIT 1),
+         |sv AS (SELECT seed_id, seed_score, embedding::DOUBLE[] AS v
+         |  FROM seed JOIN embeddings ON vec_id = seed_id),
+         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT seed_id, seed_score, vec_id AS neighbor_id,
+         |  round(${cos("ee.ev", "sv.v")}, 6) AS cos
+         |FROM ee CROSS JOIN sv WHERE ee.vec_id <> sv.seed_id
+         |ORDER BY cos DESC, neighbor_id LIMIT 10""".stripMargin,
     "v16_mmr_diversify" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),

@@ -542,6 +542,21 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("search-expand: one embedded seed, 10 distinct neighbors, cos sorted") {
+    import spark.implicits._
+    val rows = VectorOps.searchExpand(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("seed_id")).distinct.length == 1)
+    val seed = rows.head.getAs[Long]("seed_id")
+    val ids = rows.map(_.getAs[Long]("neighbor_id"))
+    assert(ids.distinct.length == 10 && !ids.contains(seed))
+    // the seed must carry an embedding by construction
+    assert(Tables.embeddings(spark, sf)
+      .filter($"vec_id" === seed).count() == 1)
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("kNN classify: one prediction per label-0 query, votes in 1..5") {
     import spark.implicits._
     val nQueries = Tables.embeddings(spark, sf).filter($"label" === 0).count()
