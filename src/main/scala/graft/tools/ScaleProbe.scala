@@ -42,14 +42,27 @@ object ScaleProbe {
       d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
     // events.ts is TIMESTAMP(NANOS) in the fixture — go through
     // Tables.events (nanos→µs) and write back plain µs timestamps,
-    // which every query reads identically
-    if (missing("events")) {
+    // which every query reads identically. Must be ONE FILE named
+    // events.parquet (not a directory): StreamOps.eventsStream streams
+    // the parent dir with pathGlobFilter=events.parquet, which a part
+    // file inside a directory would not match (0-row stream).
+    if (!new java.io.File(s"$dir/events.parquet").isFile) {
       val src = graft.Tables.events(spark, base)
+      val tmp = s"$dir/events_tmp"
       (0 until 10).map(i =>
           src.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
         .reduce(_ unionAll _)
-        .coalesce(4).write.mode("overwrite")
-        .parquet(s"$dir/events.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext)
+        .map(_.next()).find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      graft.streaming.StreamOps.deleteRecursively(
+        java.nio.file.Paths.get(tmp))
     }
     // relational dims pass through unchanged (the probed ops don't
     // replicate them)
