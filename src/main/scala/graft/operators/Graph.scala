@@ -29,6 +29,11 @@ object Graph {
     * 0..N−1. Labels only ever decrease, so sum(label) is a
     * strictly-monotone convergence witness — one scalar aggregate per
     * round instead of an anti-join change detector. */
+  // Why a hand-rolled loop and not Spark 4's WITH RECURSIVE (which q22
+  // uses for tree rollups): recursive CTEs support only UNION ALL, and
+  // a transitive closure over an UNDIRECTED edge set cycles through its
+  // 2-cycles — unbounded row growth with no dedup. Min-label
+  // propagation converges in O(log diameter) rounds instead.
   private[graft] def connectedComponents(pairs: DataFrame,
       broadcastNodeLimit: Long = 5000000L): DataFrame = {
     val edges = pairs.toDF("d1", "d2")

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the exact-rational rounding helper that
+  * most oracle-compared ratios ride on: `Det.r4(num, den)` must equal
+  * HALF_UP 4-dp decimal rounding of num/den for every non-negative
+  * int64 pair the operators can produce — including exact .00005
+  * boundaries, where a float path would tie-break unpredictably. */
+object DetProps extends Properties("Det.r4") {
+
+  private lazy val spark = TestSession.spark
+
+  private val fracGen: Gen[(Long, Long)] = for {
+    den <- Gen.chooseNum(1L, 2000000L)
+    num <- Gen.chooseNum(0L, den * 3)
+  } yield (num, den)
+
+  property("equals BigDecimal HALF_UP rounding of num/den") =
+    Prop.forAll(Gen.listOfN(20, fracGen)) { pairs =>
+      import spark.implicits._
+      val got = pairs.toDF("num", "den")
+        .select(graft.functions.Det.r4($"num", $"den").as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+      val want = pairs.map { case (n, d) =>
+        BigDecimal(n).setScale(10)./(BigDecimal(d))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      got == want
+    }
+
+  // the boundary the grain exists for: x.00005 exactly — HALF_UP must
+  // round UP deterministically in both engines
+  property("exact .5-at-grain boundaries round up") = {
+    import spark.implicits._
+    // 1/20000 = 0.00005 → 0.0001; 3/20000 = 0.00015 → 0.0002
+    val got = Seq((1L, 20000L), (3L, 20000L), (5L, 20000L))
+      .toDF("num", "den")
+      .select(graft.functions.Det.r4($"num", $"den").as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    Prop(got == Seq(0.0001, 0.0002, 0.0003)) :| s"got $got"
+  }
+}
