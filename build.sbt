@@ -33,7 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the full 25-suite run accumulates localCheckpoint blocks from
+  // the shared session; at 8g the tail suites' convergence collects
+  // could hit memory pressure and flake (seen twice on GraphProps,
+  // never reproducible in isolation or at 2000 ScalaCheck cases)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Dozens of whole-stage-codegen classes fill the default 240m JIT
   // code cache; once full the JIT disables and compute-heavy queries
   // (md5 minhash loops) run uncompiled, 3x slower.
