@@ -1222,8 +1222,8 @@ object TextOps {
     (1 to 5).map { i =>
       val prev = if (i == 1) "r0" else s"it${i - 1}"
       s"""it$i AS (SELECT d.doc_id,
-         |  (15 * (1000000000000 // nn.n)) // 100
-         |    + (85 * COALESCE(s.s, 0)) // 100 AS r
+         |  CAST((15 * (1000000000000 // nn.n)) // 100
+         |    + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
          |  FROM documents d CROSS JOIN nn LEFT JOIN
          |    (SELECT ed.dst, sum($prev.r // ed.deg) AS s
          |     FROM ed JOIN $prev ON $prev.doc_id = ed.src
@@ -1238,7 +1238,7 @@ object TextOps {
         |  for g in range(1, len(toks) - 1)])) AS s FROM t0),
         |own AS (SELECT s, min(doc_id) AS first_doc FROM tok GROUP BY s)
         |SELECT doc_id, count(*) AS n_grams,
-        |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 20000 + count(*))
         |  // (count(*) * 2)) / 10000.0 AS novelty
         |FROM tok JOIN own USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
