@@ -1198,7 +1198,7 @@ object StreamOps {
   /** s25: streaming AS-OF join (see [[AsOfJoinProcessor]]) in two
     * mtime-ordered micro-batches:
     *   batch 0 — reference side: every 'view' event as a (ts, value)
-    *     quote, appended to per-user ListState;
+    *     quote, stored in per-user time-bucketed MapState;
     *   batch 1 — probe side: every 'purchase' event, each resolving
     *     the latest quote with ts ≤ its own (null if none — the
     *     left-outer as-of contract).

@@ -716,6 +716,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)        // no quotes for user 8 -> null padded
   }
 
+  test("s25 probe cost is sub-linear in key history (bucketed seek)") {
+    import graft.streaming.AsOfJoinProcessor
+    import spark.implicits._
+    // one key, 1204 quotes spread over ~1200 hourly buckets (3 arrive
+    // out of order into previously-empty buckets → chain splice), then
+    // 6 probes: present-bucket hits, a gap probe, a late-bucket hit
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_deep")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(h: Double) = new java.sql.Timestamp(base + (h * 3600000L).toLong)
+    val quotes = (1 to 1201).map { i =>
+      val h = 2L * i  // even hours 2..2402
+      (h, ts(h.toDouble), 7L, "view", h.toDouble, "{}")
+    }
+    val late = Seq(501L, 901L, 1501L).map(h =>
+      (10000L + h, ts(h.toDouble), 7L, "view", h.toDouble, "{}"))
+    val probeHours = Seq(2402, 2401, 1200, 502, 501, 2)
+    val probes = probeHours.zipWithIndex.map { case (h, i) =>
+      (20000L + i, ts(h + 0.5), 7L, "purchase", 0.0, "{}")
+    }
+    (quotes ++ late ++ probes)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    AsOfJoinProcessor.probedQuotes.set(0)
+    AsOfJoinProcessor.probeBucketReads.set(0)
+    val out = StreamOps.streamAsOfJoin(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        r.getAs[java.lang.Double]("quote_value")).toMap
+    // probe at h+0.5 resolves the latest quote hour ≤ h+0.5
+    val expected = Map(0 -> 2402, 1 -> 2400, 2 -> 1200, 3 -> 502,
+      4 -> 501, 5 -> 2)
+    expected.foreach { case (i, h) =>
+      assert(out(20000L + i) == h.toDouble, s"probe $i") }
+    // the sub-linearity evidence: 6 probes against a 1204-quote history
+    // must touch O(1) buckets/quotes each — a flat-list scan would be
+    // ≥ 6 × 1204 = 7224 quote reads
+    assert(AsOfJoinProcessor.probeBucketReads.get <= 24,
+      s"bucket reads ${AsOfJoinProcessor.probeBucketReads.get}")
+    assert(AsOfJoinProcessor.probedQuotes.get <= 24,
+      s"quotes examined ${AsOfJoinProcessor.probedQuotes.get}")
+  }
+
   test("s24 incremental near-dup equals the batch band join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
