@@ -31,16 +31,24 @@ object Det {
   def davg(c: Column): Column =
     round(sum(dec4(c)).cast("double") / count(lit(1)), 4)
 
+  /** Floor division of integer columns, REQUIRES b > 0: subtracting the
+    * positive modulus makes the numerator exactly divisible, so the
+    * truncating `div` IS the floor — matching DuckDB's `//` for
+    * negative numerators too (Spark's bare `div` truncates toward
+    * zero and only agrees with `//` on non-negatives). */
+  def fdiv(a: Column, b: Column): Column =
+    call_function("div", a - pmod(a, b), b)
+
   /** Exact half-up rounding of the rational num/den to 4 decimals, in
-    * integer arithmetic: round(10⁴·num/den) = (2·10⁴·num + den) div
+    * integer arithmetic: round(10⁴·num/den) = (2·10⁴·num + den) fdiv
     * (2·den). Bit-identical in Spark and DuckDB by construction — the
     * double-divide-then-round alternative puts ties at the 5th decimal
-    * at the mercy of each engine's last ulp. REQUIRES num ≥ 0 and
-    * den > 0 (Spark `div` truncates toward zero, DuckDB `//` floors —
-    * they only agree on non-negatives; every call site is a
-    * count/total or scaled-magnitude ratio, so this holds). */
+    * at the mercy of each engine's last ulp. REQUIRES den > 0 and
+    * |num| < 2⁶³/20000; negative num floors like DuckDB `//`, i.e.
+    * ties round toward +∞ (HALF_UP proper on non-negatives, which is
+    * every current call site). */
   def r4(num: Column, den: Column): Column =
-    call_function("div", num * 20000L + den, den * 2L) / 10000.0
+    fdiv(num * 20000L + den, den * 2L) / 10000.0
 
   /** SQL fragments for the DuckDB oracle, mirroring the above exactly. */
   object sql {

@@ -152,12 +152,14 @@ object Events {
         sum($"dur_us").as("tot_us"),
         count(lit(1)).as("n_intervals"))
       .select($"user_id", $"n_intervals", $"tot_us",
-        // round(wsum/(100·tot), 4) as an exact integer rational; the
+        // round(wsum/(100·tot), 4) as an exact integer rational via
+        // floor-div ([[Det.fdiv]]) so a NEGATIVE wsum (events with
+        // negative values) still matches DuckDB's flooring `//`; the
         // ×200 needs |wsum| < 2⁶³/200 ≈ 4.6e16 (fixture max ~2.6e15;
         // a 100 TB run lifts the sums to DECIMAL(38,0) — DuckDB's
         // HUGEINT sum does so natively)
-        (call_function("div", $"wsum" * 200L + $"tot_us", $"tot_us" * 2L)
-          / 10000.0).as("twap"))
+        (graft.functions.Det.fdiv($"wsum" * 200L + $"tot_us",
+          $"tot_us" * 2L) / 10000.0).as("twap"))
       .orderBy($"user_id")
   }
 

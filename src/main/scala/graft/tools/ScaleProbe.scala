@@ -29,17 +29,21 @@ object ScaleProbe {
     new java.io.File(dir).mkdirs()
     def missing(name: String) =
       !new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists()
-    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+    // replica id offset = max(id)+1 of the base table, NOT a constant:
+    // a bigger sf directory must not silently collide replica ids and
+    // skew the dup multiplicity the probe measures
+    def rep(name: String, idCol: String): Unit =
       if (missing(name)) {
         val src = spark.read.parquet(s"$base/$name.parquet")
-        (0 until 10).map(i => f(src, i)).reduce(_ unionAll _)
+        val off = src.agg(max(col(idCol))).head.getLong(0) + 1L
+        (0 until 10).map(i =>
+            src.withColumn(idCol, col(idCol) + lit(i * off)))
+          .reduce(_ unionAll _)
           .coalesce(4).write.mode("overwrite")
           .parquet(s"$dir/$name.parquet")
       }
-    rep("documents")((d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
-    rep("embeddings")((d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+    rep("documents", "doc_id")
+    rep("embeddings", "vec_id")
     // events.ts is TIMESTAMP(NANOS) in the fixture — go through
     // Tables.events (nanos→µs) and write back plain µs timestamps,
     // which every query reads identically. Must be ONE FILE named
@@ -49,8 +53,9 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/events.parquet").isFile) {
       val src = graft.Tables.events(spark, base)
       val tmp = s"$dir/events_tmp"
+      val off = src.agg(max(col("event_id"))).head.getLong(0) + 1L
       (0 until 10).map(i =>
-          src.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+          src.withColumn("event_id", col("event_id") + lit(i * off)))
         .reduce(_ unionAll _)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))

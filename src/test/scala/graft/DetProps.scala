@@ -29,6 +29,34 @@ object DetProps extends Properties("Det.r4") {
       got == want
     }
 
+  property("fdiv equals Math.floorDiv (DuckDB // semantics) for any sign") =
+    Prop.forAll(Gen.listOfN(20, for {
+      b <- Gen.chooseNum(1L, 1000000L)
+      a <- Gen.chooseNum(-3000000000L, 3000000000L)
+    } yield (a, b))) { pairs =>
+      import spark.implicits._
+      val got = pairs.toDF("a", "b")
+        .select(graft.functions.Det.fdiv($"a", $"b").as("r"))
+        .collect().map(_.getLong(0)).toSeq
+      got == pairs.map { case (a, b) => Math.floorDiv(a, b) }
+    }
+
+  // negative numerators (e.g. a TWAP over negative values): r4 floors
+  // like DuckDB's `//` — ties round toward +∞ instead of away from
+  // zero, but both engines agree bit-for-bit
+  property("negative numerators floor identically to the oracle") =
+    Prop.forAll(Gen.listOfN(20, for {
+      den <- Gen.chooseNum(1L, 2000000L)
+      num <- Gen.chooseNum(-den * 3, 0L)
+    } yield (num, den))) { pairs =>
+      import spark.implicits._
+      val got = pairs.toDF("num", "den")
+        .select(graft.functions.Det.r4($"num", $"den").as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+      got == pairs.map { case (n, d) =>
+        Math.floorDiv(n * 20000L + d, d * 2L) / 10000.0 }
+    }
+
   // the boundary the grain exists for: x.00005 exactly — HALF_UP must
   // round UP deterministically in both engines
   property("exact .5-at-grain boundaries round up") = {
