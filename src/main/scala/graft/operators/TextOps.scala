@@ -480,10 +480,16 @@ object TextOps {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
           least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1 >=
             ceil(($"a.n" + $"b.n") * lit(t) / (1 + t)))
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(lit(1))  // dedup with map-side combine, not a global distinct
-      .select($"d1", $"d2")
-    cand
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    // A pair sharing k prefix shingles appears k times — verify all k
+    // and dedup AFTER the jaccard filter: the k copies cost k cheap
+    // codegen'd intersections, while deduping first costs a full
+    // exchange of the candidate multiset (measured slower at every sf).
+    // Broadcasting the slim candidates means the wide (doc, hash-array)
+    // table is probed in place — zero shuffles of the arrays; if a
+    // pathological corpus ever made the candidate side big, flip to a
+    // shuffle join on doc_id (the documented cluster-scale fallback).
+    broadcast(cand)
       .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
       .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
       .withColumn("common",
@@ -492,6 +498,7 @@ object TextOps {
         round($"common" / ($"n1" + $"n2" - $"common").cast("double"), 4)
           .as("jaccard"))
       .filter($"jaccard" >= t)
+      .dropDuplicates("d1", "d2")
       .orderBy($"d1", $"d2")
   }
 
