@@ -32,15 +32,24 @@ object Bench {
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     }
+    // Dev-only noise control: SPARK_GRAFT_REPS=N runs each query N times
+    // and records the MEDIAN (the round-4/5 verdicts both chased
+    // single-run spikes that never reproduced). The driver sets no env
+    // → reps=1 → timing behavior and output format are unchanged.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be VISIBLE in the machine-readable output,
-      // not a silent ~0s entry: record a -1.0 sentinel time
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        false
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // a failed query must be VISIBLE in the machine-readable output,
+        // not a silent ~0s entry: record a -1.0 sentinel time
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val ts = Seq.fill(reps)(once())
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
