@@ -126,6 +126,64 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // d31 denylist: sensitive terms masked as whole words. The fixture
+  // vocabulary has no literal emails/phones, so the DICTIONARY face of
+  // PII redaction is what is exercised — the regex plumbing (word
+  // boundaries, global replace, match counting) is identical for
+  // pattern-based PII; \b means the same thing to Java regex (Spark)
+  // and RE2 (DuckDB) on this ASCII corpus.
+  private val RedactPat = "\\b(customer|key|value)\\b"
+
+  /** d31: denylist redaction — the PII-masking pass of a training-data
+    * pipeline: every occurrence of a sensitive term is replaced with a
+    * mask token, and each document reports its match count plus an md5
+    * of the REDACTED text (so the oracle verifies the actual
+    * replacement output, not just the counts).
+    *
+    * Scale: pure map work — one codegen'd projection per document, no
+    * shuffle, no state; the ordering exchange is the declared-output
+    * contract, not part of the operator. */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(RedactPat), lit(0)))
+          .cast("long").as("n_masked"),
+        md5(regexp_replace($"text", RedactPat, "<MASK>")).as("masked_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // d34 per-source token budget (binds at every fixture sf: each
+  // source's corpus is well past 600 tokens)
+  private val SourceCapTokens = 600L
+
+  /** d34: per-source token caps — the data-mix curation op: within each
+    * source, documents are admitted best-quality-first (d04's quality
+    * score, doc_id tiebreak) until the source's token budget is spent;
+    * every document reports its running total and keep/drop verdict.
+    * This is how a 100 TB mix enforces "no source exceeds X tokens"
+    * deterministically — no sampling RNG, reruns are identical.
+    *
+    * Scale: one hash exchange on source + one in-partition sort (the
+    * window); token sums are exact int64. The quality ordering key is
+    * [[qualityScore]]'s integer-rational r4 — bit-identical in both
+    * engines, so the cut line cannot drift on a float tie. */
+  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityScore(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"quality")
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val w = Window.partitionBy($"source")
+      .orderBy(desc("quality"), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(src, "doc_id")
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens", $"quality",
+        $"cum_tokens",
+        ($"cum_tokens" <= SourceCapTokens).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprints: whole-text md5/sha256 + winnowing-style
     * min-shingle fingerprint (min md5 over 5-token shingles). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1175,6 +1233,8 @@ object TextOps {
     "d25_shared_substrings" -> sharedSubstrings _,
     "d26_token_entropy" -> tokenEntropy _,
     "d28_bm25"          -> bm25 _,
+    "d31_redact"        -> redact _,
+    "d34_source_caps"   -> sourceCaps _,
   )
 
   /** The shingle→minhash→band prefix of the MinHash pipeline as a DuckDB
@@ -1221,6 +1281,23 @@ object TextOps {
        |    * (tf * ${Bm25K1 + 1.0})
        |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl * n_docs / sum_dl)), 4) AS score
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot)""".stripMargin
+
+  /** The d04 quality score as a DuckDB CTE chain ending at
+    * `qual(doc_id, source, n_chars, n_tokens, n_uniq, n_stop, quality)`
+    * — shared by the d04 and d34 oracles so the scoring definition (and
+    * its exact integer rounding) cannot drift between them. */
+  private[graft] def qualityCte: String =
+    """qt AS (SELECT doc_id, source, n_chars, str_split(text, ' ') AS toks FROM documents),
+      |qm AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop
+      |  FROM qt),
+      |qual AS (SELECT doc_id, source, n_chars, n_tokens, n_uniq, n_stop,
+      |  (((n_uniq * 4000 + (n_tokens - n_stop) * 3000
+      |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
+      |  // (n_tokens * 20000)) / 10000.0 AS quality
+      |  FROM qm)""".stripMargin
 
   /** The d29 power iterations unrolled as CTEs (it1..it5), each one
     * contribution-aggregate + node left join in exact integer
@@ -1482,20 +1559,28 @@ object TextOps {
     "d04_quality_score" ->
       // exact integer half-up rounding, mirroring the Spark side:
       // round(10⁴·num/den) = (2·10⁴·num + den) // (2·den)
-      """WITH t AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop
-        |  FROM t)
+      s"""WITH $qualityCte
         |SELECT doc_id, n_tokens, n_uniq,
         |((n_uniq * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS ttr,
         |(((n_chars - (n_tokens - 1)) * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS avg_tok_len,
         |((n_stop * 20000 + n_tokens) // (n_tokens * 2)) / 10000.0 AS stop_ratio,
-        |(((n_uniq * 4000 + (n_tokens - n_stop) * 3000
-        |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
-        |  // (n_tokens * 20000)) / 10000.0 AS quality
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |quality
+        |FROM qual ORDER BY doc_id""".stripMargin,
+    "d31_redact" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT) AS n_masked,
+        |md5(regexp_replace(text, '\b(customer|key|value)\b', '<MASK>', 'g')) AS masked_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d34_source_caps" ->
+      s"""WITH $qualityCte,
+        |ranked AS (SELECT doc_id, source, n_tokens, quality,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM qual)
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens,
+        |cum_tokens <= $SourceCapTokens AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "d05_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, md5(text) AS md5_text, sha256(text) AS sha256_text,

@@ -314,6 +314,39 @@ object VectorOps {
       .limit(10)
   }
 
+  /** v18: ANN recall evaluation — the index-quality gate every
+    * similarity pipeline needs before trusting an approximate index:
+    * recall@k of the IVF probe ([[ivfAnn]], 2-of-k cells) against the
+    * brute-force exact ranking ([[cosineTopK]]'s contract), for
+    * k ∈ {1, 5, 10}. Output is (k, n_hit, recall) — the curve a
+    * deployment reads to size nprobe.
+    *
+    * Scale: both inputs are top-10 lists — everything after them is
+    * constant-size; the expensive parts are the operators under
+    * evaluation, which keep their own scale contracts. Ranks use the
+    * shared round(cos, 6) + vec_id tiebreak, so both engines agree on
+    * the lists and therefore on the recall. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ivf = ivfAnn(spark, sfDir)
+      .withColumn("ivf_rank",
+        row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
+      .select($"vec_id", $"ivf_rank")
+    val exact = cosineTopK(spark, sfDir)
+      .withColumn("ex_rank",
+        row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
+      .filter($"ex_rank" <= 10)
+      .select($"vec_id", $"ex_rank")
+    val ks = Seq(1L, 5L, 10L).toDF("k")
+    ks.join(exact, $"ex_rank" <= $"k")
+      .join(ivf, Seq("vec_id"), "left")
+      .groupBy($"k")
+      .agg(sum(when($"ivf_rank" <= $"k", 1L).otherwise(0L)).as("n_hit"))
+      .select($"k", $"n_hit",
+        graft.functions.Det.r4($"n_hit", $"k").as("recall"))
+      .orderBy($"k")
+  }
+
   // v09 k-means parameters: k seed vectors (vec_id 0..k-1), fixed Lloyd
   // iteration count. Deterministic by construction: centroids are rounded
   // to 6 decimals after every update so both engines iterate from
@@ -658,6 +691,7 @@ object VectorOps {
     "v13_pq_ann"          -> pqAnn _,
     "v14_hard_negatives"  -> hardNegatives _,
     "v15_semantic_dedup"  -> semanticDedup _,
+    "v18_ann_recall"      -> annRecall _,
   )
 
   /** Scalar-quantized candidate scan + exact re-rank: every vector is
@@ -699,6 +733,28 @@ object VectorOps {
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
   private def cos(a: String, b: String): String =
     cosSql.format(a, b, a, a, b, b)
+
+  /** The v07 IVF probe as a DuckDB CTE chain ending at
+    * `ivfr(vec_id, cell, cos, rn)` — every probed candidate ranked by
+    * (round(cos, 6) DESC, vec_id) — shared by the v07 and v18 oracles
+    * so the index definition cannot drift between them. */
+  private def ivfCte: String =
+    s"""cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+       |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (SELECT vec_id, v, c_label AS cell FROM (
+       |  SELECT e.vec_id, e.v, cv.c_label,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "cv.cvv")} DESC, cv.c_label) AS rn
+       |  FROM e CROSS JOIN cv) x WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qcells AS (SELECT c_label AS probe_cell FROM cv CROSS JOIN q
+       |  ORDER BY ${cos("cv.cvv", "qv")} DESC, c_label LIMIT 2),
+       |ivfr AS (SELECT a.vec_id, a.cell, round(${cos("a.v", "qv")}, 6) AS cos,
+       |  row_number() OVER (ORDER BY round(${cos("a.v", "qv")}, 6) DESC, a.vec_id) AS rn
+       |  FROM assigned a JOIN qcells ON a.cell = qcells.probe_cell
+       |  CROSS JOIN q WHERE a.vec_id <> 0)""".stripMargin
 
   /** The v16 greedy MMR steps 2..8 unrolled as CTE pairs (pick sᵢ,
     * accumulate selᵢ) — mirrors the Spark driver loop in exact integer
@@ -819,23 +875,22 @@ object VectorOps {
         |round(list_max(v), 6) AS mx
         |FROM e ORDER BY vec_id""".stripMargin,
     "v07_ivf_ann" ->
-      s"""WITH cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
-         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
-         |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |assigned AS (SELECT vec_id, v, c_label AS cell FROM (
-         |  SELECT e.vec_id, e.v, cv.c_label,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cos("e.v", "cv.cvv")} DESC, cv.c_label) AS rn
-         |  FROM e CROSS JOIN cv) x WHERE rn = 1),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |qcells AS (SELECT c_label AS probe_cell FROM cv CROSS JOIN q
-         |  ORDER BY ${cos("cv.cvv", "qv")} DESC, c_label LIMIT 2)
-         |SELECT a.vec_id, a.cell, round(${cos("a.v", "qv")}, 6) AS cos
-         |FROM assigned a JOIN qcells ON a.cell = qcells.probe_cell
-         |CROSS JOIN q
-         |WHERE a.vec_id <> 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      s"""WITH $ivfCte
+         |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
+         |ORDER BY cos DESC, vec_id""".stripMargin,
+    "v18_ann_recall" ->
+      s"""WITH $ivfCte,
+         |ex AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY round(${cos("e.v", "q.qv")}, 6) DESC, vec_id) AS ex_rank
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0),
+         |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k)
+         |SELECT k,
+         |  CAST(sum(CASE WHEN ivfr.rn <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  ((CAST(sum(CASE WHEN ivfr.rn <= k THEN 1 ELSE 0 END) AS BIGINT) * 20000 + k)
+         |    // (k * 2)) / 10000.0 AS recall
+         |FROM ks JOIN ex ON ex.ex_rank <= k
+         |LEFT JOIN ivfr ON ivfr.vec_id = ex.vec_id
+         |GROUP BY k ORDER BY k""".stripMargin,
     "v08_lsh_neardup" -> {
       // same md5-parity hyperplanes as the Spark side: plane
       // j = b*8 + k, sign = parity of md5('g:j')'s first hex digit;

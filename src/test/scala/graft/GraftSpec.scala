@@ -485,6 +485,64 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Double]("novelty") < 1.0))
   }
 
+  test("redaction: counts match a JVM-regex recount; masking changes the text") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val pat = "\\b(customer|key|value)\\b".r
+    val rows = TextOps.redact(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_masked"))
+      val text = docs(id)
+      assert(n == pat.findAllIn(text).size, s"doc $id count")
+      val origMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // masked text differs from the original exactly when something matched
+      assert((r.getAs[String]("masked_md5") != origMd5) == (n > 0), s"doc $id md5")
+    }
+    assert(rows.exists(_.getAs[Long]("n_masked") > 0))
+  }
+
+  test("source caps: kept set is the maximal quality-first prefix per source") {
+    import spark.implicits._
+    val rows = TextOps.sourceCaps(spark, sf).collect()
+    val cap = 600L
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      // order docs the way the cap was applied
+      val ordered = docs.sortBy(r =>
+        (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum, s"$src cumsum")
+        assert(r.getAs[Boolean]("kept") == (cum <= cap), s"$src kept flag")
+      }
+      // the budget binds: something kept, something dropped at fixture scale
+      assert(ordered.head.getAs[Boolean]("kept"), s"$src kept none")
+      assert(!ordered.last.getAs[Boolean]("kept"), s"$src dropped none")
+    }
+  }
+
+  test("ANN recall: n_hit equals the direct IVF∩exact overlap, monotone in k") {
+    import spark.implicits._
+    val ivf = VectorOps.ivfAnn(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id"))  // already ranked (cos DESC, vec_id)
+    val exact = VectorOps.cosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).take(10)
+    val rows = VectorOps.annRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(1L, 5L, 10L))
+    Seq(1, 5, 10).foreach { k =>
+      val expect = exact.take(k).toSet.intersect(ivf.take(k).toSet).size
+      assert(rows(k.toLong)._1 == expect, s"recall@$k hits")
+      assert(rows(k.toLong)._2 >= 0.0 && rows(k.toLong)._2 <= 1.0)
+    }
+    assert(rows(5L)._1 >= rows(1L)._1 && rows(10L)._1 >= rows(5L)._1)
+  }
+
   test("PageRank: isolated docs hold the base rank, linked docs exceed it") {
     import spark.implicits._
     val n = Tables.documents(spark, sf).count()
