@@ -194,6 +194,43 @@ object Events {
       .orderBy($"view_id", $"purchase_id")
   }
 
+  /** e36: AS-OF NEAREST join (pandas merge_asof direction='nearest',
+    * QuestDB/kdb asof variant): each purchase pairs with the view
+    * closest in time — either direction — within a ±60 min tolerance,
+    * null-padded when none qualifies. Complements e13 (backward as-of,
+    * latest ≤) and e06 (ALL pairs in the interval): here exactly one
+    * best match survives per probe. Tiebreak on equal |Δt| prefers the
+    * later view then the larger view_id (the as-of convention of taking
+    * the freshest record).
+    *
+    * Scale: one user_id equi-join with the tolerance as a residual
+    * range predicate (never a cartesian), then a per-purchase
+    * row_number argmin — the window and the left join back are both
+    * keyed on purchase_id, so the second exchange is reused. */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"))
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy($"delta_us", desc("view_ts"), desc("view_id"))
+    val best = p.join(v, $"user_id" === $"p_user" &&
+        $"view_ts" >= $"purchase_ts" - expr("INTERVAL 60 MINUTES") &&
+        $"view_ts" <= $"purchase_ts" + expr("INTERVAL 60 MINUTES"))
+      .withColumn("delta_us",
+        abs(unix_micros($"view_ts") - unix_micros($"purchase_ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"purchase_id", $"view_id", $"view_ts", $"delta_us")
+    p.join(best, Seq("purchase_id"), "left")
+      .select($"purchase_id", $"p_user".as("user_id"), $"purchase_ts",
+        $"view_id", $"view_ts", $"delta_us")
+      .orderBy($"purchase_id")
+  }
+
   /** Running per-user cumulative total (exact decimal accumulation). */
   def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -450,11 +487,30 @@ object Events {
     "e19_cogroup"        -> cogroupActivity _,
     "e21_promo_range_join" -> promoRangeJoin _,
     "e22_skew_salted_join" -> skewSaltedJoin _,
+    "e36_asof_nearest"   -> asofNearest _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "e36_asof_nearest" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT purchase_id, view_id, view_ts,
+        |  abs(epoch_us(view_ts) - epoch_us(purchase_ts)) AS delta_us,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY abs(epoch_us(view_ts) - epoch_us(purchase_ts)),
+        |      view_ts DESC, view_id DESC) AS rn
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE view_ts >= purchase_ts - INTERVAL 60 MINUTE
+        |    AND view_ts <= purchase_ts + INTERVAL 60 MINUTE)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  c.view_id, c.view_ts, CAST(c.delta_us AS BIGINT) AS delta_us
+        |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
     "e34_gap_fill" ->
       """SELECT event_id, user_id, event_type,
         |last_value(CASE WHEN event_type = 'purchase'

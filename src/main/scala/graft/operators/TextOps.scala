@@ -100,16 +100,32 @@ object TextOps {
     * 0.6588 in Spark vs 0.6587 in DuckDB); the integer form is the
     * mathematically-correct rounding and is identical in both engines
     * by construction. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc quality columns (incl. source), unordered — ONE definition
+    * of the quality expression shared by d04's report and d34's capping
+    * (mirroring the shared [[qualityCte]] on the oracle side). Pure map
+    * work over the documents scan. */
+  private def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // exact half-up rounding of num/den to 4 dp, in integer space
-    // (`div` = Spark's integral-divide function)
     docsWithToks(spark, sfDir)
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
       .withColumn("n_stop",
         size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))"))
           .cast("long"))
+      // 0.4·u/n + 0.3·(1−s/n) + 0.3·min(1, n/100), over denominator n:
+      // numerator = 0.4u + 0.3(n−s) + 0.3·min(100,n)/100·n, ×10⁴ →
+      // (4000u + 3000(n−s) + 30·min(100,n)·n) / n
+      .withColumn("quality",
+        r4($"n_uniq" * 4000L + ($"n_tokens" - $"n_stop") * 3000L
+            + least(lit(100L), $"n_tokens") * 30L * $"n_tokens",
+          $"n_tokens" * 10000L))
+  }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // exact half-up rounding of num/den to 4 dp, in integer space
+    // (`div` = Spark's integral-divide function)
+    qualityBase(spark, sfDir)
       .select(
         $"doc_id",
         $"n_tokens",
@@ -117,12 +133,7 @@ object TextOps {
         r4($"n_uniq", $"n_tokens").as("ttr"),
         r4($"n_chars" - ($"n_tokens" - 1), $"n_tokens").as("avg_tok_len"),
         r4($"n_stop", $"n_tokens").as("stop_ratio"),
-        // 0.4·u/n + 0.3·(1−s/n) + 0.3·min(1, n/100), over denominator n:
-        // numerator = 0.4u + 0.3(n−s) + 0.3·min(100,n)/100·n, ×10⁴ →
-        // (4000u + 3000(n−s) + 30·min(100,n)·n) / n
-        r4($"n_uniq" * 4000L + ($"n_tokens" - $"n_stop") * 3000L
-            + least(lit(100L), $"n_tokens") * 30L * $"n_tokens",
-          $"n_tokens" * 10000L).as("quality"))
+        $"quality")
       .orderBy($"doc_id")
   }
 
@@ -165,18 +176,18 @@ object TextOps {
     * deterministically — no sampling RNG, reruns are identical.
     *
     * Scale: one hash exchange on source + one in-partition sort (the
-    * window); token sums are exact int64. The quality ordering key is
-    * [[qualityScore]]'s integer-rational r4 — bit-identical in both
-    * engines, so the cut line cannot drift on a float tie. */
+    * window) — the quality columns ride the documents scan
+    * ([[qualityBase]]), so there is NO join anywhere; token sums are
+    * exact int64. The quality ordering key is the integer-rational r4 —
+    * bit-identical in both engines, so the cut line cannot drift on a
+    * float tie. */
   def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val q = qualityScore(spark, sfDir)
-      .select($"doc_id", $"n_tokens", $"quality")
-    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
     val w = Window.partitionBy($"source")
       .orderBy(desc("quality"), $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.join(src, "doc_id")
+    qualityBase(spark, sfDir)
+      .select($"doc_id", $"source", $"n_tokens", $"quality")
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
       .select($"doc_id", $"source", $"n_tokens", $"quality",
         $"cum_tokens",

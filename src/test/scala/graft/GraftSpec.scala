@@ -543,6 +543,39 @@ class GraftSpec extends AnyFunSuite {
     assert(rows(5L)._1 >= rows(1L)._1 && rows(10L)._1 >= rows(5L)._1)
   }
 
+  test("as-of nearest equals a direct per-purchase recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"event_type").collect()
+    val views = ev.filter(_.getAs[String]("event_type") == "view")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"))).groupBy(_._1)
+    val tol = 60L * 60 * 1000000
+    val out = graft.operators.Events.asofNearest(spark, sf).collect()
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(out.length == purchases.length)
+    val got = out.map(r => r.getAs[Long]("purchase_id") ->
+      Option(r.getAs[java.lang.Long]("view_id")).map(Long2long)).toMap
+    purchases.foreach { pr =>
+      val (pid, u, pus) = (pr.getAs[Long]("event_id"),
+        pr.getAs[Long]("user_id"), pr.getAs[Long]("us"))
+      val cands = views.getOrElse(u, Array.empty)
+        .filter(v => math.abs(v._3 - pus) <= tol)
+      val expect =
+        if (cands.isEmpty) None
+        // smallest |Δt|, then latest view ts, then largest view_id
+        else Some(cands.minBy(v => (math.abs(v._3 - pus), -v._3, -v._2))._2)
+      assert(got(pid) == expect, s"purchase $pid")
+    }
+    // both contract halves must actually be exercised by the fixture
+    assert(out.exists(_.getAs[java.lang.Long]("view_id") == null),
+      "no null-padded purchase — tolerance never excluded a view")
+    assert(out.exists(_.getAs[java.lang.Long]("view_id") != null),
+      "no matched purchase")
+  }
+
   test("PageRank: isolated docs hold the base rank, linked docs exceed it") {
     import spark.implicits._
     val n = Tables.documents(spark, sf).count()

@@ -138,6 +138,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a BM25 join regressed to SMJ:\n$plan")
   }
 
+  test("redaction is pure map work: no join, no hash exchange") {
+    val plan = planOf(graft.operators.TextOps.redact(spark, sf))
+    assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
+    // only the declared-output ordering's range exchange may appear
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle:\n$plan")
+  }
+
+  test("source caps cost exactly one hash exchange (the per-source window)") {
+    val plan = planOf(graft.operators.TextOps.sourceCaps(spark, sf))
+    assert(!plan.contains("Join"),
+      s"quality must ride the scan, not a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"source caps expected one hash exchange, got $exchanges:\n$plan")
+  }
+
   test("q20's NOT IN subquery plans as a hash anti join, not a per-row subquery") {
     val df = graft.operators.Relational.brandsInNotIn(spark, sf)
     df.collect()
