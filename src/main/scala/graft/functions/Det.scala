@@ -33,9 +33,11 @@ object Det {
 
   /** Floor division of integer columns, REQUIRES b > 0: subtracting the
     * positive modulus makes the numerator exactly divisible, so the
-    * truncating `div` IS the floor — matching DuckDB's `//` for
-    * negative numerators too (Spark's bare `div` truncates toward
-    * zero and only agrees with `//` on non-negatives). */
+    * truncating `div` IS the floor. NOTE: DuckDB's `//` also truncates
+    * toward zero on negative numerators (-7 // 2 = -3, measured on the
+    * sandbox's duckdb 1.0), so an oracle whose numerator can go
+    * negative must mirror the floor EXPLICITLY via [[sql.fdiv]] /
+    * [[sql.r4]] — bare `//` only agrees on non-negatives. */
   def fdiv(a: Column, b: Column): Column =
     call_function("div", a - pmod(a, b), b)
 
@@ -57,5 +59,19 @@ object Det {
       s"round(CAST(sum(${dec4(e)}) AS DOUBLE), $scale) AS $alias"
     def davg(e: String, alias: String): String =
       s"round(CAST(sum(${dec4(e)}) AS DOUBLE) / count(*), 4) AS $alias"
+
+    /** True floor division in DuckDB, any-sign numerator (b > 0):
+      * DuckDB's `%` keeps the dividend's sign, so the positive modulus
+      * is `((a % b) + b) % b`; subtracting it makes the numerator
+      * exactly divisible and `//`'s truncation moot — the literal
+      * mirror of [[Det.fdiv]]. Bare `//` truncates toward zero and
+      * would disagree with fdiv for a < 0. */
+    def fdiv(a: String, b: String): String =
+      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+    /** The [[Det.r4]] rational half-up 4-dp rounding, floor-exact for
+      * negative numerators too. */
+    def r4(num: String, den: String): String =
+      s"${fdiv(s"($num) * 20000 + ($den)", s"($den) * 2")} / 10000.0"
   }
 }

@@ -153,8 +153,9 @@ object Events {
         count(lit(1)).as("n_intervals"))
       .select($"user_id", $"n_intervals", $"tot_us",
         // round(wsum/(100·tot), 4) as an exact integer rational via
-        // floor-div ([[Det.fdiv]]) so a NEGATIVE wsum (events with
-        // negative values) still matches DuckDB's flooring `//`; the
+        // floor-div ([[Det.fdiv]]); the oracle mirrors the floor
+        // EXPLICITLY (Det.sql.fdiv — DuckDB's bare `//` truncates and
+        // would diverge on a NEGATIVE wsum); the
         // ×200 needs |wsum| < 2⁶³/200 ≈ 4.6e16 (fixture max ~2.6e15;
         // a 100 TB run lifts the sums to DECIMAL(38,0) — DuckDB's
         // HUGEINT sum does so natively)
@@ -519,8 +520,11 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  AS last_purchase_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // twap's floor-div is the EXPLICIT Det.sql.fdiv mirror: a negative
+    // wsum under bare DuckDB // (truncating) would disagree with the
+    // Spark side's Det.fdiv floor
     "e35_time_weighted_avg" ->
-      """WITH d AS (SELECT user_id,
+      s"""WITH d AS (SELECT user_id,
         |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
@@ -529,7 +533,8 @@ object Events {
         |  sum(dur_us) AS tot_us, count(*) AS n_intervals
         |  FROM d WHERE dur_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, n_intervals, CAST(tot_us AS BIGINT) AS tot_us,
-        |  ((wsum * 200 + tot_us) // (tot_us * 2)) / 10000.0 AS twap
+        |  ${graft.functions.Det.sql.fdiv(
+             "wsum * 200 + tot_us", "tot_us * 2")} / 10000.0 AS twap
         |FROM a ORDER BY user_id""".stripMargin,
     "e33_dynamic_sessions" ->
       s"""WITH g AS (SELECT user_id, ts, event_id, value,

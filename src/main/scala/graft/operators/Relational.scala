@@ -393,8 +393,43 @@ object Relational {
         |FROM sub GROUP BY anchor ORDER BY anchor""".stripMargin)
   }
 
+  /** TPC-H Q17 shape — small-quantity revenue per brand: lineitems whose
+    * quantity is below 20% of their part's average quantity, summed as
+    * the "average yearly" revenue they represent (the Q17 /7.0
+    * constant, one row per brand instead of Q17's single scalar).
+    *
+    * Determinism: quantities are integral, so the 20%-of-average
+    * predicate is the cross-multiplied exact integer `5·qty·cnt < Σqty`
+    * — no float threshold to straddle an ulp. Revenue sums in exact
+    * integer cents, divided once at the end.
+    *
+    * Scale design: the per-part average is ONE hash-agg over lineitem
+    * keyed on l_partkey; the join back to lineitem re-uses the same key
+    * (co-partitioned — AQE plans a single exchange for the pair), and
+    * the part dimension is broadcast. This is the correlated-aggregate
+    * join done the way a 100 TB fact table needs: never a per-row
+    * subquery, one shuffle of the fact side total. */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir).select(
+      $"l_partkey",
+      $"l_quantity".cast("long").as("qty"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+    val stats = l.groupBy($"l_partkey")
+      .agg(sum($"qty").as("sumq"), count(lit(1)).as("cnt"))
+    val brands = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    l.join(stats, "l_partkey")
+      .filter($"qty" * $"cnt" * lit(5L) < $"sumq")
+      .join(broadcast(brands), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum($"cents") / lit(700.0), 2).as("avg_yearly"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_subtree_rollup" -> subtreeRollup _,
+    "q23_small_qty_revenue" -> smallQtyRevenue _,
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
     "q03_top_customers"      -> topCustomers _,
@@ -421,6 +456,18 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    "q23_small_qty_revenue" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |s AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sumq,
+        |  count(*) AS cnt FROM l GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_small,
+        |  round(CAST(sum(cents) AS BIGINT) / 700.0, 2) AS avg_yearly
+        |FROM l JOIN s USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE qty * cnt * 5 < sumq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q22_subtree_rollup" ->
       """WITH RECURSIVE sub(anchor, k, depth, price) AS (
         |  SELECT p_partkey, p_partkey, 0,

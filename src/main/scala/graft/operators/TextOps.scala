@@ -350,6 +350,48 @@ object TextOps {
       .filter($"est_jaccard" >= 0.5)
   }
 
+  /** d35: triangle count + local clustering coefficient per node over
+    * the d06 MinHash near-dup graph — the graph-STRUCTURE signal on top
+    * of the pair list: a high-coefficient neighborhood is a coherent
+    * duplicate community (exact/near copies of one underlying text,
+    * safe to collapse to a canonical doc), while a high-degree node
+    * with near-zero coefficient is a template/boilerplate attractor
+    * chaining unrelated documents — review it, don't collapse it.
+    *
+    * Scale design: the classic distributed triangle enumeration —
+    * edges stay in canonical d1<d2 orientation, so each triangle
+    * a<b<c is found exactly once by joining (a,b)⋈(b,c) on the shared
+    * middle vertex and closing with a hash probe of (a,c). Both steps
+    * are hash equi-joins on vertex keys (never an adjacency
+    * cross-product); degrees and per-node counts are map-side-partial
+    * hash-aggs. On a skewed graph the canonical orientation bounds the
+    * join fan-out (a degree-d hub only pairs its HIGHER-id neighbors)
+    * — same reason the order-by-degree variant is the production
+    * standard. The coefficient 2T/(d·(d−1)) is [[graft.functions.Det
+    * .r4]] exact; the pair table is the same session-cached checkpoint
+    * d06/d12/d21 read. */
+  def dupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = lshPairs(spark, sfDir).select($"d1", $"d2")
+    val deg = p.select($"d1".as("doc_id"))
+      .unionAll(p.select($"d2".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    val closing = p.select($"d1".as("a"), $"d2".as("c"))
+    val tri = p.as("ab")
+      .join(p.as("bc"), col("ab.d2") === col("bc.d1"))
+      .select(col("ab.d1").as("a"), col("ab.d2").as("b"), col("bc.d2").as("c"))
+      .join(closing, Seq("a", "c"))
+    val cnt = tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(cnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select($"doc_id", $"degree", $"n_triangles",
+        when($"degree" < 2, lit(0.0))
+          .otherwise(r4($"n_triangles" * 2L, $"degree" * ($"degree" - 1L)))
+          .as("clustering"))
+      .orderBy($"doc_id")
+  }
+
   /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
     * signatures bucket together (n_bucket = docs sharing the hash). */
   /** Per-doc SimHash bit string of the given width (≤ 32: one md5 hex
@@ -628,6 +670,45 @@ object TextOps {
           .as("n_subwords"),
         size(array_distinct($"words")).cast("long").as("n_uniq_words"))
       .orderBy($"doc_id")
+  }
+
+  /** Per-language Zipf slope: OLS fit of ln(frequency) on ln(rank) over
+    * each language's top-100 token ranks — the corpus-health statistic
+    * (natural language sits near −1; generated/templated junk drifts
+    * flat). An aggregate linear regression done the deterministic way:
+    * each log is rounded to a 10⁻⁴-precision integer FIRST, then the
+    * OLS slope is the exact integer rational
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, half-up-rounded to 4 dp via
+    * [[graft.functions.Det.r4]] — bit-identical in both engines because
+    * only one engine-matching double op (the ln) happens per term, at
+    * micro precision, before the arithmetic goes exact.
+    *
+    * Scale design: one hash-agg for term frequencies, one per-lang
+    * top-100 rank (bounded state per group), one final tiny agg. The
+    * rank-100 cap is what bounds the integer sums at ANY corpus scale:
+    * x ≤ ln(100)·10⁴ fixed, y ≤ ln(Σtokens)·10⁴ ≈ 3·10⁵ even at 10¹²
+    * tokens, so `n·Σxy·20000` stays far under 2⁶³ (fitting the head of
+    * the distribution is also the standard Zipf methodology). */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = docsWithToks(spark, sfDir)
+      .select($"lang", explode($"toks").as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy(desc("c"), $"tok")))
+      .filter($"rank" <= 100)
+    val xy = ranked.select($"lang",
+      round(log($"rank") * 1e4).cast("long").as("x"),
+      round(log($"c") * 1e4).cast("long").as("y"))
+    xy.groupBy($"lang")
+      .agg(count(lit(1)).as("n_ranks"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"lang", $"n_ranks",
+        r4($"n_ranks" * $"sxy" - $"sx" * $"sy",
+          $"n_ranks" * $"sxx" - $"sx" * $"sx").as("zipf_slope"))
+      .orderBy($"lang")
   }
 
   /** Deterministic stratified sampling + train/val/test split — the
@@ -1245,7 +1326,9 @@ object TextOps {
     "d26_token_entropy" -> tokenEntropy _,
     "d28_bm25"          -> bm25 _,
     "d31_redact"        -> redact _,
+    "d33_zipf_slope"    -> zipfSlope _,
     "d34_source_caps"   -> sourceCaps _,
+    "d35_dup_triangles" -> dupTriangles _,
   )
 
   /** The shingle→minhash→band prefix of the MinHash pipeline as a DuckDB
@@ -1480,6 +1563,28 @@ object TextOps {
         |  AS longest_tokens,
         |CAST(sum(nwin) AS BIGINT) AS n_windows
         |FROM island GROUP BY da, db ORDER BY da, db""".stripMargin,
+    // mirrors Det.r4 via Det.sql.r4 — the slope numerator is NEGATIVE,
+    // where bare DuckDB // (truncating) would disagree with fdiv's
+    // floor; sums CAST to BIGINT before the arithmetic (HUGEINT
+    // widening was the d29/d30 round-5 hash-fail class)
+    "d33_zipf_slope" ->
+      s"""WITH tf AS (SELECT lang, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS c FROM tf GROUP BY lang, tok),
+        |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+        |  ORDER BY c DESC, tok) AS rank FROM c),
+        |xy AS (SELECT lang,
+        |  CAST(round(ln(rank) * 10000) AS BIGINT) AS x,
+        |  CAST(round(ln(c) * 10000) AS BIGINT) AS y
+        |  FROM r WHERE rank <= 100),
+        |s AS (SELECT lang, count(*) AS n_ranks,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx FROM xy GROUP BY lang)
+        |SELECT lang, n_ranks,
+        |  ${graft.functions.Det.sql.r4(
+             "n_ranks*sxy - sx*sy", "n_ranks*sxx - sx*sx")} AS zipf_slope
+        |FROM s ORDER BY lang""".stripMargin,
     "d26_token_entropy" ->
       """WITH c AS (SELECT doc_id, tok, count(*) AS c FROM
         |  (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
@@ -1602,6 +1707,27 @@ object TextOps {
       s"""WITH $mhPairsCte
          |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
          |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // d06's pair pipeline + canonical-orientation triangle joins; all
+    // counts are count(*) BIGINT (no sum() → no HUGEINT widening)
+    "d35_dup_triangles" ->
+      s"""WITH $mhPairsCte,
+         |p AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM
+         |  (SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 FROM p)
+         |  GROUP BY doc_id),
+         |tri AS (SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c FROM p ab
+         |  JOIN p bc ON ab.d2 = bc.d1
+         |  JOIN p ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+         |cnt AS (SELECT doc_id, count(*) AS n_triangles FROM
+         |  (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+         |   UNION ALL SELECT c FROM tri) GROUP BY doc_id)
+         |SELECT d.doc_id, d.degree,
+         |  CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree < 2 THEN 0.0 ELSE
+         |    ((2*COALESCE(c.n_triangles, 0)) * 20000 + d.degree*(d.degree-1))
+         |      // (d.degree*(d.degree-1)*2) / 10000.0 END AS clustering
+         |FROM deg d LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d21_cross_source_dups" ->
       s"""WITH $mhPairsCte,
          |pairs AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5)

@@ -256,6 +256,41 @@ object VectorOps {
       .select($"d1", $"d2", round($"cos", 6).as("cos"))
   }
 
+  /** Semantic benchmark decontamination — d15's hygiene pass in
+    * embedding space: flag training documents whose embedding is
+    * near-identical (cosine) to any held-out evaluation document, the
+    * paraphrase-leak check n-gram overlap can't see. Membership reuses
+    * [[TextOps.withSampleSplit]]'s deterministic md5 split (train vs
+    * test), embeddings join 1:1 on doc_id = vec_id.
+    *
+    * Scale design: same asymmetry as d15 — the held-out side is a
+    * FIXED benchmark corpus (bounded), so it broadcasts; the training
+    * corpus streams through one codegen'd cosine pass map-side and is
+    * reduced by a partial-agg argmax (max over (cos, −eval_id) structs),
+    * never a window over the scored pairs — the corpus is never
+    * shuffled, only per-doc partials are. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val split = TextOps.withSampleSplit(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"split")
+    val withSplit = e.join(split, e("vec_id") === split("doc_id"))
+    val train = withSplit.filter($"split" === "train")
+      .select($"vec_id".as("t_id"), $"v")
+    val ho = withSplit.filter($"split" === "test")
+      .select($"vec_id".as("eval_id"), $"v".as("hv"))
+    train.crossJoin(broadcast(ho))
+      .select($"t_id",
+        struct(round(call_function("graft_cosine", $"v", $"hv"), 6).as("cos"),
+          (-$"eval_id").as("neg_eval")).as("sc"))
+      .groupBy($"t_id").agg(max($"sc").as("m"))
+      .select($"t_id".as("doc_id"),
+        (-$"m.neg_eval").as("nearest_eval"),
+        $"m.cos".as("max_cos"),
+        when($"m.cos" >= 0.9, 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
   /** ANN via sign-LSH: bucket every vector by the sign pattern of its
     * first 4 dims, then search only the query's bucket (cosine top-10).
     * At scale the bucket join replaces the quadratic all-pairs scan. */
@@ -692,6 +727,7 @@ object VectorOps {
     "v14_hard_negatives"  -> hardNegatives _,
     "v15_semantic_dedup"  -> semanticDedup _,
     "v18_ann_recall"      -> annRecall _,
+    "d32_semantic_decontaminate" -> semanticDecontaminate _,
   )
 
   /** Scalar-quantized candidate scan + exact re-rank: every vector is
@@ -914,6 +950,30 @@ object VectorOps {
          |WHERE ${cos("ea.v", "eb.v")} >= 0.4
          |ORDER BY d1, d2""".stripMargin
     },
+    // same md5 split membership as the d15 oracle; same rounded-cosine
+    // + id tiebreak argmax as the v-series rankings
+    "d32_semantic_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,
+         |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sb
+         |  FROM documents),
+         |k AS (SELECT doc_id, CASE WHEN sb < 'cc' THEN 'train'
+         |  WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split
+         |  FROM d WHERE kb < CASE WHEN lang = 'en' THEN '80' ELSE '33' END),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tr AS (SELECT doc_id, v FROM k JOIN e ON vec_id = doc_id
+         |  WHERE split = 'train'),
+         |ho AS (SELECT doc_id AS eval_id, v AS hv FROM k JOIN e
+         |  ON vec_id = doc_id WHERE split = 'test'),
+         |s AS (SELECT doc_id, eval_id,
+         |  round(${cos("tr.v", "ho.hv")}, 6) AS cos
+         |  FROM tr CROSS JOIN ho),
+         |r AS (SELECT doc_id, eval_id, cos, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY cos DESC, eval_id) AS rn FROM s)
+         |SELECT doc_id, eval_id AS nearest_eval, cos AS max_cos,
+         |  CAST(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "v10_embed_dup_clusters" -> {
       // v08's band pipeline + recursive transitive closure (the same
       // reach/nodes tail as d12's oracle)

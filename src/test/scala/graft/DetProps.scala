@@ -29,7 +29,11 @@ object DetProps extends Properties("Det.r4") {
       got == want
     }
 
-  property("fdiv equals Math.floorDiv (DuckDB // semantics) for any sign") =
+  // DuckDB's bare `//` TRUNCATES toward zero on negatives; oracles
+  // that can see a negative numerator mirror this floor explicitly
+  // via Det.sql.fdiv (pmod-subtract), exercised end-to-end by the
+  // d33 zipf slope's negative numerator
+  property("fdiv equals Math.floorDiv for any sign") =
     Prop.forAll(Gen.listOfN(20, for {
       b <- Gen.chooseNum(1L, 1000000L)
       a <- Gen.chooseNum(-3000000000L, 3000000000L)
@@ -41,9 +45,10 @@ object DetProps extends Properties("Det.r4") {
       got == pairs.map { case (a, b) => Math.floorDiv(a, b) }
     }
 
-  // negative numerators (e.g. a TWAP over negative values): r4 floors
-  // like DuckDB's `//` — ties round toward +∞ instead of away from
-  // zero, but both engines agree bit-for-bit
+  // negative numerators (e.g. a TWAP over negative values, d33's zipf
+  // slope): r4 floors — ties round toward +∞ instead of away from
+  // zero — and the oracle mirrors that floor via Det.sql.r4's
+  // pmod-subtract (NOT bare `//`, which truncates)
   property("negative numerators floor identically to the oracle") =
     Prop.forAll(Gen.listOfN(20, for {
       den <- Gen.chooseNum(1L, 2000000L)

@@ -138,6 +138,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a BM25 join regressed to SMJ:\n$plan")
   }
 
+  test("q23: per-part stats join by hash, brand dim broadcast, no NLJ") {
+    val plan = planOf(graft.operators.Relational.smallQtyRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brand dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated-avg join must stay an equi-join:\n$plan")
+  }
+
+  test("d32: held-out side broadcast; corpus never hash-shuffled pre-agg") {
+    val plan = planOf(
+      graft.operators.VectorOps.semanticDecontaminate(spark, sf))
+    // the scored cross product must ride a BROADCAST nested loop (the
+    // bounded benchmark side), never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"held-out side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"shuffled cartesian in the decontamination scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side should never sort-merge here:\n$plan")
+  }
+
+  test("d35: triangle enumeration is hash equi-joins only") {
+    val plan = planOf(graft.operators.TextOps.dupTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join must be an equi-join, not a cross-product:\n$plan")
+  }
+
   test("redaction is pure map work: no join, no hash exchange") {
     val plan = planOf(graft.operators.TextOps.redact(spark, sf))
     assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
