@@ -182,7 +182,38 @@ object Extras {
       .orderBy($"returnflag", $"linestatus")
   }
 
+  /** e37: blocked edit-distance entity resolution (the record-linkage /
+    * author-dedup shape): candidate part-name pairs come ONLY from a
+    * BLOCKING key (shared last name token) plus a length band (edit
+    * distance ≥ |len(a) − len(b)|, so a band of 2 cannot lose a
+    * distance-≤2 match — the standard admissible prune), then exact
+    * `levenshtein` verifies candidates. Reported per block so the
+    * output stays bounded.
+    *
+    * Scale design: never an all-pairs scan — the self-join keys on the
+    * block, candidates are quadratic only WITHIN a block (the blocking
+    * key is chosen for that), and the length band is pushed into the
+    * join condition so banded non-candidates drop before the verify.
+    * Skewed blocks at 100 TB get AQE skew-split or a second blocking
+    * key (first-token bigram), both documented standard practice. */
+  def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey".as("k"), $"p_name".as("name"),
+        element_at(split($"p_name", " "), -1).as("block"),
+        length($"p_name").as("len"))
+    p.as("a").join(p.as("b"),
+        $"a.block" === $"b.block" && $"a.k" < $"b.k" &&
+          abs($"a.len" - $"b.len") <= 2)
+      .withColumn("dist", levenshtein($"a.name", $"b.name"))
+      .groupBy($"a.block".as("block"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when($"dist" <= 2, 1L).otherwise(0L)).as("n_match"))
+      .orderBy($"block")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e37_fuzzy_match"     -> fuzzyNameMatch _,
     "q13_cube_orders"     -> cubeOrders _,
     "q14_correlated_sql"  -> richCustomersSql _,
     "q17_grouping_sets"   -> groupingSetsReturns _,
@@ -197,6 +228,16 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "e37_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS name,
+        |  string_split(p_name, ' ')[-1] AS block,
+        |  length(p_name) AS len FROM part)
+        |SELECT a.block, count(*) AS n_cand,
+        |  CAST(sum(CASE WHEN levenshtein(a.name, b.name) <= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM p a JOIN p b ON a.block = b.block AND a.k < b.k
+        |  AND abs(a.len - b.len) <= 2
+        |GROUP BY a.block ORDER BY a.block""".stripMargin,
     "q17_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |coalesce(l_linestatus, 'ALL') AS linestatus,

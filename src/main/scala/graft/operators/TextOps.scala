@@ -711,6 +711,134 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** d37: inverted-index build — the retrieval-side artifact (d28 BM25
+    * scores against exactly this structure): for the 50 highest-df
+    * terms, the document frequency, total term frequency, and the
+    * posting list capped to the 10 lowest doc_ids as "doc:tf" entries.
+    *
+    * Scale design: postings per term are UNBOUNDED at corpus scale, so
+    * the cap is enforced BEFORE any list is collected — a row_number
+    * window keyed on term keeps ≤ 10 rows per term, and only those
+    * reach the bounded collect_list. df/tf totals come from a separate
+    * map-side-combined hash-agg over the same tf table (never from the
+    * capped rows), and the 50-term head is a LIMIT after one tiny agg —
+    * production index builds shard postings by doc-range exactly this
+    * way. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = docsWithToks(spark, sfDir)
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val top = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("tf_total"))
+      .orderBy(desc("df"), $"term").limit(50)
+    val postings = tf
+      .join(broadcast(top.select($"term")), "term")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"term").orderBy($"doc_id")))
+      .filter($"rn" <= 10)
+      .groupBy($"term")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"doc_id", $"tf"))),
+        x => concat(x("doc_id"), lit(":"), x("tf"))), ",").as("postings"))
+    broadcast(top).join(postings, "term")
+      .select($"term", $"df", $"tf_total", $"postings")
+      .orderBy(desc("df"), $"term")
+  }
+
+  /** d36: byte-pair-encoding merge learning (tokenizer training) at the
+    * token level — 3 greedy merge rounds: count adjacent unit pairs,
+    * take the globally most frequent (count desc, pair asc), rewrite
+    * the corpus merging non-overlapping occurrences left-to-right,
+    * repeat on the rewritten corpus. Output: one row per round with the
+    * learned merge, its pair count at selection time, and how many
+    * merges actually applied (overlapping occurrences of an "x x" pair
+    * in an "x x x" run merge greedily — only every other position).
+    *
+    * Left-to-right greedy is resolved DECLARATIVELY: match positions
+    * form gaps-and-islands runs per document (pos − row_number), and
+    * within a run exactly the odd offsets merge — the same window logic
+    * runs in both engines, so overlap resolution cannot drift.
+    *
+    * Scale design: the corpus rides ONE positional (doc, pos, unit)
+    * table hash-partitioned by doc_id; every window in every round
+    * reuses that partitioning (no further corpus exchanges), pair
+    * counting is a map-side-combined hash-agg, and the argmax is a
+    * 1-row bounded scalar (the k-means-centroid pattern). Each round's
+    * rewrite is localCheckpointed so round N+1's lineage starts flat —
+    * without it the triple fan-out per round (counts, match scan,
+    * rewrite all read the same table) recomputes exponentially. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesFrom(spark, docsWithToks(spark, sfDir))
+
+  /** [[bpeMerges]] body over any (doc_id, toks) frame — split out so the
+    * greedy-overlap parity logic ("x x x x" merges twice, not thrice)
+    * is testable on constructed corpora the fixture doesn't contain. */
+  private[graft] def bpeMergesFrom(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    // AQE off for the iterative body: every stage here is a tiny
+    // fixed-shape window/agg over an already-checkpointed table, so
+    // runtime re-planning only adds a scheduler round-trip per stage —
+    // measured ~25% of the query's wall time at sf0.1. (On a real
+    // cluster at 100 TB you would leave it ON for the skew handling;
+    // it's a per-session knob, restored in the finally.)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      var toks = docs
+        .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
+        .select($"doc_id", ($"p0" + 1L).as("pos"), $"tok")
+        .localCheckpoint()
+      var nToks = toks.count()
+      val rows = (1 to 3).map { it =>
+        val withNext = toks.withColumn("nxt", lead($"tok", 1).over(wDoc))
+        val best = withNext.filter($"nxt".isNotNull)
+          .groupBy($"tok", $"nxt").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), $"tok", $"nxt").limit(1)
+          .collect()(0)
+        val (a, b, cnt) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        val keep = withNext
+          .filter($"tok" === a && $"nxt" === b)
+          .withColumn("grp", $"pos" - row_number().over(wDoc))
+          .withColumn("k", row_number().over(
+            Window.partitionBy($"doc_id", $"grp").orderBy($"pos")))
+          .filter($"k" % 2 === 1)
+          .select($"doc_id", $"pos")
+        val marks = keep.select($"doc_id", $"pos", lit(1).as("mk"))
+          .unionAll(keep.select($"doc_id", ($"pos" + 1L).as("pos"),
+            lit(2).as("mk")))
+        val applied = withNext.join(marks, Seq("doc_id", "pos"), "left")
+          .filter($"mk".isNull || $"mk" === 1)
+          .select($"doc_id", $"pos".as("oldpos"),
+            when($"mk" === 1, concat_ws(" ", $"tok", $"nxt"))
+              .otherwise($"tok").as("tok"))
+          .select($"doc_id",
+            row_number().over(Window.partitionBy($"doc_id")
+              .orderBy($"oldpos")).cast("long").as("pos"),
+            $"tok")
+          .localCheckpoint()
+        // each merge removes exactly one position, so the applied count
+        // is the table-length delta; the previous length is memoized so
+        // each round pays ONE count job (over its own fresh checkpoint)
+        val nAfter = applied.count()
+        val nApplied = nToks - nAfter
+        nToks = nAfter
+        toks = applied
+        (it.toLong, s"$a $b", cnt, nApplied)
+      }
+      rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it")
+    } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
+    }
+  }
+
   /** Deterministic stratified sampling + train/val/test split — the
     * training-data-mixing staple, done the way it scales: NO RNG and NO
     * shuffle. Membership is a pure function of the row key (a hex
@@ -1328,6 +1456,8 @@ object TextOps {
     "d31_redact"        -> redact _,
     "d33_zipf_slope"    -> zipfSlope _,
     "d34_source_caps"   -> sourceCaps _,
+    "d36_bpe_merges"    -> bpeMerges _,
+    "d37_inverted_index" -> invertedIndex _,
     "d35_dup_triangles" -> dupTriangles _,
   )
 
@@ -1408,7 +1538,65 @@ object TextOps {
          |     GROUP BY ed.dst) s ON s.dst = d.doc_id)""".stripMargin
     }.mkString(",\n")
 
+  /** One d36 BPE merge round as CTEs over the positional unit table
+    * t{i-1}(doc_id, pos, tok) — pair counting, 1-row argmax, the
+    * gaps-and-islands odd-offset greedy resolution, and the reindexed
+    * rewrite t{i}; mirrors the Spark loop body verbatim. */
+  private def bpeIterCte(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""w$i AS (SELECT doc_id, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |b$i AS (SELECT tok AS a, nxt AS b, count(*) AS cnt FROM w$i
+       |  WHERE nxt IS NOT NULL GROUP BY tok, nxt
+       |  ORDER BY cnt DESC, tok, nxt LIMIT 1),
+       |k$i AS (SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos, row_number() OVER
+       |    (PARTITION BY doc_id, grp ORDER BY pos) AS k
+       |  FROM (SELECT m.doc_id, m.pos, m.pos - row_number() OVER
+       |      (PARTITION BY m.doc_id ORDER BY m.pos) AS grp
+       |    FROM w$i m, b$i WHERE m.tok = b$i.a AND m.nxt = b$i.b))
+       |  WHERE k % 2 = 1),
+       |mk$i AS (SELECT doc_id, pos, 1 AS mk FROM k$i
+       |  UNION ALL SELECT doc_id, pos + 1, 2 FROM k$i),
+       |t$i AS (SELECT doc_id, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY oldpos) AS pos, tok FROM (
+       |  SELECT w.doc_id, w.pos AS oldpos,
+       |    CASE WHEN mk.mk = 1 THEN w.tok || ' ' || w.nxt ELSE w.tok END AS tok
+       |  FROM w$i w LEFT JOIN mk$i mk
+       |    ON w.doc_id = mk.doc_id AND w.pos = mk.pos
+       |  WHERE mk.mk IS NULL OR mk.mk = 1)),
+       |res$i AS (SELECT CAST($i AS BIGINT) AS it, a || ' ' || b AS merge,
+       |  CAST(cnt AS BIGINT) AS n_pairs,
+       |  CAST((SELECT count(*) FROM k$i) AS BIGINT) AS n_applied
+       |  FROM b$i)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d36_bpe_merges" ->
+      s"""WITH t0 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': g, 'tok': toks[g]}
+         |    for g in range(1, len(toks) + 1)]) AS u
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))),
+         |${bpeIterCte(1)},
+         |${bpeIterCte(2)},
+         |${bpeIterCte(3)}
+         |SELECT it, merge, n_pairs, n_applied FROM
+         |  (SELECT * FROM res1 UNION ALL SELECT * FROM res2
+         |   UNION ALL SELECT * FROM res3) ORDER BY it""".stripMargin,
+    "d37_inverted_index" ->
+      """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |   FROM documents) GROUP BY term, doc_id),
+        |top AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT)
+        |  AS tf_total FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50),
+        |r AS (SELECT term, doc_id, tf, row_number() OVER
+        |  (PARTITION BY term ORDER BY doc_id) AS rn FROM tf
+        |  WHERE term IN (SELECT term FROM top)),
+        |p AS (SELECT term, string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+        |  AS postings FROM r WHERE rn <= 10 GROUP BY term)
+        |SELECT t.term, t.df, t.tf_total, p.postings FROM top t
+        |JOIN p USING (term) ORDER BY t.df DESC, t.term""".stripMargin,
     "d30_novelty" ->
       """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
         |  WHERE len(str_split(text, ' ')) >= 3),

@@ -136,6 +136,25 @@ class GraftSpec extends AnyFunSuite {
     assert(joined.filter($"c1" =!= $"c2").count() == 0)
   }
 
+  test("BPE merges resolve overlapping runs greedily (odd offsets only)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "x x x x x" has 4 adjacent (x,x) pairs but greedy left-to-right
+    // merging applies only at positions 1 and 3 → 2 merges, leaving
+    // "xx xx x"; round 2's top pair is then (xx, xx) with 1 occurrence
+    // in doc 1 (positions ["xx","xx","x"] → pair count: (xx,xx)=1,
+    // (xx,x)=1 — tie broken by pair asc picks ("xx x"... actually
+    // ("xx","x") < ("xx","xx") lexicographically on (tok, nxt)).
+    val docs = Seq((1L, "x x x x x"), (2L, "y z y z"))
+      .toDF("doc_id", "text").withColumn("toks", split($"text", " "))
+    val out = TextOps.bpeMergesFrom(spark, docs).collect()
+    assert(out.length == 3)
+    val r1 = out(0)
+    assert(r1.getAs[String]("merge") == "x x")
+    assert(r1.getAs[Long]("n_pairs") == 4L)   // raw overlapping count
+    assert(r1.getAs[Long]("n_applied") == 2L) // greedy non-overlapping
+  }
+
   test("sequence packing conserves tokens and numbers sequences densely") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -167,6 +167,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"triangle join must be an equi-join, not a cross-product:\n$plan")
   }
 
+  test("e37 fuzzy match: blocked self-join stays an equi-join") {
+    val plan = planOf(graft.operators.Extras.fuzzyNameMatch(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking key must drive an equi-join, never all-pairs:\n$plan")
+  }
+
+  test("d37 inverted index: top-term set broadcast; postings capped pre-collect") {
+    val plan = planOf(graft.operators.TextOps.invertedIndex(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-50 term set should broadcast into the postings path:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross:\n$plan")
+  }
+
   test("redaction is pure map work: no join, no hash exchange") {
     val plan = planOf(graft.operators.TextOps.redact(spark, sf))
     assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
