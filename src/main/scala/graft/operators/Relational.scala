@@ -427,9 +427,43 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** TPC-H Q21 shape — suppliers who were the SOLE latest shipper on a
+    * multi-supplier order (the fixture lacks commit/receipt dates, so
+    * "kept waiting" is re-expressed on l_shipdate with identical query
+    * structure): EXISTS another supplier on the order, NOT EXISTS
+    * another supplier shipping at the order's max date, self-correlated
+    * three ways on the same fact table.
+    *
+    * Scale design: the oracle states it as literal correlated
+    * EXISTS / NOT EXISTS; the Spark side DECORRELATES all three into
+    * ONE window pass over lineitem keyed on l_orderkey — max shipdate,
+    * distinct-supplier count, and distinct-suppliers-at-max computed
+    * over the same exchange, then a broadcast supplier join. The naive
+    * translation is three self-joins of the 100 TB fact table; this is
+    * one shuffle of it. */
+  def soleLatestShipper(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+    val waiting = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .withColumn("maxship", max($"l_shipdate").over(w))
+      .withColumn("nsupp", size(collect_set($"l_suppkey").over(w)))
+      .withColumn("natmax", size(collect_set(
+        when($"l_shipdate" === $"maxship", $"l_suppkey")).over(w)))
+      .filter($"nsupp" > 1 && $"natmax" === 1 &&
+        $"l_shipdate" === $"maxship")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    waiting
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), $"s_name").limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_subtree_rollup" -> subtreeRollup _,
     "q23_small_qty_revenue" -> smallQtyRevenue _,
+    "q24_sole_latest_shipper" -> soleLatestShipper _,
     "q01_pricing_summary"    -> pricingSummary _,
     "q02_region_revenue"     -> regionRevenue _,
     "q03_top_customers"      -> topCustomers _,
@@ -456,6 +490,26 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    // stated as the literal Q21-style triple correlation — DuckDB
+    // decorrelates it its own way; the Spark side's single window pass
+    // must reproduce exactly the same supplier counts
+    "q24_sole_latest_shipper" ->
+      """WITH waiting AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  WHERE l1.l_shipdate = (SELECT max(l2.l_shipdate) FROM lineitem l2
+        |          WHERE l2.l_orderkey = l1.l_orderkey)
+        |    AND EXISTS (SELECT 1 FROM lineitem l3
+        |          WHERE l3.l_orderkey = l1.l_orderkey
+        |            AND l3.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l4
+        |          WHERE l4.l_orderkey = l1.l_orderkey
+        |            AND l4.l_suppkey <> l1.l_suppkey
+        |            AND l4.l_shipdate = (SELECT max(l5.l_shipdate)
+        |              FROM lineitem l5 WHERE l5.l_orderkey = l1.l_orderkey)))
+        |SELECT s_name, count(*) AS numwait
+        |FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "q23_small_qty_revenue" ->
       """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
         |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents

@@ -401,7 +401,11 @@ object VectorOps {
     * index whose probe half is v07. Argmin uses
     * dist² − ‖v‖² = ‖c‖² − 2·v·c (the per-vector ‖v‖² term can't change
     * the argmin, so it is never computed). */
-  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Lloyd loop shared by v09 (centroid report) and v19
+    * (silhouette): returns the final assignment frame and the final
+    * 6-dp-rounded centroids. */
+  private def kmeansCore(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Long, Array[Double])]) = {
     import spark.implicits._
     val e = embDouble(spark, sfDir).select($"vec_id", $"v")
     // seeds: the first k vectors, rounded like every later centroid
@@ -428,6 +432,12 @@ object VectorOps {
         .collect().map(r => r.getLong(0) ->
           r.getSeq[Double](1).map(round6).toArray).sortBy(_._1).toIndexedSeq
     }
+    (assigned, cents)
+  }
+
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, cents) = kmeansCore(spark, sfDir)
     val n = assigned.groupBy($"cl").agg(count(lit(1)).as("n"))
     val centRows = cents.flatMap { case (cl, c) =>
       c.zipWithIndex.map { case (x, pos) => (cl, pos.toLong, x) }
@@ -435,6 +445,73 @@ object VectorOps {
     centRows.join(n.select($"cl".as("cluster"), $"n"), "cluster")
       .select($"cluster", $"pos", $"c", $"n")
       .orderBy($"cluster", $"pos")
+  }
+
+  /** v19: per-cluster simplified silhouette for the v09 k-means run —
+    * the cluster-quality score that tells a curation pipeline whether
+    * its embedding clusters are real structure or noise: s(i) =
+    * (b−a)/max(a,b) with a = distance to the OWN centroid and b =
+    * distance to the nearest OTHER centroid (the classic centroid
+    * approximation — the exact pairwise silhouette is quadratic and
+    * adds nothing at corpus scale).
+    *
+    * Determinism: centroid distances are rounded to 6 dp (the
+    * house-wide graft_dot ≡ list_dot_product agreement contract), each
+    * s(i) is then rounded to an integer 10⁻⁴ unit, and the per-cluster
+    * mean is the exact rational [[graft.functions.Det.r4]] over the
+    * unit sums — negative sums floor identically in both engines via
+    * Det.sql.r4 (the d33 lesson).
+    *
+    * Scale design: one shuffle-free codegen pass over the corpus (the
+    * k distances ride as literal structs, argmin/array_min in place —
+    * same shape as the v09 assign step) followed by one k-row hash-agg;
+    * the corpus is never shuffled at all. */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, cents) = kmeansCore(spark, sfDir)
+    val dCols = cents.map { case (cl, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(round(sqrt(greatest(
+        lit(cc) - lit(2.0) * call_function("graft_dot", $"v", typedlit(c))
+          + call_function("graft_dot", $"v", $"v"), lit(0.0))), 6).as("d"),
+        lit(cl).as("cl"))
+    }
+    assigned
+      .withColumn("ds", array(dCols: _*))
+      .withColumn("a", expr("filter(ds, x -> x.cl = cl)[0].d"))
+      .withColumn("b", expr("array_min(transform(filter(ds, x -> x.cl != cl), x -> x.d))"))
+      .withColumn("su", when(greatest($"a", $"b") === 0.0, lit(0L))
+        .otherwise(round(($"b" - $"a") / greatest($"a", $"b") * 10000)
+          .cast("long")))
+      .groupBy($"cl")
+      .agg(count(lit(1)).as("n"), sum($"su").as("sus"))
+      .select($"cl".as("cluster"), $"n",
+        graft.functions.Det.r4($"sus", $"n" * 10000L).as("silhouette"))
+      .orderBy($"cluster")
+  }
+
+  /** The v09 Lloyd iterations unrolled as CTEs (e, c0, a1..c{KmIters}),
+    * mirroring the Spark loop exactly: a_i assigns with c_{i-1}; c_i =
+    * per-dim means of a_i, rounded 6. Shared verbatim by the v09 and
+    * v19 oracles so the training chain cannot drift between them. */
+  private def lloydCtes: String = {
+    val assign = (prev: String, out: String) =>
+      s"""$out AS (SELECT vec_id, v, cl FROM (SELECT e.vec_id, e.v, c.cl,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv), c.cl) AS rn
+         |  FROM e CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
+    val update = (prev: String, out: String) =>
+      s"""$out AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
+         |  (SELECT cl, i, avg(v[i]) AS c FROM $prev
+         |   CROSS JOIN generate_series(1, 64) t(i) GROUP BY cl, i) s
+         |  GROUP BY cl)""".stripMargin
+    val iters = (1 to KmIters).map(i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c$i"))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cl, [round(x, 6) for x in v] AS cv
+       |  FROM e WHERE vec_id < $KmK),
+       |$iters""".stripMargin
   }
 
   // v13 product-quantization parameters: 4 subspaces × 16 dims, 4
@@ -721,6 +798,7 @@ object VectorOps {
     "v07_ivf_ann"         -> ivfAnn _,
     "v08_lsh_neardup"     -> lshNearDup _,
     "v09_kmeans"          -> kmeans _,
+    "v19_silhouette"      -> silhouette _,
     "v10_embed_dup_clusters" -> embedDupClusters _,
     "v12_quantized_topk"  -> quantizedTopK _,
     "v13_pq_ann"          -> pqAnn _,
@@ -1055,31 +1133,33 @@ object VectorOps {
          |WHERE vec_id <> 0
          |ORDER BY adist, vec_id LIMIT 10""".stripMargin
     },
-    "v09_kmeans" -> {
-      // unrolled Lloyd iterations, mirroring the Spark loop exactly:
-      // a_i assigns with c_{i-1}; c_i = per-dim means of a_i, rounded 6
-      val assign = (prev: String, out: String) =>
-        s"""$out AS (SELECT vec_id, v, cl FROM (SELECT e.vec_id, e.v, c.cl,
-           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv), c.cl) AS rn
-           |  FROM e CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
-      val update = (prev: String, out: String) =>
-        s"""$out AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
-           |  (SELECT cl, i, avg(v[i]) AS c FROM $prev
-           |   CROSS JOIN generate_series(1, 64) t(i) GROUP BY cl, i) s
-           |  GROUP BY cl)""".stripMargin
-      val iters = (1 to KmIters).map(i =>
-        assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c$i"))
-        .mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cl, [round(x, 6) for x in v] AS cv
-         |  FROM e WHERE vec_id < $KmK),
-         |$iters
+    "v09_kmeans" ->
+      s"""WITH $lloydCtes
          |SELECT c.cl AS cluster, CAST(i - 1 AS BIGINT) AS pos, c.cv[i] AS c, n.n
          |FROM c$KmIters c CROSS JOIN generate_series(1, 64) t(i)
          |JOIN (SELECT cl, count(*) AS n FROM a$KmIters GROUP BY cl) n ON n.cl = c.cl
-         |ORDER BY cluster, pos""".stripMargin
-    },
+         |ORDER BY cluster, pos""".stripMargin,
+    // v19 shares the whole Lloyd chain with v09 (same CTE text), then
+    // scores every vector against the final centroids; Det.sql.r4
+    // floors the (possibly negative) unit sum exactly like Det.r4
+    "v19_silhouette" ->
+      s"""WITH $lloydCtes,
+         |d AS (SELECT a.vec_id, a.cl AS own, c.cl AS ccl,
+         |  round(sqrt(greatest(list_dot_product(c.cv, c.cv)
+         |    - 2*list_dot_product(a.v, c.cv)
+         |    + list_dot_product(a.v, a.v), 0)), 6) AS dist
+         |  FROM a$KmIters a CROSS JOIN c$KmIters c),
+         |s AS (SELECT vec_id, own,
+         |  max(CASE WHEN ccl = own THEN dist END) AS a,
+         |  min(CASE WHEN ccl <> own THEN dist END) AS b
+         |  FROM d GROUP BY vec_id, own),
+         |u AS (SELECT own AS cluster, CASE WHEN greatest(a, b) = 0 THEN 0
+         |  ELSE CAST(round((b - a) / greatest(a, b) * 10000) AS BIGINT)
+         |  END AS su FROM s)
+         |SELECT cluster, count(*) AS n,
+         |  ${graft.functions.Det.sql.r4(
+             "CAST(sum(su) AS BIGINT)", "count(*) * 10000")} AS silhouette
+         |FROM u GROUP BY cluster ORDER BY cluster""".stripMargin,
     // nearest-seed assignment reuses v09's argmin contract (same
     // distance expression, same (d, cl) tie-break); the cosine verify
     // reuses v08's threshold + round-6 contract

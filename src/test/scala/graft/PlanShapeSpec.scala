@@ -181,6 +181,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected cross:\n$plan")
   }
 
+  test("q24: triple correlation decorrelates to ONE fact exchange + BHJ dim") {
+    val plan = planOf(graft.operators.Relational.soleLatestShipper(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier dim not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"EXISTS decorrelation regressed to self-joins:\n$plan")
+    val factExchanges =
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).length
+    assert(factExchanges == 1,
+      s"lineitem should shuffle exactly once (got $factExchanges):\n$plan")
+  }
+
+  test("v19: silhouette scan is join-free map work + one k-row agg") {
+    val plan = planOf(graft.operators.VectorOps.silhouette(spark, sf))
+    assert(!plan.contains("Join"),
+      s"the corpus must never join for centroid distances:\n$plan")
+  }
+
   test("redaction is pure map work: no join, no hash exchange") {
     val plan = planOf(graft.operators.TextOps.redact(spark, sf))
     assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
