@@ -1322,7 +1322,61 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  private val indexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s29: streaming inverted-index maintenance — the d37 batch build's
+    * ingest face (the s24/s26 pattern applied to retrieval): documents
+    * arrive in two ordered batches (even doc_ids, then odd), each
+    * batch's (term, doc, tf) rows fold into per-term RocksDB state via
+    * [[IndexStatsProcessor]], and the declared result is the final
+    * top-50-df index snapshot — which must equal the batch oracle
+    * computed over the whole corpus at once (streaming assembly ≡
+    * batch truth).
+    *
+    * Scale design: per batch only TOUCHED terms do work (one state
+    * point-lookup + update each); the index is never rebuilt and never
+    * rescanned, state is two Longs per distinct term. The top-50 cut
+    * happens AFTER the stream on the emitted snapshot rows (bounded:
+    * ≤ touched-terms rows per batch). */
+  def streamInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(indexDirs, sfDir, "documents.parquet",
+        "graft_index") {
+      val tf = graft.operators.TextOps.docsWithToks(spark, sfDir)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      Seq(tf.filter(col("doc_id") % 2 === 0), tf.filter(col("doc_id") % 2 === 1))
+        .map(_.select(col("term"), col("doc_id"), col("tf")))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "term STRING, doc_id BIGINT, tf BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[TermDocTf]
+      .groupByKey(_.term)
+      .transformWithState(new IndexStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[TermStats])
+      .toDF()
+    val emitted = withRocksDb(spark) {
+      runToMemory(stream, "graft_s29", "update", Some(8),
+        noDataBatch = false)
+    }
+    // latest emission per term: df is monotone across batches
+    emitted.groupBy(col("term"))
+      .agg(max(struct(col("df"), col("tf_total"))).as("m"))
+      .select(col("term"), col("m.df").as("df"),
+        col("m.tf_total").as("tf_total"))
+      .orderBy(desc("df"), col("term")).limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_stream_index"    -> streamInvertedIndex _,
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
     "s03_stream_dedup"    -> streamDedup _,
@@ -1354,6 +1408,14 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the d37 top-CTE truth (no postings): the streamed index snapshot
+    // must equal the whole-corpus batch computation
+    "s29_stream_index" ->
+      """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |   FROM documents) GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
     // e33's oracle text verbatim: streaming assembly must equal batch
     "s28_stream_dyn_sessions" ->
       graft.operators.Events.oracles("e33_dynamic_sessions"),
