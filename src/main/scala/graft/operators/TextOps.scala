@@ -788,13 +788,17 @@ object TextOps {
     spark.conf.set(aqeKey, "false")
     try {
       val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      var toks = docs
+      // the checkpointed per-round artifact is (doc, pos, tok, nxt) —
+      // the lead window runs ONCE per round (inside the rewrite job);
+      // the argmax pass is then a pure hash-agg over the checkpoint
+      // with no sort at all
+      var withNext = docs
         .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
         .select($"doc_id", ($"p0" + 1L).as("pos"), $"tok")
+        .withColumn("nxt", lead($"tok", 1).over(wDoc))
         .localCheckpoint()
-      var nToks = toks.count()
+      var nToks = withNext.count()
       val rows = (1 to 3).map { it =>
-        val withNext = toks.withColumn("nxt", lead($"tok", 1).over(wDoc))
         val best = withNext.filter($"nxt".isNotNull)
           .groupBy($"tok", $"nxt").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), $"tok", $"nxt").limit(1)
@@ -820,6 +824,7 @@ object TextOps {
             row_number().over(Window.partitionBy($"doc_id")
               .orderBy($"oldpos")).cast("long").as("pos"),
             $"tok")
+          .withColumn("nxt", lead($"tok", 1).over(wDoc))
           .localCheckpoint()
         // each merge removes exactly one position, so the applied count
         // is the table-length delta; the previous length is memoized so
@@ -827,7 +832,7 @@ object TextOps {
         val nAfter = applied.count()
         val nApplied = nToks - nAfter
         nToks = nAfter
-        toks = applied
+        withNext = applied
         (it.toLong, s"$a $b", cnt, nApplied)
       }
       rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it")
