@@ -392,6 +392,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** d38: label-propagation communities (LPA) over the d06 near-dup
+    * graph — the community-detection complement to connected components
+    * (d12 finds everything reachable; LPA finds DENSELY-linked groups,
+    * so a boilerplate bridge between two real dup families doesn't glue
+    * them into one cluster): 3 synchronous rounds, each node adopting
+    * its neighbors' most frequent label (count desc, min label
+    * tiebreak — all-integer, bit-identical in both engines).
+    *
+    * Scale design: per round ONE hash join of the edge list with the
+    * label table on the source key + two hash-aggs (neighbor-label
+    * counts, per-node argmax as a (count, −label) struct max) — never
+    * an adjacency matrix, never a window over the full edge set;
+    * per-round localCheckpoint keeps lineage flat like d29. Reads the
+    * same cached pair checkpoint as d12/d21/d35. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = lshPairs(spark, sfDir).select($"d1", $"d2")
+    val e = p.unionAll(p.select($"d2".as("d1"), $"d1".as("d2")))
+      .localCheckpoint()
+    var lab = e.select($"d1".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val best = e.join(lab, $"d1" === $"node")
+        .groupBy($"d2", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"d2")
+        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"d2".as("node"), (-$"m.nl").as("newlab"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select($"node", coalesce($"newlab", $"label").as("label"))
+        .localCheckpoint()
+    }
+    lab.select($"node".as("doc_id"), $"label".as("community"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"community")))
+      .orderBy($"doc_id")
+  }
+
   /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
     * signatures bucket together (n_bucket = docs sharing the hash). */
   /** Per-doc SimHash bit string of the given width (≤ 32: one md5 hex
@@ -798,11 +836,17 @@ object TextOps {
         .withColumn("nxt", lead($"tok", 1).over(wDoc))
         .localCheckpoint()
       var nToks = withNext.count()
-      val rows = (1 to 3).map { it =>
-        val best = withNext.filter($"nxt".isNotNull)
+      val rows = (1 to 3).iterator.map { it =>
+        // a degenerate corpus can exhaust its pairs before round 3
+        // (every doc collapsed to one unit): stop early — the oracle's
+        // per-round CTEs go empty at the same point, so both engines
+        // emit the same shorter result
+        val bestOpt = withNext.filter($"nxt".isNotNull)
           .groupBy($"tok", $"nxt").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), $"tok", $"nxt").limit(1)
-          .collect()(0)
+          .collect().headOption
+        if (bestOpt.isEmpty) None else {
+        val best = bestOpt.get
         val (a, b, cnt) =
           (best.getString(0), best.getString(1), best.getLong(2))
         val keep = withNext
@@ -833,8 +877,9 @@ object TextOps {
         val nApplied = nToks - nAfter
         nToks = nAfter
         withNext = applied
-        (it.toLong, s"$a $b", cnt, nApplied)
-      }
+        Some((it.toLong, s"$a $b", cnt, nApplied))
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
       rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it")
     } finally {
       prevAqe match {
@@ -1463,6 +1508,7 @@ object TextOps {
     "d34_source_caps"   -> sourceCaps _,
     "d36_bpe_merges"    -> bpeMerges _,
     "d37_inverted_index" -> invertedIndex _,
+    "d38_lpa_communities" -> labelPropagation _,
     "d35_dup_triangles" -> dupTriangles _,
   )
 
@@ -1900,6 +1946,31 @@ object TextOps {
       s"""WITH $mhPairsCte
          |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
          |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // d06's pair pipeline + 3 unrolled synchronous LPA rounds: per
+    // round, neighbor-label counts and a (count desc, label asc)
+    // argmin via row_number — the integer mirror of the Spark side's
+    // (c, −label) struct max
+    "d38_lpa_communities" -> {
+      val round = (i: Int) => {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT e.t AS node, l.label, count(*) AS c
+           |  FROM ed e JOIN $prev l ON l.node = e.s GROUP BY e.t, l.label),
+           |b$i AS (SELECT node, label FROM (SELECT node, label,
+           |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM n$i) WHERE rn = 1),
+           |l$i AS (SELECT l.node, COALESCE(b.label, l.label) AS label
+           |  FROM $prev l LEFT JOIN b$i b ON b.node = l.node)""".stripMargin
+      }
+      s"""WITH $mhPairsCte,
+         |p AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5),
+         |ed AS (SELECT d1 AS s, d2 AS t FROM p
+         |  UNION ALL SELECT d2, d1 FROM p),
+         |l0 AS (SELECT DISTINCT s AS node, s AS label FROM ed),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node AS doc_id, label AS community,
+         |  count(*) OVER (PARTITION BY label) AS n_members
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    },
     // d06's pair pipeline + canonical-orientation triangle joins; all
     // counts are count(*) BIGINT (no sum() → no HUGEINT widening)
     "d35_dup_triangles" ->

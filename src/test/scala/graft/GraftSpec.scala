@@ -136,23 +136,74 @@ class GraftSpec extends AnyFunSuite {
     assert(joined.filter($"c1" =!= $"c2").count() == 0)
   }
 
-  test("BPE merges resolve overlapping runs greedily (odd offsets only)") {
+  /** Driver-side reference BPE: classic greedy left-to-right scan per
+    * doc — the semantics the distributed gaps-and-islands logic must
+    * reproduce exactly. */
+  private def refBpe(corpus: Seq[Vector[String]], rounds: Int)
+      : Seq[(Long, String, Long, Long)] = {
+    var docs = corpus
+    (1 to rounds).iterator.map { it =>
+      val counts = docs.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (counts.isEmpty) None else {
+        val ((a, b), cnt) =
+          counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        var applied = 0L
+        docs = docs.map { d =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
+              out += s"$a $b"; applied += 1; i += 2
+            } else { out += d(i); i += 1 }
+          }
+          out.result()
+        }
+        Some((it.toLong, s"$a $b", cnt, applied))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  private def bpeOf(corpus: Seq[Vector[String]]): Seq[(Long, String, Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // "x x x x x" has 4 adjacent (x,x) pairs but greedy left-to-right
-    // merging applies only at positions 1 and 3 → 2 merges, leaving
-    // "xx xx x"; round 2's top pair is then (xx, xx) with 1 occurrence
-    // in doc 1 (positions ["xx","xx","x"] → pair count: (xx,xx)=1,
-    // (xx,x)=1 — tie broken by pair asc picks ("xx x"... actually
-    // ("xx","x") < ("xx","xx") lexicographically on (tok, nxt)).
-    val docs = Seq((1L, "x x x x x"), (2L, "y z y z"))
+    val docs = corpus.zipWithIndex
+      .map { case (d, i) => (i.toLong + 1L, d.mkString(" ")) }
       .toDF("doc_id", "text").withColumn("toks", split($"text", " "))
-    val out = TextOps.bpeMergesFrom(spark, docs).collect()
+    TextOps.bpeMergesFrom(spark, docs).collect().toSeq.map(r =>
+      (r.getAs[Long]("it"), r.getAs[String]("merge"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_applied")))
+  }
+
+  test("BPE merges resolve overlapping runs greedily (odd offsets only)") {
+    // "x x x x x" has 4 adjacent (x,x) pairs but greedy left-to-right
+    // merging applies only at positions 1 and 3 → 2 merges
+    val corpus = Seq(Vector("x", "x", "x", "x", "x"),
+      Vector("y", "z", "y", "z"))
+    val out = bpeOf(corpus)
     assert(out.length == 3)
-    val r1 = out(0)
-    assert(r1.getAs[String]("merge") == "x x")
-    assert(r1.getAs[Long]("n_pairs") == 4L)   // raw overlapping count
-    assert(r1.getAs[Long]("n_applied") == 2L) // greedy non-overlapping
+    assert(out.head == ((1L, "x x", 4L, 2L)))
+    assert(out == refBpe(corpus, 3))
+  }
+
+  test("BPE merges stop early when a degenerate corpus runs out of pairs") {
+    // both docs collapse to single units in round 1 → rounds 2-3 have
+    // no pairs; the engine and the reference both emit ONE row (and
+    // the oracle's per-round CTEs go empty at the same point)
+    val corpus = Seq(Vector("a", "a"), Vector("a", "a"))
+    val out = bpeOf(corpus)
+    assert(out == Seq((1L, "a a", 2L, 2L)))
+    assert(out == refBpe(corpus, 3))
+  }
+
+  test("BPE merges match the reference scan on seeded random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 8).foreach { _ =>
+      val corpus = Seq.fill(1 + rnd.nextInt(3))(
+        Vector.fill(2 + rnd.nextInt(9))(if (rnd.nextBoolean()) "a" else "b"))
+      assert(bpeOf(corpus) == refBpe(corpus, 3),
+        s"divergence on corpus $corpus")
+    }
   }
 
   test("sequence packing conserves tokens and numbers sequences densely") {

@@ -199,6 +199,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must never join for centroid distances:\n$plan")
   }
 
+  test("d38: LPA final round is hash equi-joins only, no adjacency cross") {
+    val plan = planOf(graft.operators.TextOps.labelPropagation(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LPA must join edges to labels by key:\n$plan")
+  }
+
   test("redaction is pure map work: no join, no hash exchange") {
     val plan = planOf(graft.operators.TextOps.redact(spark, sf))
     assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
