@@ -1192,9 +1192,14 @@ object TextOps {
     * the component, the representative a dedup pass would keep. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Graph.connectedComponents(lshPairs(spark, sfDir).select($"d1", $"d2"))
-      .select($"id".as("doc_id"), $"cluster_id")
-      .orderBy($"doc_id")
+    // session-cache the RESULT (one row per clustered doc — bounded by
+    // the dup structure, tiny): three consumers (d12, d27's drop list,
+    // d40's capstone) would otherwise each re-run the whole
+    // connected-components iteration ladder
+    cached(spark, sfDir, "dup_clusters") {
+      Graph.connectedComponents(lshPairs(spark, sfDir).select($"d1", $"d2"))
+        .select($"id".as("doc_id"), $"cluster_id")
+    }.orderBy($"doc_id")
   }
 
   /** Cross-source duplication matrix: how many near-dup pairs link

@@ -119,41 +119,96 @@ object TrainingDataPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d27_curate" -> ((s, dir) => curate(s, dir)),
+    "d40_curate_pack" -> ((s, dir) => curateAndPack(s, dir)),
   )
 
-  /** The capstone oracle is the stage oracles COMPOSED: d04's quality
-    * arithmetic, d14's normalization canonical, d01's bag-of-words
-    * keeper, and d12's recursive dup clusters (embedded verbatim from
-    * `TextOps.oracles` so the stages can never drift from their
-    * standalone contracts). */
+  /** The d27 curate stages as a shared CTE body (ending in `surv`):
+    * d04's quality arithmetic, d14's normalization canonical, d01's
+    * bag-of-words keeper, and d12's recursive dup clusters (embedded
+    * verbatim from `TextOps.oracles` so the stages can never drift
+    * from their standalone contracts). d27 selects `surv` directly;
+    * d40 keeps composing. */
+  private def curateCtes: String =
+    s"""qt AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks
+       |  FROM documents),
+       |qm AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))
+       |    AS BIGINT) AS n_stop
+       |  FROM qt),
+       |q AS (SELECT doc_id, n_tokens,
+       |  (((n_uniq * 4000 + (n_tokens - n_stop) * 3000
+       |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
+       |   // (n_tokens * 20000)) / 10000.0 AS quality FROM qm),
+       |keep_norm AS (SELECT doc_id FROM (SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS canonical_id
+       |  FROM documents) WHERE doc_id = canonical_id),
+       |keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
+       |clusters AS (SELECT * FROM (${TextOps.oracles("d12_dup_clusters")}) z),
+       |drop_near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+       |surv AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality,
+       |  q.n_tokens
+       |FROM documents d JOIN q USING (doc_id)
+       |WHERE q.quality >= 0.5
+       |  AND d.doc_id IN (SELECT doc_id FROM keep_norm)
+       |  AND d.doc_id IN (SELECT doc_id FROM keep_exact)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM drop_near))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d27_curate" ->
-      s"""WITH qt AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks
+      s"""WITH $curateCtes
+         |SELECT doc_id, lang, source, n_chars, quality, n_tokens
+         |FROM surv ORDER BY doc_id""".stripMargin,
+    // the FULL pre-training path: curate → train-split restriction
+    // (d13's md5 membership) → Gopher repetition gate (d18's dup-3gram
+    // arithmetic) → n-gram decontamination (d15's held-out probe) →
+    // 2048-token packing (d17's cum-window grouping) — every stage's
+    // SQL embedded with the same constants its standalone oracle uses
+    "d40_curate_pack" ->
+      s"""WITH $curateCtes,
+         |spl AS (SELECT doc_id FROM (SELECT doc_id, lang,
+         |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,
+         |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sb
+         |  FROM documents) x
+         |  WHERE kb < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+         |    AND sb < 'cc'),
+         |rt AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |rg3 AS (SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS nd3
+         |  FROM (SELECT doc_id,
+         |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |      for i in range(1, len(toks) - 1)]) AS g FROM rt) x
+         |  GROUP BY doc_id),
+         |drop_rep AS (SELECT doc_id FROM rg3
+         |  WHERE (((n3 - nd3) * 20000 + n3) // (n3 * 2)) / 10000.0 > 0.5),
+         |cd AS (SELECT doc_id, lang, str_split(text, ' ') AS toks,
+         |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS kb,
+         |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sb
          |  FROM documents),
-         |qm AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-         |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))
-         |    AS BIGINT) AS n_stop
-         |  FROM qt),
-         |q AS (SELECT doc_id, n_tokens,
-         |  (((n_uniq * 4000 + (n_tokens - n_stop) * 3000
-         |    + least(100, n_tokens) * 30 * n_tokens) * 20000 + n_tokens * 10000)
-         |   // (n_tokens * 20000)) / 10000.0 AS quality FROM qm),
-         |keep_norm AS (SELECT doc_id FROM (SELECT doc_id,
-         |  min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(
-         |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS canonical_id
-         |  FROM documents) WHERE doc_id = canonical_id),
-         |keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
-         |clusters AS (SELECT * FROM (${TextOps.oracles("d12_dup_clusters")}) z),
-         |drop_near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality, q.n_tokens
-         |FROM documents d JOIN q USING (doc_id)
-         |WHERE q.quality >= 0.5
-         |  AND d.doc_id IN (SELECT doc_id FROM keep_norm)
-         |  AND d.doc_id IN (SELECT doc_id FROM keep_exact)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM drop_near)
-         |ORDER BY doc_id""".stripMargin,
+         |ck AS (SELECT doc_id, toks, CASE WHEN sb < 'cc' THEN 'train'
+         |  WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split
+         |  FROM cd WHERE kb < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+         |  AND len(toks) >= 3),
+         |csh AS (SELECT doc_id, split,
+         |  unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+         |    for g in range(1, len(toks) - 1)])) AS s FROM ck),
+         |cho AS (SELECT DISTINCT s FROM csh WHERE split = 'test'),
+         |drop_cont AS (SELECT DISTINCT c.doc_id FROM csh c JOIN cho USING (s)
+         |  WHERE c.split = 'train'),
+         |fin AS (SELECT doc_id, source, n_tokens AS n_tok FROM surv
+         |  WHERE doc_id IN (SELECT doc_id FROM spl)
+         |    AND doc_id NOT IN (SELECT doc_id FROM drop_rep)
+         |    AND doc_id NOT IN (SELECT doc_id FROM drop_cont)),
+         |cum AS (SELECT doc_id, source, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM fin)
+         |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
   )
 }
