@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
@@ -260,7 +261,38 @@ object Multimodal {
       .orderBy($"new_doc")
   }
 
+  /** m09: scene-cut detection — the video-curation segmentation shape:
+    * per payload, frames in order, a per-frame feature (letter count —
+    * the stub stand-in for a real frame embedding), and a CUT wherever
+    * the feature delta to the previous frame is large. The lag window
+    * rides the same per-doc frame derivation as m03, so the "video"
+    * decomposition cannot drift between sampling and segmentation.
+    *
+    * Scale design: frames explode map-side, ONE window exchange keyed
+    * on doc_id (frame counts are bounded per payload), one hash-agg.
+    * A real pipeline swaps the letter count for a frame-embedding
+    * distance — the plan is identical. */
+  def sceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, sfDir)
+      .withColumn("f", explode(expr(
+        "sequence(0, cast((length(text) + 255) div 256 as int) - 1)")))
+      .select($"doc_id", $"f".cast("long").as("frame_id"),
+        expr("""length(regexp_replace(
+          substring(text, f * 256 + 1, 256), '[^a-z]', ''))""")
+          .cast("long").as("letters"))
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_id")
+    frames
+      .withColumn("delta", abs($"letters" - lag($"letters", 1).over(w)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when($"delta" >= 10, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max($"delta"), lit(0L)).as("max_delta"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_scene_cuts"   -> sceneCuts _,
     "m01_binary_meta"  -> binaryMeta _,
     "m08_stream_media_dedup" -> streamMediaDedup _,
     "m02_media_decode" -> mediaDecode _,
@@ -272,6 +304,23 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m03's frame derivation + the lag-delta window; single-frame
+    // payloads have an all-NULL delta → 0 cuts, max_delta 0 in both
+    // engines (NULL comparison falls to ELSE / COALESCE)
+    "m09_scene_cuts" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents),
+        |fr AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+        |  length(regexp_replace(substr(text, (f * 256 + 1)::INT, 256),
+        |    '[^a-z]', '', 'g')) AS letters
+        |  FROM t, unnest(range(0, nf)) u(f)),
+        |d AS (SELECT doc_id, abs(letters - lag(letters) OVER
+        |  (PARTITION BY doc_id ORDER BY frame_id)) AS delta FROM fr)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN delta >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(COALESCE(max(delta), 0) AS BIGINT) AS max_delta
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // odd payloads sharing >= 1 frame fingerprint with an even payload
     // (frame derivation = m03's CTE text)
     "m08_stream_media_dedup" ->

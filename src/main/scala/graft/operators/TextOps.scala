@@ -430,6 +430,42 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** d41: top-20 token pairs by document-level PMI — the
+    * distributional-semantics co-occurrence statistic (collocation
+    * mining / phrase discovery for tokenizer seeding): PMI(a,b) =
+    * ln(N·c(a,b) / (c(a)·c(b))) over document co-occurrence counts,
+    * micro-rounded to 10⁻⁴ integer units (the d33 contract: ONE
+    * engine-matching double op per pair, then exact integer ordering).
+    *
+    * Scale design: the pair table comes from a SELF-JOIN of the
+    * per-doc distinct-token list keyed on doc_id — per-doc output is
+    * c(doc)² in DISTINCT tokens (bounded by doc length, the standard
+    * co-occurrence bound), never vocabulary². Marginals are one
+    * hash-agg; at fixture scale they broadcast, at web scale the same
+    * joins run shuffled on the token key. The c(a,b) ≥ 5 support
+    * filter prunes before the marginal joins. */
+  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dt = docsWithToks(spark, sfDir)
+      .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_total"))
+    val marg = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"), $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("ta"), $"b.tok".as("tb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+    pairs
+      .join(broadcast(marg.select($"tok".as("ta"), $"c".as("ca"))), "ta")
+      .join(broadcast(marg.select($"tok".as("tb"), $"c".as("cb"))), "tb")
+      .crossJoin(broadcast(nDocs))
+      .select($"ta", $"tb", $"cab", $"ca", $"cb",
+        round(log(($"cab" * $"n_total") / ($"ca" * $"cb").cast("double"))
+          * 10000).cast("long").as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), $"ta", $"tb").limit(20)
+  }
+
   /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
     * signatures bucket together (n_bucket = docs sharing the hash). */
   /** Per-doc SimHash bit string of the given width (≤ 32: one md5 hex
@@ -1514,6 +1550,7 @@ object TextOps {
     "d36_bpe_merges"    -> bpeMerges _,
     "d37_inverted_index" -> invertedIndex _,
     "d38_lpa_communities" -> labelPropagation _,
+    "d41_pmi_pairs"     -> pmiPairs _,
     "d35_dup_triangles" -> dupTriangles _,
   )
 
@@ -1951,6 +1988,23 @@ object TextOps {
       s"""WITH $mhPairsCte
          |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
          |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // doc-level co-occurrence self-join + one ln per surviving pair,
+    // micro-rounded before the ordering (the d33 contract)
+    "d41_pmi_pairs" ->
+      """WITH dt AS (SELECT doc_id,
+        |  unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |marg AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+        |p AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS cab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY ta, tb HAVING count(*) >= 5)
+        |SELECT ta, tb, CAST(cab AS BIGINT) AS cab,
+        |  CAST(ma.c AS BIGINT) AS ca, CAST(mb.c AS BIGINT) AS cb,
+        |  CAST(round(ln((cab * n.n_total) / CAST(ma.c * mb.c AS DOUBLE))
+        |    * 10000) AS BIGINT) AS pmi_micro
+        |FROM p JOIN marg ma ON ma.tok = p.ta
+        |JOIN marg mb ON mb.tok = p.tb CROSS JOIN n
+        |ORDER BY pmi_micro DESC, ta, tb LIMIT 20""".stripMargin,
     // d06's pair pipeline + 3 unrolled synchronous LPA rounds: per
     // round, neighbor-label counts and a (count desc, label asc)
     // argmin via row_number — the integer mirror of the Spark side's
