@@ -623,35 +623,46 @@ object TextOps {
     * both verify sides, and d22's rep-filtered rerun. */
   private def byDocCached(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "d08_bydoc") {
-      import spark.implicits._
-      val t = JaccT
-      // one (doc, shingle-hash) row per distinct shingle occurrence
-      val tok = docsWithToks(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-      // Document frequency in the SAME pass as the shingle shuffle: one
-      // window count over (partition by h) — the rows are already
-      // hash-partitioned by h for it, so this replaces the former
-      // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
-      // then builds EVERYTHING array-side in one pass: the df-ordered
-      // struct list (sort_array over ~doc-length elements — bounded per
-      // row, no global WindowExec sort by (doc, df, h)), the sorted hash
-      // set for the verify step, and the rarest-first prefix slice. One
-      // materialization serves the prefix path and both verify sides.
-      val withDf = tok.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"h")))
-      withDf
-        .groupBy($"doc_id").agg(
-          sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
-        .select($"doc_id",
-          size($"sdh").cast("long").as("n"),
-          expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
-          expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
-            .as("pref"))
+      byDocFrom(docsWithToks(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
     }
+
+  /** The byDoc build over any (doc_id, toks) frame — split out so the
+    * PPJoin prefix/positional bounds are fuzzable against brute force
+    * on constructed corpora (GraftSpec). */
+  private[graft] def byDocFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = JaccT
+    // one (doc, shingle-hash) row per distinct shingle occurrence
+    val tok = docs
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+    // Document frequency in the SAME pass as the shingle shuffle: one
+    // window count over (partition by h) — the rows are already
+    // hash-partitioned by h for it, so this replaces the former
+    // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
+    // then builds EVERYTHING array-side in one pass: the df-ordered
+    // struct list (sort_array over ~doc-length elements — bounded per
+    // row, no global WindowExec sort by (doc, df, h)), the sorted hash
+    // set for the verify step, and the rarest-first prefix slice. One
+    // materialization serves the prefix path and both verify sides.
+    val withDf = tok.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"h")))
+    withDf
+      .groupBy($"doc_id").agg(
+        sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
+      .select($"doc_id",
+        size($"sdh").cast("long").as("n"),
+        expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
+        expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
+          .as("pref"))
+  }
+
+  /** [[ngramJaccard]] over any (doc_id, toks) frame (fuzz entry). */
+  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame =
+    pairsFromByDoc(docs.sparkSession, byDocFrom(docs))
 
   private def pairsFromByDoc(spark: SparkSession, byDoc: DataFrame): DataFrame = {
     import spark.implicits._

@@ -206,6 +206,38 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("PPJoin pairs match brute-force Jaccard on seeded random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the prefix + positional filters are pure PRUNING: the pair set
+    // must equal the brute-force all-pairs Jaccard >= 0.5 exactly.
+    // Small alphabet + short docs force heavy shingle sharing, the
+    // regime where an off-by-one in the ceil bounds drops real pairs.
+    val rnd = new scala.util.Random(42L)
+    def shingles(d: Vector[String]): Set[String] =
+      d.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    (1 to 6).foreach { _ =>
+      val corpus = (1L to (4 + rnd.nextInt(5)).toLong).map { id =>
+        id -> Vector.fill(3 + rnd.nextInt(8))(
+          if (rnd.nextBoolean()) "a" else "b")
+      }
+      val expected = (for {
+        (i, di) <- corpus; (j, dj) <- corpus if i < j
+        si = shingles(di); sj = shingles(dj)
+        inter = (si & sj).size
+        uni = (si | sj).size
+        if uni > 0 && inter.toDouble / uni >= 0.5
+      } yield (i, j)).toSet
+      val docs = corpus.map { case (id, d) => (id, d.mkString(" ")) }
+        .toDF("doc_id", "text").withColumn("toks", split($"text", " "))
+      val got = TextOps.ngramJaccardFrom(docs).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      assert(got == expected,
+        s"PPJoin diverged from brute force: got $got, want $expected " +
+          s"on corpus ${corpus.map(_._2.mkString(" "))}")
+    }
+  }
+
   test("sequence packing conserves tokens and numbers sequences densely") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
