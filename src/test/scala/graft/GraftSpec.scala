@@ -238,6 +238,30 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("query registry: no cross-module key collisions, oracles aligned") {
+    val maps = Seq(
+      graft.operators.Relational.queries, graft.operators.Events.queries,
+      graft.operators.TextOps.queries, graft.operators.Extras.queries,
+      graft.operators.EventAnalytics.queries,
+      graft.operators.VectorOps.queries,
+      graft.multimodal.Multimodal.queries,
+      graft.streaming.StreamOps.queries,
+      graft.sources.FileSources.queries,
+      graft.pipeline.TrainingDataPipeline.queries)
+    val keys = maps.flatMap(_.keys)
+    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty,
+      s"duplicate query keys shadow each other in SparkEntry: $dups")
+    assert(SparkEntry.queries.size == keys.size)
+    // every oracle refers to a declared query; every non-sketch query
+    // has an oracle (x-series are rows-only by design)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.forall(_.startsWith("x")),
+      s"non-sketch queries without an oracle: ${missing.filterNot(_.startsWith("x"))}")
+  }
+
   test("sequence packing conserves tokens and numbers sequences densely") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
