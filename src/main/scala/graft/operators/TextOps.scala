@@ -526,6 +526,15 @@ object TextOps {
             (acc, i) -> acc * 2L + (case when substr(simhash, i, 1) = '1'
                                     then 1L else 0L end))""").as("sig"))
     }
+    simhashPairsFromSigs(sh)
+  }
+
+  /** The d19 banded candidate + Hamming verify over any (doc_id, sig)
+    * frame — split out so the pigeonhole completeness (every
+    * Hamming-≤1 pair collides on some 16-bit segment) is fuzzable
+    * against brute force on arbitrary signatures (GraftSpec). */
+  private[graft] def simhashPairsFromSigs(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
     val seg = sh.select($"doc_id",
       posexplode(array(
         call_function("div", $"sig", lit(65536L)),

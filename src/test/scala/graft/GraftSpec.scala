@@ -238,6 +238,28 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash segment banding finds every Hamming-<=1 pair (pigeonhole)") {
+    import spark.implicits._
+    // signatures engineered around the completeness edge: clusters of
+    // sigs differing in exactly 1 bit (must ALL pair), 2 bits (must
+    // NOT), plus seeded random 32-bit values
+    val rnd = new scala.util.Random(7L)
+    val base = rnd.nextLong().abs % (1L << 32)
+    val sigs = (Seq(base) ++
+      (0 until 32).map(b => base ^ (1L << b)) ++       // hamming 1 to base
+      Seq(base ^ 3L, base ^ ((1L << 31) | 1L)) ++      // hamming 2
+      Seq.fill(20)(rnd.nextLong().abs % (1L << 32)))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val expected = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 1
+    } yield (i, j)).toSet
+    val got = TextOps.simhashPairsFromSigs(sigs.toDF("doc_id", "sig"))
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(got == expected,
+      s"banding missed or invented pairs: got ${got.size}, want ${expected.size}")
+  }
+
   test("query registry: no cross-module key collisions, oracles aligned") {
     val maps = Seq(
       graft.operators.Relational.queries, graft.operators.Events.queries,
