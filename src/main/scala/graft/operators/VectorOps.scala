@@ -401,10 +401,27 @@ object VectorOps {
     * index whose probe half is v07. Argmin uses
     * dist² − ‖v‖² = ‖c‖² − 2·v·c (the per-vector ‖v‖² term can't change
     * the argmin, so it is never computed). */
+  // v09 and v19 both need the trained model; train once per
+  // (session, sfDir) — same eviction discipline as TextOps.dfCache
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, (DataFrame, Seq[(Long, Array[Double])]))]
+
   /** The Lloyd loop shared by v09 (centroid report) and v19
     * (silhouette): returns the final assignment frame and the final
-    * 6-dp-rounded centroids. */
+    * 6-dp-rounded centroids, cached per session so the two queries
+    * train once. */
   private def kmeansCore(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Long, Array[Double])]) = {
+    kmCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark), sfDir)
+    kmCache.get(key).filter(_._1 eq spark).map(_._2).getOrElse {
+      val r = kmeansTrain(spark, sfDir)
+      kmCache.put(key, (spark, r))
+      r
+    }
+  }
+
+  private def kmeansTrain(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[(Long, Array[Double])]) = {
     import spark.implicits._
     val e = embDouble(spark, sfDir).select($"vec_id", $"v")
