@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -460,7 +460,50 @@ object Relational {
       .orderBy(desc("numwait"), $"s_name").limit(10)
   }
 
+  /** q25: declarative data-quality validation (the Deequ / dbt-test
+    * shape a pipeline runs as its ingest gate): primary-key
+    * uniqueness, referential integrity, null checks, range checks and
+    * domain checks, reported as one (check, violations, status) table.
+    *
+    * Scale design: row-level checks on the same table FUSE into ONE
+    * scan with conditional-sum aggregates (lineitem is read once for
+    * its three checks, not three times); uniqueness is a hash-agg on
+    * the key; referential integrity is a left-anti join that
+    * broadcasts the (small) pk side — at big-big scale the same plan
+    * shuffle-joins on the key. Nothing collects more than the 1-row
+    * summaries. */
+  def dataChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    def one(name: String, n: Column): Column =
+      struct(lit(name).as("check_name"), n.cast("long").as("n_violations"))
+    // one scan of lineitem for all three row-level checks
+    val lRow = l.agg(explode(array(
+      one("lineitem_qty_range",
+        sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L))),
+      one("lineitem_returnflag_domain",
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))),
+      one("lineitem_shipdate_notnull",
+        sum(when($"l_shipdate".isNull, 1L).otherwise(0L))))).as("c"))
+      .select($"c.*")
+    val oPk = o.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("orders_pk_unique").as("check_name"), $"n_violations")
+    val fk = l.select($"l_orderkey")
+      .join(broadcast(o.select($"o_orderkey")),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), $"n_violations")
+    lRow.unionAll(oPk).unionAll(fk)
+      .withColumn("status",
+        when($"n_violations" === 0, "pass").otherwise("fail"))
+      .orderBy($"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_data_checks" -> dataChecks _,
     "q22_subtree_rollup" -> subtreeRollup _,
     "q23_small_qty_revenue" -> smallQtyRevenue _,
     "q24_sole_latest_shipper" -> soleLatestShipper _,
@@ -490,6 +533,24 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    "q25_data_checks" ->
+      """WITH v AS (
+        |  SELECT 'lineitem_qty_range' AS check_name, count(*) FILTER
+        |    (WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+        |    FROM lineitem
+        |  UNION ALL SELECT 'lineitem_returnflag_domain', count(*) FILTER
+        |    (WHERE l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_shipdate_notnull', count(*) FILTER
+        |    (WHERE l_shipdate IS NULL) FROM lineitem
+        |  UNION ALL SELECT 'orders_pk_unique', count(*) FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |     HAVING count(*) > 1)
+        |  UNION ALL SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
+        |    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_orderkey IS NULL)
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM v ORDER BY check_name""".stripMargin,
     // stated as the literal Q21-style triple correlation — DuckDB
     // decorrelates it its own way; the Spark side's single window pass
     // must reproduce exactly the same supplier counts
