@@ -195,6 +195,71 @@ object Events {
       .orderBy($"view_id", $"purchase_id")
   }
 
+  // e38 query pattern: a fixed V-shape (down-ramp then up-ramp),
+  // z-normalized to zero mean/unit variance ON THE SAME 6-dp rounding
+  // both engines apply to windows; interpolated into the oracle SQL
+  // from these Scala values so the two sides agree by construction.
+  private[graft] val SubqM = 8
+  private[graft] val SubqPattern: IndexedSeq[Double] = {
+    val raw = IndexedSeq(3.0, 2.0, 1.0, 0.0, 0.0, 1.0, 2.0, 3.0)
+    val mu = raw.sum / raw.size
+    val sd = math.sqrt(raw.map(x => (x - mu) * (x - mu)).sum / raw.size)
+    raw.map(x => math.floor((x - mu) / sd * 1e6 + 0.5) / 1e6)
+  }
+
+  /** e38: time-series subsequence similarity search (the UCR-suite /
+    * Matrix-Profile family): over each user's event-value series in
+    * time order, slide a length-[[SubqM]] window, z-normalize it, and
+    * rank windows by squared euclidean distance to a fixed z-normalized
+    * query pattern — the "find this shape anywhere in 100 TB of
+    * telemetry" primitive. Top-10 matches by (distance, user, position).
+    *
+    * Determinism: window mean/variance and the distance are computed
+    * from 6-dp-rounded intermediates in BOTH engines, the distance is
+    * ranked as a 10⁻⁴ integer unit, and flat windows (σ = 0, z-norm
+    * undefined) are excluded identically. The 8-term fold runs inside
+    * a bounded `aggregate` lambda per window — constant work per row.
+    *
+    * Scale design: ONE window exchange keyed on user_id builds every
+    * candidate subsequence (collect_list over a ROWS frame — bounded
+    * at m elements per row, never a per-user full-series array), the
+    * scoring is shuffle-free map work, and the global top-10 is a
+    * TakeOrdered — no all-windows sort, no driver collection. */
+  def subsequenceMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = SubqM
+    val q = SubqPattern
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = w.rowsBetween(Window.currentRow, m - 1)
+    val pos = row_number().over(w)
+    // the 8-term window math unrolls into explicit element_at
+    // expressions so the whole scoring pass stays inside whole-stage
+    // codegen; the aggregate/zip_with lambda formulation is
+    // CodegenFallback (interpreted per row) — at a fixed m the unroll
+    // is the house rule (same reason minhashSigs inlines its 16
+    // permutations)
+    val ts = (1 to m).map(i => s"element_at(win, $i)")
+    val muExpr = s"round((${ts.mkString(" + ")}) / $m, 6)"
+    val sdExpr = s"round(sqrt((${ts.map(t => s"($t - mu) * ($t - mu)")
+      .mkString(" + ")}) / $m), 6)"
+    val distExpr = s"round(${ts.zip(q).map { case (t, p) =>
+      s"(round(($t - mu) / sd, 6) - $p) * (round(($t - mu) / sd, 6) - $p)"
+    }.mkString(" + ")}, 4)"
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", round($"value", 2).as("v"))
+      .withColumn("pos", pos.cast("long"))
+      .withColumn("win", collect_list($"v").over(wf))
+      .filter(size($"win") === m)
+      .withColumn("mu", expr(muExpr))
+      .withColumn("sd", expr(sdExpr))
+      .filter($"sd" > 0)
+      .withColumn("dist", expr(distExpr))
+      .select($"user_id", $"pos", $"dist",
+        round($"dist" * 10000).cast("long").as("dist_micro"))
+      .orderBy($"dist_micro", $"user_id", $"pos").limit(10)
+      .select($"user_id", $"pos", $"dist")
+  }
+
   /** e36: AS-OF NEAREST join (pandas merge_asof direction='nearest',
     * QuestDB/kdb asof variant): each purchase pairs with the view
     * closest in time — either direction — within a ±60 min tolerance,
@@ -489,11 +554,40 @@ object Events {
     "e21_promo_range_join" -> promoRangeJoin _,
     "e22_skew_salted_join" -> skewSaltedJoin _,
     "e36_asof_nearest"   -> asofNearest _,
+    "e38_subsequence_match" -> subsequenceMatch _,
   )
 
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // the same 6-dp z-normalization + 10⁻⁴ distance ranking as the
+    // Spark side; the z-normalized query pattern is interpolated from
+    // the SAME Scala constants (SubqPattern)
+    "e38_subsequence_match" -> {
+      val qLit = SubqPattern.mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT user_id, ts, event_id, round(value, 2) AS v
+         |  FROM events),
+         |w AS (SELECT user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS pos,
+         |  list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN CURRENT ROW AND ${SubqM - 1} FOLLOWING) AS win
+         |  FROM s),
+         |f AS (SELECT user_id, pos, win,
+         |  round(list_sum(win) / $SubqM, 6) AS mu
+         |  FROM w WHERE len(win) = $SubqM),
+         |g AS (SELECT user_id, pos, win, mu,
+         |  round(sqrt(list_sum([(x - mu) * (x - mu) for x in win])
+         |    / $SubqM), 6) AS sd FROM f),
+         |h AS (SELECT user_id, CAST(pos AS BIGINT) AS pos,
+         |  round(list_sum([
+         |    (round((win[i] - mu) / sd, 6) - ($qLit)[i])
+         |    * (round((win[i] - mu) / sd, 6) - ($qLit)[i])
+         |    for i in range(1, ${SubqM + 1})]), 4) AS dist
+         |  FROM g WHERE sd > 0)
+         |SELECT user_id, pos, dist FROM h
+         |ORDER BY dist, user_id, pos LIMIT 10""".stripMargin
+    },
     "e36_asof_nearest" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
         |  FROM events WHERE event_type = 'view'),
