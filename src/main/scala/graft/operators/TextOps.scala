@@ -430,6 +430,41 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** d42: systematic PPS sampling (probability proportional to size) —
+    * the token-budget complement to d13's Bernoulli hash sampling: per
+    * source, documents in doc_id order span a cumulative token axis;
+    * sampling points sit at every multiple of step = ⌈total/20⌉, and a
+    * document is drawn once per point inside its span (long documents
+    * can be drawn multiple times — that IS pps-with-replacement, the
+    * upsampling a quality-weighted data mix performs). Zero RNG: the
+    * draw is a pure integer function of the ordered cumulative sums,
+    * so any engine reproduces it bit-for-bit.
+    *
+    * Scale design: one window cumsum per source (single exchange —
+    * same shape as d17's packing), one broadcast of the 20-row
+    * per-source totals, and a pure map filter; nothing global, no
+    * sort beyond the per-source window order. */
+  def ppsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = docsWithToks(spark, sfDir)
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+    val totals = t.groupBy($"source")
+      .agg(max($"cum").as("total"))
+      .select($"source",
+        call_function("div", $"total" + 19L, lit(20L)).as("step"))
+    t.join(broadcast(totals), "source")
+      // sampling points k·step (k ≥ 1) inside (cum − n_tok, cum]
+      .withColumn("n_picks",
+        call_function("div", $"cum", $"step") -
+          call_function("div", $"cum" - $"n_tok", $"step"))
+      .filter($"n_picks" > 0)
+      .select($"source", $"doc_id", $"n_tok", $"n_picks")
+      .orderBy($"source", $"doc_id")
+  }
+
   /** d41: top-20 token pairs by document-level PMI — the
     * distributional-semantics co-occurrence statistic (collocation
     * mining / phrase discovery for tokenizer seeding): PMI(a,b) =
@@ -1571,6 +1606,7 @@ object TextOps {
     "d37_inverted_index" -> invertedIndex _,
     "d38_lpa_communities" -> labelPropagation _,
     "d41_pmi_pairs"     -> pmiPairs _,
+    "d42_pps_sample"    -> ppsSample _,
     "d35_dup_triangles" -> dupTriangles _,
   )
 
@@ -2008,6 +2044,22 @@ object TextOps {
       s"""WITH $mhPairsCte
          |SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard FROM m
          |WHERE nm / 16.0 >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // all-integer systematic PPS draw over the d17-style cumulative
+    // token axis; // is safe here (every operand non-negative)
+    "d42_pps_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |s AS (SELECT source, (max(cum) + 19) // 20 AS step
+        |  FROM c GROUP BY source)
+        |SELECT c.source, c.doc_id, c.n_tok,
+        |  CAST(cum // step - (cum - n_tok) // step AS BIGINT) AS n_picks
+        |FROM c JOIN s ON s.source = c.source
+        |WHERE cum // step - (cum - n_tok) // step > 0
+        |ORDER BY c.source, c.doc_id""".stripMargin,
     // doc-level co-occurrence self-join + one ln per surviving pair,
     // micro-rounded before the ordering (the d33 contract)
     "d41_pmi_pairs" ->
