@@ -49,7 +49,12 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val ts = Seq.fill(reps)(once())
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
+      // true median: average the two middle elements for even reps
+      // (upper-middle alone would record the max of a 2-rep run)
+      val sorted = ts.sorted
+      val med = if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+      name -> (if (ts.exists(_ < 0)) -1.0 else med)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

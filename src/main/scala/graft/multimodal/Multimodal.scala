@@ -99,6 +99,9 @@ object Multimodal {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, sfDir)
+      // empty payload ⇒ zero frames; without this guard sequence(0, -1)
+      // would DESCEND ([0, -1]) while the oracle's range(0, 0) is empty
+      .filter(length($"content") > 0)
       .withColumn("frame", explode(expr(
         """transform(sequence(0, cast((length(content) + 255) div 256 as int) - 1),
           f -> named_struct(
@@ -275,6 +278,9 @@ object Multimodal {
   def sceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val frames = Tables.documents(spark, sfDir)
+      // empty text ⇒ zero frames (sequence(0, -1) would descend; the
+      // oracle's range(0, nf) is empty) — same guard as frameSample
+      .filter(length($"text") > 0)
       .withColumn("f", explode(expr(
         "sequence(0, cast((length(text) + 255) div 256 as int) - 1)")))
       .select($"doc_id", $"f".cast("long").as("frame_id"),

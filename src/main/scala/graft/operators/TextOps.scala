@@ -725,11 +725,13 @@ object TextOps {
     // and dedup AFTER the jaccard filter: the k copies cost k cheap
     // codegen'd intersections, while deduping first costs a full
     // exchange of the candidate multiset (measured slower at every sf).
-    // Broadcasting the slim candidates means the wide (doc, hash-array)
-    // table is probed in place — zero shuffles of the arrays; if a
-    // pathological corpus ever made the candidate side big, flip to a
-    // shuffle join on doc_id (the documented cluster-scale fallback).
-    broadcast(cand)
+    // The slim candidate list should broadcast so the wide
+    // (doc, hash-array) table is probed in place — but NOT via an
+    // unconditional hint: a pathological corpus with huge candidate
+    // multiplicity would OOM the driver. AQE's runtime size stats pick
+    // the broadcast when cand is small (the normal case, plan-asserted
+    // in PlanShapeSpec) and fall back to a shuffle join when it isn't.
+    cand
       .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
       .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
       .withColumn("common",

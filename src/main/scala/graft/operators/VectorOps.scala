@@ -403,8 +403,11 @@ object VectorOps {
     * the argmin, so it is never computed). */
   // v09 and v19 both need the trained model; train once per
   // (session, sfDir) — same eviction discipline as TextOps.dfCache
+  // keyed on the SparkSession REFERENCE (default Object equality), not
+  // its identity hash — colliding hashes of two live sessions would
+  // perpetually evict each other's entry
   private val kmCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, (DataFrame, Seq[(Long, Array[Double])]))]
+    .empty[(SparkSession, String), (DataFrame, Seq[(Long, Array[Double])])]
 
   /** The Lloyd loop shared by v09 (centroid report) and v19
     * (silhouette): returns the final assignment frame and the final
@@ -412,13 +415,8 @@ object VectorOps {
     * train once. */
   private def kmeansCore(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[(Long, Array[Double])]) = {
-    kmCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (System.identityHashCode(spark), sfDir)
-    kmCache.get(key).filter(_._1 eq spark).map(_._2).getOrElse {
-      val r = kmeansTrain(spark, sfDir)
-      kmCache.put(key, (spark, r))
-      r
-    }
+    kmCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    kmCache.getOrElseUpdate((spark, sfDir), kmeansTrain(spark, sfDir))
   }
 
   private def kmeansTrain(spark: SparkSession, sfDir: String)

@@ -284,4 +284,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("d08 verify join: AQE broadcasts the slim candidate list at runtime") {
+    // the candidate list carries no explicit broadcast() hint (an
+    // unconditional hint would OOM the driver on a pathological corpus)
+    // — AQE's runtime size stats must still pick the broadcast so the
+    // wide (doc, hash-array) table is probed in place, never shuffled
+    val df = operators.TextOps.ngramJaccard(spark, sf)
+    df.collect() // materialize so the plan string shows AQE's final picks
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate list not broadcast by AQE:\n$plan")
+  }
 }
