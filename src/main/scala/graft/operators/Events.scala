@@ -532,7 +532,102 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** e39: rolling z-score anomaly detection — the streaming-metrics
+    * outlier monitor (a Kafka Streams app's per-key moving-stats
+    * `aggregate`), expressed declaratively: each event is scored against
+    * the 20 events that PRECEDE it for the same user, and the 20 most
+    * anomalous events corpus-wide are reported.
+    *
+    * Determinism: everything is integer arithmetic on cents —
+    * z² = (n·x − Σx)² / (n·Σx² − (Σx)²) needs no sqrt and no double
+    * sum, and the 4-dp score is the exact rational via [[Det.r4]].
+    * Zero-variance windows (den = 0) are excluded: z is undefined there.
+    *
+    * Scale design: ONE exchange on user_id feeds one sort and all three
+    * frame aggregates (count/sum/sum-of-squares share the frame); the
+    * global top-20 is a TakeOrdered, never a full sort. Per-key cost is
+    * linear in that key's history — the same cost model as any
+    * per-entity rolling metric at 100 TB. */
+  def rollingAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val trail = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("n", count(lit(1)).over(trail))
+      .withColumn("sx", sum($"cents").over(trail))
+      .withColumn("sxx", sum($"cents" * $"cents").over(trail))
+      .filter($"n" === 20)
+      .withColumn("dev", lit(20L) * $"cents" - $"sx")
+      .withColumn("den", lit(20L) * $"sxx" - $"sx" * $"sx")
+      .filter($"den" > 0)
+      .withColumn("z2", Det.r4($"dev" * $"dev", $"den"))
+      .select($"event_id", $"user_id", $"ts",
+        round($"value", 2).as("value"), $"z2")
+      .orderBy($"z2".desc, $"event_id")
+      .limit(20)
+  }
+
+  /** e40: resampling an irregular event series onto a regular daily
+    * grid with LINEAR interpolation — the time-series alignment step
+    * (joining sensor feeds, filling pricing curves) that e34's LOCF
+    * doesn't express. Per user, one grid point per midnight strictly
+    * inside the user's own [first, last] event span; each grid value
+    * interpolates between the nearest events either side.
+    *
+    * Determinism: interpolation is exact integer arithmetic —
+    * cents₁ + ⌊(cents₂ − cents₁)·(t − t₁)µs / (t₂ − t₁)µs⌋ with
+    * [[Det.fdiv]]'s floor (the delta can be negative; DuckDB's `//`
+    * truncates, so the oracle mirrors the floor via Det.sql.fdiv).
+    *
+    * Scale design: grid rows are generated per user (bounded by the
+    * span in days, not the event count) and UNIONed with the events so
+    * ONE exchange + sort on user_id serves both the backward and the
+    * forward navigation window (same ordering, two frames — no second
+    * shuffle). No join ever forms; this is the union-then-navigate
+    * as-of pattern, linear per key at any scale. */
+  def gridInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+        lit(0).as("is_grid"))
+    val grid = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+      .select($"user_id", explode(expr(
+        "sequence(date_trunc('day', t0) + INTERVAL '1' DAY, t1, INTERVAL '1' DAY)"))
+        .as("ts"))
+      .select($"user_id", $"ts", lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("cents"), lit(1).as("is_grid"))
+    // events sort BEFORE a grid point at the same ts: an event exactly
+    // on a midnight is that midnight's "previous" neighbor (t = t₁)
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_grid", $"event_id")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionByName(grid)
+      .withColumn("prev_us", last(when($"is_grid" === 0,
+        unix_micros($"ts")), ignoreNulls = true).over(back))
+      .withColumn("prev_cents", last(when($"is_grid" === 0, $"cents"),
+        ignoreNulls = true).over(back))
+      .withColumn("next_us", first(when($"is_grid" === 0,
+        unix_micros($"ts")), ignoreNulls = true).over(fwd))
+      .withColumn("next_cents", first(when($"is_grid" === 0, $"cents"),
+        ignoreNulls = true).over(fwd))
+      .filter($"is_grid" === 1 &&
+        $"prev_us".isNotNull && $"next_us".isNotNull)
+      .withColumn("interp_cents", $"prev_cents" +
+        Det.fdiv(($"next_cents" - $"prev_cents") *
+          (unix_micros($"ts") - $"prev_us"), $"next_us" - $"prev_us"))
+      .select($"user_id", $"ts".as("grid_ts"),
+        ($"interp_cents" / 100.0).as("interp_value"))
+      .orderBy($"user_id", $"grid_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e39_rolling_anomaly" -> rollingAnomalies _,
+    "e40_grid_interpolate" -> gridInterpolate _,
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
@@ -560,6 +655,59 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // integer z²: DuckDB widens sum(BIGINT) to HUGEINT mid-CTE, which is
+    // fine — the only OUTPUT column it feeds is r4's final /10000.0
+    // DOUBLE (the d29/d30 lesson: keep HUGEINT off the output schema)
+    "e39_rolling_anomaly" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts, round(value, 2) AS value,
+         |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         |w AS (SELECT event_id, user_id, ts, value, cents,
+         |  count(*) OVER win AS n,
+         |  sum(cents) OVER win AS sx,
+         |  sum(cents * cents) OVER win AS sxx
+         |  FROM c
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         |f AS (SELECT event_id, user_id, ts, value,
+         |  20 * cents - sx AS dev, 20 * sxx - sx * sx AS den
+         |  FROM w WHERE n = 20 AND 20 * sxx - sx * sx > 0)
+         |SELECT event_id, user_id, ts, value,
+         |  ${D.r4("dev * dev", "den")} AS z2
+         |FROM f ORDER BY z2 DESC, event_id LIMIT 20""".stripMargin,
+    // grid bounds are per-user and strictly inside the event span, so
+    // prev/next neighbors exist by construction; the NULL guards only
+    // cover the measure-zero midnight-boundary edge
+    "e40_grid_interpolate" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents, 0 AS is_grid
+         |  FROM events),
+         |g AS (SELECT user_id,
+         |    unnest(generate_series(date_trunc('day', min(ts)) + INTERVAL 1 DAY,
+         |      max(ts), INTERVAL 1 DAY)) AS ts
+         |  FROM events GROUP BY user_id),
+         |u AS (SELECT user_id, ts, event_id, cents, is_grid FROM ev
+         |  UNION ALL SELECT user_id, ts, NULL, NULL, 1 FROM g),
+         |w AS (SELECT user_id, ts, is_grid,
+         |  last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+         |    OVER back AS prev_us,
+         |  last_value(CASE WHEN is_grid = 0 THEN cents END IGNORE NULLS)
+         |    OVER back AS prev_cents,
+         |  first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+         |    OVER fwd AS next_us,
+         |  first_value(CASE WHEN is_grid = 0 THEN cents END IGNORE NULLS)
+         |    OVER fwd AS next_cents
+         |  FROM u
+         |  WINDOW back AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  fwd AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, ts AS grid_ts,
+         |  (prev_cents + ${D.fdiv(
+              "(next_cents - prev_cents) * (epoch_us(ts) - prev_us)",
+              "next_us - prev_us")}) / 100.0 AS interp_value
+         |FROM w WHERE is_grid = 1
+         |  AND prev_us IS NOT NULL AND next_us IS NOT NULL
+         |ORDER BY user_id, grid_ts""".stripMargin,
     // the same 6-dp z-normalization + 10⁻⁴ distance ranking as the
     // Spark side; the z-normalized query pattern is interpolated from
     // the SAME Scala constants (SubqPattern)
