@@ -10,6 +10,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the events NTZ→LTZ normalization (Tables.events) is only
+      // value-preserving under a UTC session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-file fixture tables would otherwise scan as one task each;
       // split them like a cluster would see many splits

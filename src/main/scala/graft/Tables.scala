@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the fixture tables (TPC-H-ish star schema + events stream
   * table + LLM-pipeline tables). See FIXTURES.md for schemas.
@@ -27,17 +27,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via
-    * the legacy conf, then truncate ns→µs with integer division (a
-    * double-typed division would lose precision at ~1.7e18 ns) — the
-    * same truncation DuckDB applies, so oracle timestamps agree. */
+  /** `events.ts` normalization — the fixture has shipped two physical
+    * types across driver regenerations, and both must land on the
+    * SAME Spark type (TIMESTAMP, i.e. LTZ) so every downstream
+    * `unix_micros`/window/test contract sees one schema:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it natively
+    *    ([PARQUET_TYPE_ILLEGAL]) → read as raw long via the legacy
+    *    conf, truncate ns→µs with integer division (a double division
+    *    would lose precision at ~1.7e18 ns) — the same truncation
+    *    DuckDB applies;
+    *  - TIMESTAMP(MICROS) without timezone: Spark 4 infers
+    *    TIMESTAMP_NTZ → cast to LTZ, which under the engine-wide UTC
+    *    session timezone is value-preserving (the oracle reads the
+    *    same file as a naive timestamp, so wall-clock values agree). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

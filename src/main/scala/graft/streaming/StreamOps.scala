@@ -87,10 +87,19 @@ object StreamOps {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
+
+  /** Land `ts` on TIMESTAMP (LTZ) whatever the fixture's physical type
+    * is — nanos-as-long or µs-without-timezone (NTZ); see
+    * [[graft.Tables.events]] for the two-generation fixture history.
+    * The NTZ→LTZ cast is value-preserving under the engine-wide UTC
+    * session timezone. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df.withColumn("ts",
+      col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
   /** The events file stream plus one far-future "__flush" row in a
     * second file. A finite stream's watermark only reaches
@@ -166,10 +175,13 @@ object StreamOps {
       val flush = raw.limit(1).drop("event_type")
         .crossJoin(raw.select(col("event_type")).distinct())
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts",
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        .withColumn("ts", raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
             lit(4102444800000000000L)  // 2100-01-01 as ns
-          else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))
+          case _ => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0"))
+        })
         .select(raw.columns.map(col): _*)
       flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
@@ -181,9 +193,7 @@ object StreamOps {
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(dirStr)
-    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    normalizeTs(stream)
   }
 
   /** Tumbling event-time window aggregation (KGroupedStream.windowedBy
