@@ -625,9 +625,49 @@ object Events {
       .orderBy($"user_id", $"grid_ts")
   }
 
+  /** e41: CUSUM changepoint detection — the classic mean-shift monitor
+    * (Page's cumulative-sum chart) run retrospectively per user: did
+    * this user's value level shift upward somewhere in the month, and
+    * where? The recursive statistic C_t = max(0, C_{t-1} + (x_t − µ))
+    * is not a window function — but it IS the prefix-sum identity
+    * C_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    * residuals, which two frames over ONE sort express declaratively.
+    *
+    * Determinism: residuals are kept in n-scaled integer cents
+    * (y_t = n·x_t − Σx — exactly n·(x_t − mean) with no division), so
+    * every P_t, the running min, and C_max are exact BIGINTs; the only
+    * division is the final 4-dp report via [[Det.r4]]. Envelope:
+    * |P_t| ≤ n²·max|x| — fine to ~10⁶ events per key in cents; beyond
+    * that the same query runs with DECIMAL(38) residuals.
+    *
+    * Scale design: ONE exchange on user_id serves the running sum, the
+    * running min, and the per-user argmax row_number — three window
+    * passes, one sort, no join; per-key cost is linear in that key's
+    * history, the right cost model for per-entity monitoring at 100 TB. */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    val ord = byUser.orderBy($"ts", $"event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("sx", sum($"cents").over(byUser))
+      .withColumn("p", sum(lit(1L) * $"n" * $"cents" - $"sx").over(run))
+      .withColumn("c", $"p" - least(lit(0L), min($"p").over(run)))
+      .withColumn("rn", row_number().over(
+        byUser.orderBy($"c".desc, $"ts", $"event_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n".as("n_events"),
+        Det.r4($"c", $"n" * 100L).as("cusum_max"),
+        $"ts".as("cp_ts"), $"event_id".as("cp_event_id"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e39_rolling_anomaly" -> rollingAnomalies _,
     "e40_grid_interpolate" -> gridInterpolate _,
+    "e41_cusum_changepoint" -> cusumChangepoint _,
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
@@ -708,6 +748,33 @@ object Events {
          |FROM w WHERE is_grid = 1
          |  AND prev_us IS NOT NULL AND next_us IS NOT NULL
          |ORDER BY user_id, grid_ts""".stripMargin,
+    // p/c go HUGEINT mid-CTE (DuckDB widens windowed sum), which is
+    // fine — the only OUTPUT they feed is r4's final /10000.0 DOUBLE
+    "e41_cusum_changepoint" ->
+      s"""WITH c AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         |    count(*) OVER (PARTITION BY user_id) AS n,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT))
+         |      OVER (PARTITION BY user_id) AS sx
+         |  FROM events),
+         |p AS (SELECT user_id, ts, event_id, n,
+         |    sum(n * cents - sx) OVER win AS p
+         |  FROM c
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |cu AS (SELECT user_id, ts, event_id, n,
+         |    p - least(0, min(p) OVER win) AS cusum
+         |  FROM p
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |r AS (SELECT user_id, ts, event_id, n, cusum,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY cusum DESC, ts, event_id) AS rn
+         |  FROM cu)
+         |SELECT user_id, n AS n_events,
+         |  ${D.r4("cusum", "n * 100")} AS cusum_max,
+         |  ts AS cp_ts, event_id AS cp_event_id
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the same 6-dp z-normalization + 10⁻⁴ distance ranking as the
     // Spark side; the z-normalized query pattern is interpolated from
     // the SAME Scala constants (SubqPattern)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det
 import graft.functions.Det.r4
 
 /** Text-analysis + deduplication operators over `documents` — the
@@ -1571,7 +1572,59 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** How many of the global top terms to track per source in d43 —
+    * the bounded vocabulary that makes distribution drift a broadcast
+    * problem instead of a full-vocabulary shuffle. */
+  private[graft] val DriftTerms = 100
+
+  /** d43: token-distribution drift per source — the mixture-monitoring
+    * op a training-data pipeline runs when a new crawl snapshot lands:
+    * "which source's language has moved away from the corpus mix, and
+    * on which words?" Per source, total-variation-style distance
+    * between the source's term distribution and the corpus-wide one,
+    * over the global top-[[DriftTerms]] terms (the bounded head; the
+    * tail is noise for drift purposes), plus the single most drifted
+    * term.
+    *
+    * Determinism: rates are exact integer parts-per-billion via
+    * [[Det.fdiv]] (tf·10⁹ ≤ 10⁹·corpus-tokens stays well inside
+    * BIGINT), the distance is a plain BIGINT sum of absolute rate
+    * differences, and the arg-max term breaks ties lexicographically.
+    *
+    * Scale design: one exchange builds (source, term) counts; term
+    * totals re-aggregate those partials map-side; the top-100 term set
+    * and the per-source token totals are tiny broadcasts, so the
+    * source×term drift grid (n_sources × 100 rows) never shuffles the
+    * corpus again. At 100 TB the only big job is the first token
+    * count — exactly the d02 shape. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docsWithToks(spark, sfDir)
+      .select($"source", explode($"toks").as("term"))
+    val st = tok.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val totSrc = st.groupBy($"source").agg(sum($"tf").as("tot_src"))
+    val termTot = st.groupBy($"term").agg(sum($"tf").as("tf_all"))
+    val top = termTot.orderBy($"tf_all".desc, $"term").limit(DriftTerms)
+    val grid = broadcast(totSrc).crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(termTot.agg(sum($"tf_all").as("tot_all"))))
+      .withColumn("diff_ppb", abs(
+        Det.fdiv($"tf" * 1000000000L, $"tot_src") -
+          Det.fdiv($"tf_all" * 1000000000L, $"tot_all")))
+    grid
+      .withColumn("rn", row_number().over(Window.partitionBy($"source")
+        .orderBy($"diff_ppb".desc, $"term")))
+      .withColumn("drift_ppb",
+        sum($"diff_ppb").over(Window.partitionBy($"source")))
+      .filter($"rn" === 1)
+      .select($"source", $"tot_src".as("total_tokens"), $"drift_ppb",
+        $"term".as("top_term"), $"diff_ppb".as("top_term_ppb"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d43_source_drift"  -> sourceDrift _,
     "d01_exact_dedup"   -> exactDedup _,
     "d29_pagerank"      -> pageRank _,
     "d30_novelty"       -> noveltyScore _,
@@ -1723,7 +1776,42 @@ object TextOps {
        |  FROM b$i)""".stripMargin
   }
 
+  private val D = Det.sql
+
   val oracles: Map[String, String] = Map(
+    // drift_ppb sums BIGINTs (HUGEINT in DuckDB) → CAST back on output;
+    // rates mirror Det.fdiv exactly (non-negative here, but keep the
+    // explicit floor for symmetry with the Spark side)
+    "d43_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS term
+         |  FROM documents),
+         |st AS (SELECT source, term, count(*) AS tf FROM tok
+         |  GROUP BY source, term),
+         |tot_src AS (SELECT source, CAST(sum(tf) AS BIGINT) AS tot_src
+         |  FROM st GROUP BY source),
+         |term_tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_all
+         |  FROM st GROUP BY term),
+         |top AS (SELECT term, tf_all FROM term_tot
+         |  ORDER BY tf_all DESC, term LIMIT $DriftTerms),
+         |tot_all AS (SELECT CAST(sum(tf_all) AS BIGINT) AS tot_all
+         |  FROM term_tot),
+         |grid AS (SELECT s.source, t.term, s.tot_src, t.tf_all, a.tot_all,
+         |    COALESCE(st.tf, 0) AS tf
+         |  FROM tot_src s CROSS JOIN top t CROSS JOIN tot_all a
+         |  LEFT JOIN st ON st.source = s.source AND st.term = t.term),
+         |d AS (SELECT source, term, tot_src,
+         |    abs(${D.fdiv("tf * 1000000000", "tot_src")} -
+         |        ${D.fdiv("tf_all * 1000000000", "tot_all")}) AS diff_ppb
+         |  FROM grid),
+         |r AS (SELECT source, term, tot_src, diff_ppb,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY diff_ppb DESC, term) AS rn,
+         |    CAST(sum(diff_ppb) OVER (PARTITION BY source) AS BIGINT)
+         |      AS drift_ppb
+         |  FROM d)
+         |SELECT source, tot_src AS total_tokens, drift_ppb,
+         |  term AS top_term, diff_ppb AS top_term_ppb
+         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "d36_bpe_merges" ->
       s"""WITH t0 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
          |  SELECT doc_id, unnest([{'pos': g, 'tok': toks[g]}

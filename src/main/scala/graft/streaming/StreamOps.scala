@@ -1273,6 +1273,63 @@ object StreamOps {
       .orderBy($"trade_id")
   }
 
+  private val anomalyDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s30: streaming rolling z-score anomalies — the ingest face of e39
+    * (the same pairing as d30/s26 and e36/s25): events arrive in two
+    * time-partitioned micro-batches, each user's trailing-20 window is
+    * carried in [[RollingAnomalyProcessor]] RocksDB state across the
+    * batch boundary, and the declared result — the corpus-wide top-20
+    * by exact integer z² — must equal the e39 batch oracle computed
+    * over the whole month at once (incremental assembly ≡ batch truth).
+    *
+    * Scale design: per event, one bounded state read/write (≤ 20 longs
+    * per live key); no window sort of the history, no rescan — the cost
+    * model of per-entity monitoring over an unbounded stream. The final
+    * top-20 is a TakeOrdered over only the emitted scores. */
+  def streamRollingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(anomalyDirs, sfDir, "events.parquet",
+        "graft_anomaly") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+          col("value"))
+      // time-partitioned batches: the trailing window must cross the
+      // boundary via state, never via reordering
+      val cutUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      Seq(ev.filter(col("ts_us") < cutUs), ev.filter(col("ts_us") >= cutUs))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts_us BIGINT, event_id BIGINT, cents BIGINT, " +
+        "value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[AnomalyEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RollingAnomalyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[AnomalyScore])
+      .toDF()
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s30", "update", Some(8),
+        noDataBatch = false)
+    }
+      .filter($"den" > 0)
+      .select($"event_id", $"user_id",
+        timestamp_micros($"ts_us").as("ts"),
+        round($"value", 2).as("value"),
+        graft.functions.Det.r4($"dev" * $"dev", $"den").as("z2"))
+      .orderBy($"z2".desc, $"event_id")
+      .limit(20)
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1415,9 +1472,14 @@ object StreamOps {
     "s26_stream_novelty"    -> streamNovelty _,
     "s27_stream_semi_join"  -> streamViewPurchaseSemi _,
     "s28_stream_dyn_sessions" -> streamDynamicSessions _,
+    "s30_stream_anomaly"    -> streamRollingAnomaly _,
   )
 
   val oracles: Map[String, String] = Map(
+    // the e39 batch oracle verbatim: streaming incremental assembly of
+    // the trailing-20 window must reproduce the batch window sort
+    "s30_stream_anomaly" ->
+      graft.operators.Events.oracles("e39_rolling_anomaly"),
     // the d37 top-CTE truth (no postings): the streamed index snapshot
     // must equal the whole-corpus batch computation
     "s29_stream_index" ->

@@ -807,6 +807,122 @@ class GraftSpec extends AnyFunSuite {
       assert(v >= 1 && v <= 5)
     }
   }
+
+  test("e39 rolling anomaly equals a direct trailing-20 recomputation") {
+    import spark.implicits._
+    val got = Events.rollingAnomalies(spark, sf).collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    // direct recomputation from the raw events, per user in time order
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    val scores = byUser.values.flatMap { evs =>
+      val s = evs.sortBy(e => (e._2, e._3))
+      s.indices.drop(20).flatMap { i =>
+        val win = s.slice(i - 20, i).map(_._4)
+        val (sx, sxx) = (win.sum, win.map(v => v * v).sum)
+        val dev = 20L * s(i)._4 - sx
+        val den = 20L * sxx - sx * sx
+        if (den > 0) Some(s(i)._3 -> (dev * dev, den)) else None
+      }
+    }.toMap
+    got.foreach { r =>
+      val (num, den) = scores(r.getAs[Long]("event_id"))
+      val z2 = ((num * 20000L + den) / (den * 2L)) / 10000.0
+      assert(r.getAs[Double]("z2") == z2)
+    }
+    // the declared rows are the global top-20: no recomputed score
+    // beats the smallest reported one (compared after the same 4-dp
+    // rounding the query ranks by; ties lose on event_id)
+    def z2r(num: Long, den: Long): Double =
+      ((num * 20000L + den) / (den * 2L)) / 10000.0
+    val minReported = got.map(_.getAs[Double]("z2")).min
+    val reported = got.map(_.getAs[Long]("event_id")).toSet
+    scores.foreach { case (id, (num, den)) =>
+      if (!reported.contains(id))
+        assert(z2r(num, den) <= minReported, s"event $id")
+    }
+  }
+
+  test("e40 grid interpolation stays between its neighbor values") {
+    import spark.implicits._
+    val out = Events.gridInterpolate(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every grid point lies strictly inside its user's event span and
+    // every interpolated value within the user's [min, max] value range
+    val span = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"ts").as("t0"),
+        org.apache.spark.sql.functions.max($"ts").as("t1"),
+        org.apache.spark.sql.functions.min($"value").as("lo"),
+        org.apache.spark.sql.functions.max($"value").as("hi"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[java.sql.Timestamp]("t0"), r.getAs[java.sql.Timestamp]("t1"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    out.foreach { r =>
+      val (t0, t1, lo, hi) = span(r.getAs[Long]("user_id"))
+      val g = r.getAs[java.sql.Timestamp]("grid_ts")
+      assert(g.after(t0) && !g.after(t1))
+      val v = r.getAs[Double]("interp_value")
+      // cents rounding of the endpoints can nudge the bound by ±0.01
+      assert(v >= lo - 0.01 && v <= hi + 0.01)
+    }
+  }
+
+  test("e41 CUSUM equals the direct max(0, C+y) recursion per user") {
+    import spark.implicits._
+    val got = Events.cusumChangepoint(spark, sf).collect()
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val s = byUser(u).sortBy(e => (e._2, e._3))
+      val n = s.length.toLong
+      val sx = s.map(_._4).sum
+      var c = 0L; var cmax = 0L; var arg: (Long, Long) = (0L, 0L)
+      s.foreach { e =>
+        c = math.max(0L, c + (n * e._4 - sx))
+        if (c > cmax) { cmax = c; arg = (e._2, e._3) }
+      }
+      assert(r.getAs[Long]("n_events") == n)
+      val den = n * 100L
+      val want = ((cmax * 20000L + den) / (den * 2L)) / 10000.0
+      assert(r.getAs[Double]("cusum_max") == want)
+      if (cmax > 0) {
+        assert(r.getAs[java.sql.Timestamp]("cp_ts").getTime == arg._1)
+        assert(r.getAs[Long]("cp_event_id") == arg._2)
+      }
+    }
+  }
+
+  test("d43 drift: totals recompute, bounds hold, argmax dominates") {
+    import spark.implicits._
+    val out = TextOps.sourceDrift(spark, sf).collect()
+    val tot = Tables.documents(spark, sf)
+      .select($"source", org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split($"text", " "))
+        .cast("long").as("n"))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("t")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    assert(out.length == tot.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == tot(r.getAs[String]("source")))
+      val drift = r.getAs[Long]("drift_ppb")
+      val top = r.getAs[Long]("top_term_ppb")
+      // TV-style sum of |rate diffs| over a term subset ≤ 2·10⁹
+      assert(drift >= 0 && drift <= 2000000000L)
+      assert(top >= 0 && top <= drift)
+    }
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {
@@ -868,6 +984,16 @@ class StreamingSpec extends AnyFunSuite {
     val batch = t.join(matched, Seq("trade_id"), "left")
       .select($"trade_id", $"user_id", $"trade_ts", $"quote_ts",
         $"quote_value")
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
+  test("s30 streaming rolling anomaly equals the batch e39 result") {
+    val out = StreamOps.streamRollingAnomaly(spark, sf)
+    val batch = graft.operators.Events.rollingAnomalies(spark, sf)
+    // identical row SETS (both are the global top-20 by z² — ordering
+    // is re-asserted by the oracle's row-order hash)
+    assert(out.count() == batch.count())
     assert(out.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(out).count() == 0)
   }
