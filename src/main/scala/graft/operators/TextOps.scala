@@ -1601,7 +1601,12 @@ object TextOps {
     import spark.implicits._
     val tok = docsWithToks(spark, sfDir)
       .select($"source", explode($"toks").as("term"))
+    // st is referenced four times below (per-source totals, term totals,
+    // the grid probe, the corpus total); localCheckpoint materializes the
+    // vocab-sized aggregate once so the corpus explode+count runs exactly
+    // one scan — AQE exchange reuse only deduplicated 2 of the 4
     val st = tok.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val totSrc = st.groupBy($"source").agg(sum($"tf").as("tot_src"))
     val termTot = st.groupBy($"term").agg(sum($"tf").as("tf_all"))
     val top = termTot.orderBy($"tf_all".desc, $"term").limit(DriftTerms)

@@ -296,4 +296,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"candidate list not broadcast by AQE:\n$plan")
   }
+
+  test("e41 CUSUM costs one hash exchange; argmax runs as a group limit") {
+    val plan = planOf(operators.Events.cusumChangepoint(spark, sf))
+    assert(!plan.contains("Join"), s"CUSUM must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"CUSUM expected one hash exchange, got $exchanges:\n$plan")
+    // the rn=1 filter must push into the window sort as a group limit
+    // (top-1 per key is computed during the sort, not after it)
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmax not planned as a window group limit:\n$plan")
+  }
+
+  test("d43 drift: corpus counted once (checkpoint), grid joins broadcast") {
+    val df = operators.TextOps.sourceDrift(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the vocab aggregate is localCheckpointed: the final plan reads the
+    // materialized RDD; the corpus parquet scan must not reappear
+    assert(!plan.contains("Scan parquet"),
+      s"corpus rescanned past the vocab checkpoint:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"drift grid must assemble by broadcast, not SMJ:\n$plan")
+  }
 }
