@@ -664,10 +664,43 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** e42: OHLC candle bars — the canonical time-series downsampling
+    * (ticks → daily open/high/low/close + volume per entity) every
+    * market-data and metrics pipeline materializes. Open/close are
+    * picked by a deterministic (ts, event_id) total order via ONE
+    * row_number pass (rn == 1 / rn == n), not per-field argmin/argmax
+    * builtins whose tie rules differ across engines; volume is the
+    * exact decimal sum.
+    *
+    * Scale design: one exchange on (user_id, day) serves the window
+    * sort and the aggregation that follows it (same keys — no second
+    * shuffle); per-bar cost is linear in that bar's ticks. The bar
+    * table is |entities|·|days| rows — the standard pre-aggregation
+    * that makes downstream chart/range queries cheap at 100 TB. */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    val part = Window.partitionBy($"user_id", $"day")
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_trunc("DAY", $"ts").cast("date"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy($"user_id", $"day")
+      .agg(
+        max(when($"rn" === 1, round($"value", 2))).as("open"),
+        max(round($"value", 2)).as("high"),
+        min(round($"value", 2)).as("low"),
+        max(when($"rn" === $"cnt", round($"value", 2))).as("close"),
+        count(lit(1)).as("n_ticks"),
+        Det.dsum($"value").as("volume"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e39_rolling_anomaly" -> rollingAnomalies _,
     "e40_grid_interpolate" -> gridInterpolate _,
     "e41_cusum_changepoint" -> cusumChangepoint _,
+    "e42_ohlc_bars" -> ohlcBars _,
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
@@ -775,6 +808,25 @@ object Events {
          |  ${D.r4("cusum", "n * 100")} AS cusum_max,
          |  ts AS cp_ts, event_id AS cp_event_id
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // open/close via the same rn==1 / rn==cnt total order as the Spark
+    // side — argmin/argmax builtins are deliberately avoided
+    "e42_ohlc_bars" ->
+      s"""WITH t AS (SELECT user_id,
+         |    CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    round(value, 2) AS value, ${D.dec4("value")} AS v4,
+         |    row_number() OVER win AS rn,
+         |    count(*) OVER (PARTITION BY user_id, date_trunc('day', ts))
+         |      AS cnt
+         |  FROM events
+         |  WINDOW win AS (PARTITION BY user_id, date_trunc('day', ts)
+         |    ORDER BY ts, event_id))
+         |SELECT user_id, day,
+         |  max(CASE WHEN rn = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn = cnt THEN value END) AS close,
+         |  count(*) AS n_ticks,
+         |  round(CAST(sum(v4) AS DOUBLE), 2) AS volume
+         |FROM t GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
     // the same 6-dp z-normalization + 10⁻⁴ distance ranking as the
     // Spark side; the z-normalized query pattern is interpolated from
     // the SAME Scala constants (SubqPattern)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -1330,6 +1330,73 @@ object StreamOps {
       .limit(20)
   }
 
+  /** Baseline/monitor split instant for s31, shared verbatim with its
+    * oracle SQL (the cut is part of the query's semantics, unlike s30's
+    * batch boundary which only shapes delivery). */
+  private[graft] val CusumCut = "2024-01-15 00:00:00"
+
+  private val cusumDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s31: streaming CUSUM mean-shift monitoring — the prospective
+    * companion to the e41 batch scan: the first 14 days fix each user's
+    * baseline level, the rest of the month is monitored against it with
+    * [[CusumProcessor]]'s stateful max(0, C + y) recursion, and the
+    * declared result is each monitored user's peak statistic with the
+    * first event attaining it. Unlike e41, the reference level excludes
+    * the future — this is the alerting semantics, and its oracle is a
+    * different query (baseline join + prefix identity over the monitor
+    * window only).
+    *
+    * Scale design: three longs of state per key, one state roundtrip
+    * per event, no baseline rescan; the post-stream reduction touches
+    * only emitted points. */
+  def streamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(cusumDirs, sfDir, "events.parquet",
+        "graft_cusum") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      val cut = to_timestamp(lit(CusumCut))
+      def side(f: Column, tag: String) = ev.filter(f)
+        .select(col("user_id"), lit(tag).as("side"), col("ts_us"),
+          col("event_id"), col("cents"))
+      Seq(side(col("ts") < cut, "B"), side(col("ts") >= cut, "M"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, side STRING, ts_us BIGINT, event_id BIGINT, " +
+        "cents BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[CusumEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[CusumPoint])
+      .toDF()
+    val pts = withRocksDb(spark) {
+      runToMemory(stream, "graft_s31", "update", Some(8),
+        noDataBatch = false)
+    }
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+    pts
+      .withColumn("rn", row_number().over(
+        byUser.orderBy($"c".desc, $"ts_us", $"event_id")))
+      .withColumn("n_mon", count(lit(1)).over(byUser))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_base", $"n_mon",
+        graft.functions.Det.r4($"c", $"n_base" * 100L).as("cusum_max"),
+        timestamp_micros($"ts_us").as("cp_ts"),
+        $"event_id".as("cp_event_id"))
+      .orderBy($"user_id")
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1473,6 +1540,7 @@ object StreamOps {
     "s27_stream_semi_join"  -> streamViewPurchaseSemi _,
     "s28_stream_dyn_sessions" -> streamDynamicSessions _,
     "s30_stream_anomaly"    -> streamRollingAnomaly _,
+    "s31_stream_cusum"      -> streamCusum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1480,6 +1548,37 @@ object StreamOps {
     // the trailing-20 window must reproduce the batch window sort
     "s30_stream_anomaly" ->
       graft.operators.Events.oracles("e39_rolling_anomaly"),
+    // fixed-baseline CUSUM via the same prefix-sum identity as e41's
+    // oracle, restricted to the monitor window; c goes HUGEINT mid-CTE,
+    // the output is r4's DOUBLE (the d29/d30 lesson)
+    "s31_stream_cusum" ->
+      s"""WITH base AS (SELECT user_id, count(*) AS n0,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS s0
+         |  FROM events WHERE ts < TIMESTAMP '$CusumCut'
+         |  GROUP BY user_id),
+         |mon AS (SELECT e.user_id, e.ts, e.event_id,
+         |    CAST(round(e.value * 100, 0) AS BIGINT) AS cents, b.n0, b.s0
+         |  FROM events e JOIN base b ON b.user_id = e.user_id
+         |  WHERE e.ts >= TIMESTAMP '$CusumCut'),
+         |p AS (SELECT user_id, ts, event_id, n0,
+         |    sum(n0 * cents - s0) OVER win AS p
+         |  FROM mon
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |cu AS (SELECT user_id, ts, event_id, n0,
+         |    p - least(0, min(p) OVER win) AS c
+         |  FROM p
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |r AS (SELECT user_id, ts, event_id, n0, c,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY c DESC, ts, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_mon
+         |  FROM cu)
+         |SELECT user_id, n0 AS n_base, n_mon,
+         |  ${graft.functions.Det.sql.r4("c", "n0 * 100")} AS cusum_max,
+         |  ts AS cp_ts, event_id AS cp_event_id
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the d37 top-CTE truth (no postings): the streamed index snapshot
     // must equal the whole-corpus batch computation
     "s29_stream_index" ->

@@ -903,6 +903,25 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("e42 OHLC bars: invariants hold and ticks partition exactly") {
+    import spark.implicits._
+    val out = Events.ohlcBars(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+      assert(r.getAs[Long]("n_ticks") >= 1)
+    }
+    // every event lands in exactly one bar
+    assert(out.map(_.getAs[Long]("n_ticks")).sum ==
+      Tables.events(spark, sf).count())
+    // bars are unique per (user, day)
+    val keys = out.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("d43 drift: totals recompute, bounds hold, argmax dominates") {
     import spark.implicits._
     val out = TextOps.sourceDrift(spark, sf).collect()
@@ -986,6 +1005,45 @@ class StreamingSpec extends AnyFunSuite {
         $"quote_value")
     assert(out.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(out).count() == 0)
+  }
+
+  test("s31 streaming CUSUM equals the direct baseline-then-monitor recursion") {
+    import spark.implicits._
+    val out = StreamOps.streamCusum(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), math.round(r.getAs[Double]("value") * 100)))
+    val byUser = evs.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, rows) =>
+      val (base, mon) = rows.partition(_._2.before(cut))
+      if (base.isEmpty || mon.isEmpty) None else {
+        val n0 = base.length.toLong
+        val s0 = base.map(_._4).sum
+        var c = 0L; var cmax = 0L
+        var arg: (java.sql.Timestamp, Long) = (null, 0L)
+        mon.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
+          c = math.max(0L, c + (n0 * e._4 - s0))
+          if (arg._1 == null || c > cmax) { cmax = c; arg = (e._2, e._3) }
+        }
+        Some(u -> (n0, mon.length.toLong, cmax, arg))
+      }
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n0, nm, cmax, arg) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_base") == n0)
+      assert(r.getAs[Long]("n_mon") == nm)
+      val den = n0 * 100L
+      assert(r.getAs[Double]("cusum_max") ==
+        ((cmax * 20000L + den) / (den * 2L)) / 10000.0)
+      if (cmax > 0) {
+        assert(r.getAs[java.sql.Timestamp]("cp_ts") == arg._1)
+        assert(r.getAs[Long]("cp_event_id") == arg._2)
+      }
+    }
   }
 
   test("s30 streaming rolling anomaly equals the batch e39 result") {
