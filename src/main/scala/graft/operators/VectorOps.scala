@@ -798,7 +798,74 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Power-iteration rounds for v20 — MUST match the oracle's unrolled
+    * CTE chain ([[pcaIterCtes]]). */
+  private[graft] val PcaIters = 8
+  /** Embedding dimensionality (fixture contract, see FIXTURES.md). */
+  private[graft] val PcaDim = 64
+
+  /** v20: top principal component by deterministic integer power
+    * iteration — the dimensionality-reduction step (whitening, energy
+    * compaction before PQ, embedding-drift axes) the vector suite's
+    * k-means/IVF/PQ ops presuppose. Two stages:
+    *
+    *  1. ONE distributed pass builds the exact integer second moments
+    *     ([[graft.functions.GramAggregator]]: Σm, Σmᵀm, n over
+    *     milli-quantized vectors; partial buffers merge map-side — at
+    *     100 TB this shuffles one (d²+d)-long buffer per partition,
+    *     never pair rows). The d×d result is a bounded scalar collect,
+    *     constant in corpus size — the v09 centroid-collect contract.
+    *  2. The centered matrix A = Σmm − µSᵀ − Sµᵀ + nµµᵀ (µ = half-up
+    *     integer mean) is downscaled to |a| ≤ ~10⁹ and run through
+    *     [[PcaIters]] power-iteration rounds, each renormalizing to
+    *     max|v| = 10⁶ by floor division — O(d²) driver work,
+    *     independent of data size. All arithmetic is arbitrary-
+    *     precision integers mirroring DuckDB's HUGEINT widening, so
+    *     the oracle's unrolled CTE chain reproduces every intermediate
+    *     bit-for-bit; the all-ones start vector fixes the eigenvector
+    *     sign deterministically.
+    *
+    * The declared contract is the deterministic [[PcaIters]]-round
+    * iterate, not ε-convergence: the fixture embeddings are
+    * near-isotropic (top eigenvalue gap ratio ≈ 0.93–0.99), where ANY
+    * fixed-round power method is far from converged — a production run
+    * picks the round count from the observed spectrum (each extra
+    * round is one more tiny chained job; the corpus pass doesn't
+    * repeat). */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+        .as("m"))
+      .as[Array[Long]]
+      .select(graft.functions.GramAggregator.toColumn)
+      .head()
+    val d = g.sums.length
+    require(d == PcaDim, s"embedding dim $d != fixture contract $PcaDim")
+    val n = BigInt(g.n)
+    def fd(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+    val s = g.sums.map(BigInt(_))
+    val mu = s.map(x => fd(2 * x + n, 2 * n))
+    val a0 = Array.tabulate(d, d) { (j, k) =>
+      BigInt(g.gram(j * d + k)) - mu(j) * s(k) - mu(k) * s(j) + n * mu(j) * mu(k)
+    }
+    val div = a0.flatten.map(_.abs).max / BigInt(1000000000L) + 1
+    val a = a0.map(_.map(fd(_, div)))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(k => a(j)(k) * v(k)).sum)
+      val mw = w.map(_.abs).max
+      v = if (mw == 0) w else w.map(x => fd(x * 1000000, mw))
+    }
+    (0 until d).map(j => (j.toLong, mu(j).toLong, v(j).toLong))
+      .toDF("dim_idx", "mu_milli", "loading_micro")
+      .orderBy($"dim_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_pca_power"       -> pcaPower _,
     "v16_mmr_diversify"   -> mmrDiversify _,
     "v17_search_expand"   -> searchExpand _,
     "v01_cosine_topk"     -> cosineTopK _,
@@ -900,7 +967,49 @@ object VectorOps {
        |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
   }.mkString(",\n")
 
+  /** Unrolled power-iteration CTE chain for v20's oracle — one
+    * (multiply, renormalize) round per [[PcaIters]], mirroring the
+    * Scala loop's integer ops exactly (HUGEINT ≡ BigInt). */
+  private def pcaIterCtes: String = {
+    val F = graft.functions.Det.sql
+    (1 to PcaIters).map { i =>
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS (SELECT a.j AS j, sum(a.a * v.v) AS w
+         |  FROM amat a JOIN $pv v ON v.j = a.k GROUP BY a.j),
+         |n$i AS (SELECT max(abs(w)) AS mw FROM w$i),
+         |v$i AS (SELECT j, CASE WHEN mw = 0 THEN w
+         |  ELSE ${F.fdiv("w * 1000000", "mw")} END AS v
+         |  FROM w$i, n$i)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    // integer power iteration: every CTE stays HUGEINT-exact mid-chain
+    // (mirrored by BigInt on the Spark side); outputs CAST to BIGINT
+    "v20_pca_power" -> {
+      val F = graft.functions.Det.sql
+      s"""WITH m AS (SELECT vec_id, t.i AS j,
+         |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000, 0)
+         |      AS BIGINT) AS m
+         |  FROM embeddings, range(0, $PcaDim) t(i)),
+         |mu AS (SELECT j, sum(m) AS s, count(*) AS n,
+         |    ${F.fdiv("2 * sum(m) + count(*)", "2 * count(*)")} AS mu
+         |  FROM m GROUP BY j),
+         |gram AS (SELECT a.j AS j, b.j AS k, sum(a.m * b.m) AS mm
+         |  FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
+         |amat0 AS (SELECT g.j, g.k,
+         |    g.mm - x.mu * y.s - y.mu * x.s + x.n * x.mu * y.mu AS a
+         |  FROM gram g JOIN mu x ON x.j = g.j JOIN mu y ON y.j = g.k),
+         |adiv AS (SELECT max(abs(a)) // 1000000000 + 1 AS dv FROM amat0),
+         |amat AS (SELECT j, k, ${F.fdiv("a", "dv")} AS a
+         |  FROM amat0, adiv),
+         |v0 AS (SELECT t.i AS j, 1000000 AS v FROM range(0, $PcaDim) t(i)),
+         |$pcaIterCtes
+         |SELECT v.j AS dim_idx, CAST(mu.mu AS BIGINT) AS mu_milli,
+         |  CAST(v.v AS BIGINT) AS loading_micro
+         |FROM v$PcaIters v JOIN mu ON mu.j = v.j
+         |ORDER BY dim_idx""".stripMargin
+    },
     // d28's scoring CTE (shared text) seeds v01's cosine expansion
     "v17_search_expand" ->
       s"""WITH ${graft.operators.TextOps.bm25Cte},

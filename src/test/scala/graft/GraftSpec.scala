@@ -808,6 +808,49 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("v20 PCA loading aligns with a double-precision eigenvector") {
+    import spark.implicits._
+    val out = VectorOps.pcaPower(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dim_idx"))
+    val load = out.map(_.getAs[Long]("loading_micro").toDouble)
+    assert(out.length == 64)
+    // renormalized to max|v| = 1e6 every round
+    assert(load.map(math.abs).max == 1e6)
+    // reference: double-precision covariance + the SAME number of
+    // power-iteration rounds (the declared contract is the
+    // deterministic k-round iterate — the fixture embeddings are
+    // near-isotropic, so ε-convergence to THE eigenvector is not the
+    // contract; the integer pipeline must track the real iteration)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val d = 64
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((j, k) =>
+      vecs.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum)
+    def iterate(rounds: Int): Array[Double] = {
+      var v = Array.fill(d)(1.0)
+      for (_ <- 1 to rounds) {
+        val w = Array.tabulate(d)(j =>
+          (0 until d).map(k => cov(j)(k) * v(k)).sum)
+        v = w.map(_ / w.map(math.abs).max)
+      }
+      v
+    }
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum) /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(cosOf(load, iterate(VectorOps.PcaIters)) > 0.999,
+      "integer iterate diverged from the double-precision iteration")
+    // power-iteration property: the Rayleigh quotient never decreases
+    def rayleigh(v: Array[Double]): Double = {
+      val av = Array.tabulate(d)(j => (0 until d).map(k => cov(j)(k) * v(k)).sum)
+      v.zip(av).map { case (x, y) => x * y }.sum / v.map(x => x * x).sum
+    }
+    assert(rayleigh(load) > rayleigh(Array.fill(d)(1.0)),
+      "iterating did not improve the Rayleigh quotient")
+  }
+
   test("e39 rolling anomaly equals a direct trailing-20 recomputation") {
     import spark.implicits._
     val got = Events.rollingAnomalies(spark, sf).collect()
