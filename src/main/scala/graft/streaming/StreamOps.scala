@@ -660,6 +660,46 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** s32: sessionization by EVENT-TIME TIMERS — the third face of the
+    * e04 session contract (s09 = engine `session_window`, s22 =
+    * hand-rolled FMGWS, s32 = Processor-API timers à la Kafka Streams
+    * `punctuate(STREAM_TIME)`): open sessions live in
+    * [[TimerSessionProcessor]] state, and a registered event-time timer
+    * closes each one exactly when the watermark passes its extension
+    * horizon. All three must equal the e04 batch oracle — this declares
+    * the timer mechanism itself (previously spec-only in TimerTtlSpec)
+    * under the hash-compared correctness gate.
+    *
+    * The flush sentinel advances the watermark past every real
+    * session's close (s09's discipline); sentinel rows are filtered
+    * after the watermark operator and never enter state. */
+  def streamTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 2L * 3600L * 1000000L
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long").as("v4"))
+      .as[SessIn]
+    val stream = ev.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[SessOut])
+      .toDF()
+    withRocksDb(spark) {
+      runToMemory(stream, "graft_s32", "update", Some(8))
+    }
+      .select($"user_id",
+        timestamp_micros($"start_us").as("s_start"),
+        timestamp_micros($"end_us" + gapUs).as("s_end"),
+        $"n_events",
+        round($"sum4" / 10000.0, 2).as("sum_value"))
+      .orderBy($"user_id", $"s_start")
+  }
+
   // s10/s15 changelog dirs: derived from the fixture tables; cached per
   // (sfDir, fixture mtime) like flushDirs, cleaned on JVM exit
   private val fkStreamDirs =
@@ -1541,6 +1581,7 @@ object StreamOps {
     "s28_stream_dyn_sessions" -> streamDynamicSessions _,
     "s30_stream_anomaly"    -> streamRollingAnomaly _,
     "s31_stream_cusum"      -> streamCusum _,
+    "s32_timer_sessions"    -> streamTimerSessions _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1548,6 +1589,10 @@ object StreamOps {
     // the trailing-20 window must reproduce the batch window sort
     "s30_stream_anomaly" ->
       graft.operators.Events.oracles("e39_rolling_anomaly"),
+    // the e04 batch oracle verbatim: timer-closed sessions must equal
+    // the retrospective gaps-and-islands result (s09/s22's contract)
+    "s32_timer_sessions" ->
+      graft.operators.Events.oracles("e04_session_windows"),
     // fixed-baseline CUSUM via the same prefix-sum identity as e41's
     // oracle, restricted to the monitor window; c goes HUGEINT mid-CTE,
     // the output is r4's DOUBLE (the d29/d30 lesson)

@@ -1089,6 +1089,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s32 timer-closed sessions equal the batch session_window result") {
+    val out = StreamOps.streamTimerSessions(spark, sf)
+    val batch = graft.operators.Events.sessionWindows(spark, sf)
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
   test("s30 streaming rolling anomaly equals the batch e39 result") {
     val out = StreamOps.streamRollingAnomaly(spark, sf)
     val batch = graft.operators.Events.rollingAnomalies(spark, sf)
