@@ -490,6 +490,62 @@ object StreamOps {
       "graft_s01", "complete")
       .orderBy(col("w_start"), col("event_type"))
 
+  private val sinkDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s33: the SINK half of the `to(topic)` contract under the oracle
+    * gate — the s01 tumbling aggregation written through a REAL
+    * `writeStream.format("parquet")` file sink in append mode (final
+    * windows emit at watermark close via the flush sentinel, the only
+    * mode file sinks support), then read back from the sink's own
+    * output files. Round-tripping through the sink proves the emitted
+    * files — schema, values, window closure — not just the in-memory
+    * result: a dropped final window, a re-emitted update, or a schema
+    * drift in the sink path all change the hash.
+    *
+    * On a cluster the sink directory is the object-store landing zone
+    * and AvailableNow is the backfill trigger; exactly-once comes from
+    * the sink's transaction log (_spark_metadata), which this read-back
+    * honors. Cached per (sfDir, fixture mtime) like every derived
+    * scratch dir. */
+  def streamSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
+    val cached = sinkDirs.get(sfDir).filter(_._1 == srcMtime)
+    val dirStr = cached.map(_._2).getOrElse(sinkDirs.updateWith(sfDir) { _ =>
+      Some((srcMtime, {
+        val out = newTempDir("graft_s33_sink")
+        val ev = eventsStreamWithFlush(spark, sfDir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("ts") < flushBound)
+        val agg = ev
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try {
+          withRocksDb(spark) {
+            agg.writeStream
+              .format("parquet")
+              .option("path", out.toString)
+              .option("checkpointLocation",
+                newTempDir("graft_ckpt_s33").toString)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+              .awaitTermination()
+          }
+        } finally spark.conf.set(key, prev)
+        out.toString
+      }))
+    }.get._2)
+    spark.read.parquet(dirStr)
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Streaming KTable materialization, Complete mode. */
   def streamLatest(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(latestByKey(eventsStream(spark, sfDir)),
@@ -1582,7 +1638,14 @@ object StreamOps {
     "s30_stream_anomaly"    -> streamRollingAnomaly _,
     "s31_stream_cusum"      -> streamCusum _,
     "s32_timer_sessions"    -> streamTimerSessions _,
+    "s33_sink_roundtrip"    -> streamSinkRoundtrip _,
   )
+
+  private val tumblingOracle =
+    """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
+      |event_type, count(*) AS n,
+      |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the e39 batch oracle verbatim: streaming incremental assembly of
@@ -1770,11 +1833,12 @@ object StreamOps {
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY 1, 2 ORDER BY w_start, n_name""".stripMargin,
-    "s01_stream_tumbling" ->
-      """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
-        |event_type, count(*) AS n,
-        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "s01_stream_tumbling" -> tumblingOracle,
+    // the same tumbling contract, but the result ARRIVES through a real
+    // file sink (writeStream.format("parquet")) and is read back from
+    // the sink's output files — the to(topic)/sink row of §2 under the
+    // hash gate, not just a spec
+    "s33_sink_roundtrip" -> tumblingOracle,
     "s02_stream_latest" ->
       """SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

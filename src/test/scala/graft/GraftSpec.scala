@@ -1089,6 +1089,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s33 file-sink roundtrip equals the complete-mode streaming result") {
+    val viaSink = StreamOps.streamSinkRoundtrip(spark, sf)
+    val inMemory = StreamOps.streamTumbling(spark, sf)
+    assert(viaSink.count() == inMemory.count())
+    assert(viaSink.exceptAll(inMemory).count() == 0)
+    assert(inMemory.exceptAll(viaSink).count() == 0)
+  }
+
   test("s32 timer-closed sessions equal the batch session_window result") {
     val out = StreamOps.streamTimerSessions(spark, sf)
     val batch = graft.operators.Events.sessionWindows(spark, sf)
