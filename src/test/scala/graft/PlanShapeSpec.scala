@@ -297,6 +297,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate list not broadcast by AQE:\n$plan")
   }
 
+  test("e42 OHLC: window sort and aggregation share one hash exchange") {
+    val plan = planOf(operators.Events.ohlcBars(spark, sf))
+    assert(!plan.contains("Join"), s"OHLC must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"OHLC expected one hash exchange, got $exchanges:\n$plan")
+  }
+
   test("e41 CUSUM costs one hash exchange; argmax runs as a group limit") {
     val plan = planOf(operators.Events.cusumChangepoint(spark, sf))
     assert(!plan.contains("Join"), s"CUSUM must not join:\n$plan")
