@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -696,11 +696,64 @@ object Events {
       .orderBy($"user_id", $"day")
   }
 
+  /** e43: seasonality profiling — the hour-of-day baseline every
+    * metrics pipeline fits before it can ask "is this value unusual
+    * FOR 3 AM?": per user, the 24-bucket mean profile, the peak hour,
+    * and the seasonal strength (fraction of total variance the profile
+    * explains, 1 − SS_res/SS_tot — the seasonal-naive forecast's R²).
+    * Complements e39 (rolling z-score) and e41 (level shifts): those
+    * detect change against recent history, this scores against the
+    * key's own recurring daily pattern.
+    *
+    * Determinism: residuals are rounded to integer cents with the
+    * half-toward-+∞ rational rounding (fdiv(2·num + den, 2·den) —
+    * exact, negative-safe, mirrored by the oracle), so both sums of
+    * squares are exact BIGINTs; the only double is the final 4-dp
+    * strength and peak average. Envelope: Σr² ≤ n·(max|x|cents)² —
+    * Long-safe past 10⁸ events per key.
+    *
+    * Scale design: two exchanges — (user, hour) for the bucket frames,
+    * then user for the totals — and the peak-hour argmax and final
+    * aggregation reuse the second; no join forms (bucket stats ride
+    * the rows as window aggregates). */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r0(num: Column, den: Column): Column =
+      Det.fdiv(num * 2 + den, den * 2)
+    val wb = Window.partitionBy($"user_id", $"hod")
+    val wu = Window.partitionBy($"user_id")
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("hod", hour($"ts").cast("long"))
+      .withColumn("cnt_b", count(lit(1)).over(wb))
+      .withColumn("s_b", sum($"cents").over(wb))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("s", sum($"cents").over(wu))
+      .withColumn("r", r0($"cnt_b" * $"cents" - $"s_b", $"cnt_b"))
+      .withColumn("t", r0($"n" * $"cents" - $"s", $"n"))
+      .withColumn("mean_micro", Det.fdiv($"s_b" * 1000000L, $"cnt_b"))
+      .withColumn("rn", row_number().over(
+        wu.orderBy($"mean_micro".desc, $"hod")))
+      .groupBy($"user_id")
+      .agg(
+        max($"n").as("n_events"),
+        max(when($"rn" === 1, $"hod")).as("peak_hod"),
+        max(when($"rn" === 1, Det.r4($"s_b", $"cnt_b" * 100L)))
+          .as("peak_avg"),
+        sum($"r" * $"r").as("ss_res"),
+        sum($"t" * $"t").as("ss_tot"))
+      .select($"user_id", $"n_events", $"peak_hod", $"peak_avg",
+        Det.r4($"ss_tot" - $"ss_res", greatest($"ss_tot", lit(1L)))
+          .as("strength"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e39_rolling_anomaly" -> rollingAnomalies _,
     "e40_grid_interpolate" -> gridInterpolate _,
     "e41_cusum_changepoint" -> cusumChangepoint _,
     "e42_ohlc_bars" -> ohlcBars _,
+    "e43_seasonality" -> seasonality _,
     "e01_json_extract"   -> jsonExtract _,
     "e31_scd2_versions"  -> scd2Versions _,
     "e32_compaction_tombstones" -> compactionTombstones _,
@@ -808,6 +861,33 @@ object Events {
          |  ${D.r4("cusum", "n * 100")} AS cusum_max,
          |  ts AS cp_ts, event_id AS cp_event_id
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // ss_res/ss_tot go HUGEINT mid-CTE (windowed/grouped sums) — only
+    // r4's DOUBLE reaches the output schema; the rounding of residuals
+    // to integer cents mirrors Det.fdiv(2·num+den, 2·den) exactly
+    "e43_seasonality" ->
+      s"""WITH c AS (SELECT user_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         |    CAST(hour(ts) AS BIGINT) AS hod FROM events),
+         |w AS (SELECT user_id, cents, hod,
+         |    count(*) OVER wb AS cnt_b, sum(cents) OVER wb AS s_b,
+         |    count(*) OVER wu AS n, sum(cents) OVER wu AS s
+         |  FROM c
+         |  WINDOW wb AS (PARTITION BY user_id, hod),
+         |    wu AS (PARTITION BY user_id)),
+         |r AS (SELECT user_id, hod, cnt_b, s_b, n,
+         |    ${D.fdiv("2 * (cnt_b * cents - s_b) + cnt_b", "2 * cnt_b")} AS r,
+         |    ${D.fdiv("2 * (n * cents - s) + n", "2 * n")} AS t,
+         |    ${D.fdiv("s_b * 1000000", "cnt_b")} AS mean_micro
+         |  FROM w),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY mean_micro DESC, hod) AS rn FROM r)
+         |SELECT user_id, max(n) AS n_events,
+         |  max(CASE WHEN rn = 1 THEN hod END) AS peak_hod,
+         |  max(CASE WHEN rn = 1 THEN ${D.r4("s_b", "cnt_b * 100")} END)
+         |    AS peak_avg,
+         |  ${D.r4("sum(t * t) - sum(r * r)", "greatest(sum(t * t), 1)")}
+         |    AS strength
+         |FROM rk GROUP BY user_id ORDER BY user_id""".stripMargin,
     // open/close via the same rn==1 / rn==cnt total order as the Spark
     // side — argmin/argmax builtins are deliberately avoided
     "e42_ohlc_bars" ->

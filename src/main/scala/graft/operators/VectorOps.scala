@@ -798,6 +798,49 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Truncation width for v21 — the matryoshka prefix evaluated
+    * against the full-dimension ranking. */
+  private[graft] val TruncDim = 16
+
+  /** v21: truncated-dimension retrieval recall — the matryoshka /
+    * MRL evaluation a training pipeline runs before shipping shortened
+    * embeddings: how much of the exact full-64-dim top-10 does a
+    * first-[[TruncDim]]-dims cosine ranking recover at k = 1/5/10?
+    * The v18 recall harness with the candidate generator swapped from
+    * the IVF index to prefix truncation — the two share ranking and
+    * tiebreak conventions, so their recalls are directly comparable.
+    *
+    * Scale: both rankings broadcast the query vector and stream the
+    * corpus through one codegen'd cosine pass; the truncated pass reads
+    * 4× less vector data — exactly the economics truncation buys at
+    * 100 TB, measured here against its recall cost. */
+  def truncatedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+      .withColumn("vt", expr(s"slice(v, 1, $TruncDim)"))
+    val qt = e.filter($"vec_id" === 0).select($"vt".as("qvt"))
+    val tr = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qt))
+      .select($"vec_id",
+        round(call_function("graft_cosine", $"vt", $"qvt"), 6).as("cos"))
+      .withColumn("tr_rank",
+        row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
+      .select($"vec_id", $"tr_rank")
+    val exact = cosineTopK(spark, sfDir)
+      .withColumn("ex_rank",
+        row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
+      .filter($"ex_rank" <= 10)
+      .select($"vec_id", $"ex_rank")
+    val ks = Seq(1L, 5L, 10L).toDF("k")
+    ks.join(exact, $"ex_rank" <= $"k")
+      .join(tr, Seq("vec_id"), "left")
+      .groupBy($"k")
+      .agg(sum(when($"tr_rank" <= $"k", 1L).otherwise(0L)).as("n_hit"))
+      .select($"k", $"n_hit",
+        graft.functions.Det.r4($"n_hit", $"k").as("recall"))
+      .orderBy($"k")
+  }
+
   /** Power-iteration rounds for v20 — MUST match the oracle's unrolled
     * CTE chain ([[pcaIterCtes]]). */
   private[graft] val PcaIters = 8
@@ -866,6 +909,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v20_pca_power"       -> pcaPower _,
+    "v21_truncated_recall" -> truncatedRecall _,
     "v16_mmr_diversify"   -> mmrDiversify _,
     "v17_search_expand"   -> searchExpand _,
     "v01_cosine_topk"     -> cosineTopK _,
@@ -1116,6 +1160,28 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // v18's recall harness over the matryoshka-prefix candidate ranking
+    "v21_truncated_recall" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv,
+         |    embedding[1:$TruncDim]::DOUBLE[] AS qvt
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    embedding[1:$TruncDim]::DOUBLE[] AS vt
+         |  FROM embeddings WHERE vec_id <> 0),
+         |ex AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY round(${cos("e.v", "q.qv")}, 6) DESC, vec_id) AS ex_rank
+         |  FROM e CROSS JOIN q),
+         |tr AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY round(${cos("e.vt", "q.qvt")}, 6) DESC, vec_id) AS tr_rank
+         |  FROM e CROSS JOIN q),
+         |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k)
+         |SELECT k,
+         |  CAST(sum(CASE WHEN tr.tr_rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  ((CAST(sum(CASE WHEN tr.tr_rank <= k THEN 1 ELSE 0 END) AS BIGINT) * 20000 + k)
+         |    // (k * 2)) / 10000.0 AS recall
+         |FROM ks JOIN ex ON ex.ex_rank <= k
+         |LEFT JOIN tr ON tr.vec_id = ex.vec_id
+         |GROUP BY k ORDER BY k""".stripMargin,
     "v18_ann_recall" ->
       s"""WITH $ivfCte,
          |ex AS (SELECT vec_id, row_number() OVER (

@@ -965,6 +965,56 @@ class GraftSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("e43 seasonality equals a direct per-user profile recomputation") {
+    import spark.implicits._
+    val out = Events.seasonality(spark, sf).collect()
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").toInstant
+          .atZone(java.time.ZoneOffset.UTC).getHour.toLong,
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    assert(out.length == evs.size)
+    def r0(num: Long, den: Long): Long = Math.floorDiv(2 * num + den, 2 * den)
+    out.foreach { row =>
+      val rows = evs(row.getAs[Long]("user_id"))
+      val n = rows.length.toLong
+      val s = rows.map(_._3).sum
+      val prof = rows.groupBy(_._2).map { case (h, xs) =>
+        h -> (xs.length.toLong, xs.map(_._3).sum) }
+      val ssRes = rows.map { case (_, h, x) =>
+        val (cb, sb) = prof(h); val r = r0(cb * x - sb, cb); r * r }.sum
+      val ssTot = rows.map { case (_, _, x) =>
+        val t = r0(n * x - s, n); t * t }.sum
+      val den = math.max(ssTot, 1L)
+      val want = (((ssTot - ssRes) * 20000L + den) / (den * 2L)) / 10000.0
+      assert(row.getAs[Long]("n_events") == n)
+      assert(row.getAs[Double]("strength") == want)
+      val hod = row.getAs[Long]("peak_hod")
+      assert(hod >= 0 && hod <= 23)
+      // the peak hour's mean dominates every bucket (floored micro mean)
+      val (pc, ps) = prof(hod)
+      val peakMean = Math.floorDiv(ps * 1000000L, pc)
+      prof.foreach { case (h, (cb, sb)) =>
+        val m = Math.floorDiv(sb * 1000000L, cb)
+        assert(m < peakMean || (m == peakMean && h >= hod))
+      }
+    }
+  }
+
+  test("v21 truncated recall: bounded hits, exact harness rows") {
+    import spark.implicits._
+    val out = VectorOps.truncatedRecall(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
+    out.foreach { r =>
+      val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("n_hit"))
+      assert(h >= 0 && h <= k)
+      assert(r.getAs[Double]("recall") ==
+        ((h * 20000L + k) / (k * 2L)) / 10000.0)
+    }
+  }
+
   test("d43 drift: totals recompute, bounds hold, argmax dominates") {
     import spark.implicits._
     val out = TextOps.sourceDrift(spark, sf).collect()
