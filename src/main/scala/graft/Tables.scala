@@ -42,10 +42,25 @@ object Tables {
     *    same file as a naive timestamp, so wall-clock values agree). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts", col("ts").cast(TimestampType))
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** The single implementation of the two-generation `ts` contract —
+    * shared by the batch reader above and the streaming source builders
+    * in [[graft.streaming.StreamOps]], so batch and stream can never
+    * drift. The NTZ→LTZ cast is value-preserving ONLY under a UTC
+    * session timezone; failing fast here turns a silent whole-column
+    * timestamp shift (every window/hour/unix_micros downstream) into an
+    * immediate error for any new session builder that forgets the
+    * config. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    require(
+      df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft sessions must set spark.sql.session.timeZone=UTC — the " +
+        "events ts normalization (and every oracle comparison) depends on it")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df.withColumn("ts", col("ts").cast(TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

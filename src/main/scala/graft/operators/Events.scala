@@ -893,7 +893,7 @@ object Events {
     "e42_ohlc_bars" ->
       s"""WITH t AS (SELECT user_id,
          |    CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    round(value, 2) AS value, ${D.dec4("value")} AS v4,
+         |    round(value, 2) AS rv, ${D.dec4("value")} AS v4,
          |    row_number() OVER win AS rn,
          |    count(*) OVER (PARTITION BY user_id, date_trunc('day', ts))
          |      AS cnt
@@ -901,9 +901,9 @@ object Events {
          |  WINDOW win AS (PARTITION BY user_id, date_trunc('day', ts)
          |    ORDER BY ts, event_id))
          |SELECT user_id, day,
-         |  max(CASE WHEN rn = 1 THEN value END) AS open,
-         |  max(value) AS high, min(value) AS low,
-         |  max(CASE WHEN rn = cnt THEN value END) AS close,
+         |  max(CASE WHEN rn = 1 THEN rv END) AS open,
+         |  max(rv) AS high, min(rv) AS low,
+         |  max(CASE WHEN rn = cnt THEN rv END) AS close,
          |  count(*) AS n_ticks,
          |  round(CAST(sum(v4) AS DOUBLE), 2) AS volume
          |FROM t GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,

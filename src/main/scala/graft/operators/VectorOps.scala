@@ -819,10 +819,16 @@ object VectorOps {
     val e = embDouble(spark, sfDir)
       .withColumn("vt", expr(s"slice(v, 1, $TruncDim)"))
     val qt = e.filter($"vec_id" === 0).select($"vt".as("qvt"))
+    // TakeOrdered the truncated top-10 FIRST (per-partition heap +
+    // driver merge, the cosineTopK pattern), then rank the 10 survivors
+    // — recall@k≤10 never consults a deeper rank, and a partition-less
+    // row_number over the whole corpus would single-partition the sort
     val tr = e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(qt))
       .select($"vec_id",
         round(call_function("graft_cosine", $"vt", $"qvt"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
       .withColumn("tr_rank",
         row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
       .select($"vec_id", $"tr_rank")

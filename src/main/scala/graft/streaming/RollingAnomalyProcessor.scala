@@ -59,17 +59,23 @@ class RollingAnomalyProcessor
   override def handleInputRows(key: Long, rows: Iterator[AnomalyEvent],
       timers: TimerValues): Iterator[AnomalyScore] = {
     val out = scala.collection.mutable.ArrayBuffer[AnomalyScore]()
-    var vals = if (ring.exists()) ring.get().vals.toVector else Vector.empty[Long]
+    val vals = scala.collection.mutable.ArrayDeque.from(
+      if (ring.exists()) ring.get().vals else Seq.empty[Long])
+    // running Σx / Σx² maintained with the entering/leaving element —
+    // O(1) per event instead of an O(W) rescan on the hot path
+    var sx = 0L; var sxx = 0L
+    vals.foreach { v => sx += v; sxx += v * v }
     rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      if (vals.length == W) {
-        var sx = 0L; var sxx = 0L
-        vals.foreach { v => sx += v; sxx += v * v }
+      if (vals.length == W)
         out += AnomalyScore(e.event_id, key, e.ts_us, e.value,
           W.toLong * e.cents - sx, W.toLong * sxx - sx * sx)
+      vals.append(e.cents); sx += e.cents; sxx += e.cents * e.cents
+      if (vals.length > W) {
+        val old = vals.removeHead()
+        sx -= old; sxx -= old * old
       }
-      vals = (vals :+ e.cents).takeRight(W)
     }
-    ring.update(AnomalyRing(vals))
+    ring.update(AnomalyRing(vals.toSeq))
     out.iterator
   }
 }

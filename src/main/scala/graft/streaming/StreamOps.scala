@@ -91,15 +91,12 @@ object StreamOps {
   }
 
   /** Land `ts` on TIMESTAMP (LTZ) whatever the fixture's physical type
-    * is — nanos-as-long or µs-without-timezone (NTZ); see
-    * [[graft.Tables.events]] for the two-generation fixture history.
-    * The NTZ→LTZ cast is value-preserving under the engine-wide UTC
-    * session timezone. */
+    * is — delegates to [[graft.Tables.normalizeTs]], the single
+    * implementation of the two-generation contract (incl. its UTC
+    * session-timezone guard), so batch and stream reads can never
+    * drift. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df.withColumn("ts",
-      col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    graft.Tables.normalizeTs(df)
 
   /** The events file stream plus one far-future "__flush" row in a
     * second file. A finite stream's watermark only reaches

@@ -1104,7 +1104,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val out = StreamOps.streamCusum(spark, sf).collect()
     assert(out.nonEmpty)
-    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // parse as a UTC instant — Timestamp.valueOf would use the JVM
+    // default zone, diverging from the query's UTC-session cut on a
+    // non-UTC host
+    val cut = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
     val evs = Tables.events(spark, sf)
       .select($"user_id", $"ts", $"event_id", $"value").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
