@@ -157,10 +157,7 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val raw = spark.read.parquet(path)
-    val srcMtime = new java.io.File(path).lastModified()
-    val cached = flushDirs.get(sfDir).filter(_._1 == srcMtime)
-    val dirStr = cached.map(_._2).getOrElse(flushDirs.updateWith(sfDir) { _ =>
-      Some((srcMtime, {
+    val dirStr = cachedScratchDir(flushDirs, sfDir, "events.parquet") {
       val dir = newTempDir("graft_stream_flush")
       // One flush row PER event type: Catalyst pushes deterministic
       // event_type predicates below the EventTimeWatermark operator, so a
@@ -185,8 +182,7 @@ object StreamOps {
         dir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dir.toString
-      }))
-    }.get._2)
+    }
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(dirStr)
@@ -507,10 +503,7 @@ object StreamOps {
     * scratch dir. */
   def streamSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Det.dsum
-    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
-    val cached = sinkDirs.get(sfDir).filter(_._1 == srcMtime)
-    val dirStr = cached.map(_._2).getOrElse(sinkDirs.updateWith(sfDir) { _ =>
-      Some((srcMtime, {
+    val dirStr = cachedScratchDir(sinkDirs, sfDir, "events.parquet") {
         val out = newTempDir("graft_s33_sink")
         val ev = eventsStreamWithFlush(spark, sfDir)
           .withWatermark("ts", "10 minutes")
@@ -537,8 +530,7 @@ object StreamOps {
           }
         } finally spark.conf.set(key, prev)
         out.toString
-      }))
-    }.get._2)
+    }
     spark.read.parquet(dirStr)
       .orderBy(col("w_start"), col("event_type"))
   }
@@ -768,14 +760,26 @@ object StreamOps {
     * file-source stream with maxFilesPerTrigger=1 replays them as that
     * exact micro-batch sequence — the harness's stand-in for ordered
     * Kafka topic offsets. Cached per (sfDir, fixture mtime). */
+  /** Cache a derived scratch dir per (sfDir, source-fixture mtime) —
+    * THE idiom for every fixture-derived scratch location (flush dirs,
+    * changelog dirs, sink output): rebuild iff the driver regenerated
+    * the fixture in place. NOTE: `updateWith`'s remapping function may
+    * in principle re-run under contention; the driver surfaces invoke
+    * queries single-threaded, and a re-run would only build a duplicate
+    * scratch dir (both tracked for exit cleanup), never corrupt one. */
+  private[graft] def cachedScratchDir(cache:
+      scala.collection.concurrent.TrieMap[String, (Long, String)],
+      sfDir: String, srcFixture: String)(build: => String): String = {
+    val srcMtime = new java.io.File(s"$sfDir/$srcFixture").lastModified()
+    cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      cache.updateWith(sfDir) { _ => Some((srcMtime, build)) }.get._2)
+  }
+
   private[graft] def orderedBatchDir(cache:
       scala.collection.concurrent.TrieMap[String, (Long, String)],
       sfDir: String, srcFixture: String, prefix: String)(
-      batches: => Seq[DataFrame]): String = {
-    val srcMtime = new java.io.File(s"$sfDir/$srcFixture").lastModified()
-    cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
-      cache.updateWith(sfDir) { _ =>
-        Some((srcMtime, {
+      batches: => Seq[DataFrame]): String =
+    cachedScratchDir(cache, sfDir, srcFixture) {
           val dir = newTempDir(prefix)
           // each batch is its own Spark job — run them concurrently
           // (the scheduler interleaves them across the idle cores) and
@@ -797,9 +801,7 @@ object StreamOps {
           }}
           writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
           dir.toString
-        }))
-      }.get._2)
-  }
+    }
 
   /** transformWithState requires the RocksDB state store provider; set it
     * for the duration of `body` and restore the session values after.
