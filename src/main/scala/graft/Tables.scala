@@ -54,10 +54,17 @@ object Tables {
     * immediate error for any new session builder that forgets the
     * config. */
   private[graft] def normalizeTs(df: DataFrame): DataFrame = {
-    require(
-      df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "graft sessions must set spark.sql.session.timeZone=UTC — the " +
-        "events ts normalization (and every oracle comparison) depends on it")
+    // Accept any zone id that RESOLVES to UTC ("UTC", "Etc/UTC", "+00:00",
+    // "Z", "GMT"…) — the cast is value-preserving under all of them; a
+    // strict string compare would reject equivalent configurations.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    val isUtc =
+      try java.time.ZoneId.of(tz).normalized == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"graft sessions must set spark.sql.session.timeZone to UTC (got " +
+        s"'$tz') — the events ts normalization (and every oracle " +
+        "comparison) depends on it")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df.withColumn("ts", col("ts").cast(TimestampType))

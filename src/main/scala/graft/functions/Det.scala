@@ -52,6 +52,23 @@ object Det {
   def r4(num: Column, den: Column): Column =
     fdiv(num * 20000L + den, den * 2L) / 10000.0
 
+  /** |num| < 2⁶³/20000 ≈ 4.61e14 — the [[r4]] precondition (num·20000
+    * must stay a Long). Guards compare an a-priori BOUND against a
+    * margin below this, not the computed value itself: a wrapped
+    * intermediate can land back in range, so only the envelope check
+    * is sound. */
+  val r4NumBound: Double = 4.0e14
+
+  /** Fail-fast integer-envelope guard: returns `v` when `bound` (an
+    * a-priori per-key bound on the intermediate magnitudes, computed in
+    * DOUBLE so the check itself cannot wrap) is below `limit`, else
+    * raises with `tag`. The CASE/raise_error pattern stays inside
+    * whole-stage codegen — per-output-row cost, not per-input-row. */
+  def guarded(v: Column, bound: Column, limit: Double, tag: String): Column =
+    when(bound < limit, v).otherwise(raise_error(concat(
+      lit(s"$tag: int64 envelope exceeded (bound "), bound.cast("string"),
+      lit(s" >= $limit) — rerun with DECIMAL(38) arithmetic"))))
+
   /** SQL fragments for the DuckDB oracle, mirroring the above exactly. */
   object sql {
     def dec4(e: String): String = s"CAST($e AS DECIMAL(18,4))"

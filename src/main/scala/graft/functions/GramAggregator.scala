@@ -24,6 +24,12 @@ object GramAggregator
 
   override def reduce(b: GramBuf, m: Array[Long]): GramBuf = {
     val d = m.length
+    // Ragged input must fail fast: indexing the buffer with THIS row's d
+    // would silently scatter products into wrong Gram cells (shorter row)
+    // or throw AIOOBE (longer row); a post-hoc dimension check on the
+    // aggregate cannot see rows that happened to match the first one.
+    require(b.sums.isEmpty || d == b.sums.length,
+      s"GramAggregator: ragged vector length $d, expected ${b.sums.length}")
     val sums = if (b.sums.isEmpty) new Array[Long](d) else b.sums
     val gram = if (b.gram.isEmpty) new Array[Long](d * d) else b.gram
     var j = 0
@@ -41,6 +47,9 @@ object GramAggregator
     if (a.sums.isEmpty) b
     else if (b.sums.isEmpty) a
     else {
+      require(a.sums.length == b.sums.length,
+        s"GramAggregator: merging buffers of dims ${a.sums.length} and " +
+          s"${b.sums.length} — input vectors are ragged")
       var i = 0
       while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
       i = 0

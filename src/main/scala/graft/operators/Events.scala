@@ -637,8 +637,13 @@ object Events {
     * (y_t = n·x_t − Σx — exactly n·(x_t − mean) with no division), so
     * every P_t, the running min, and C_max are exact BIGINTs; the only
     * division is the final 4-dp report via [[Det.r4]]. Envelope:
-    * |P_t| ≤ n²·max|x| — fine to ~10⁶ events per key in cents; beyond
-    * that the same query runs with DECIMAL(38) residuals.
+    * |P_t| ≤ 2n²·max|cents|, and r4 additionally needs |C_max| <
+    * 2⁶³/20000 ≈ 4.6e14 — a per-key [[Det.guarded]] check on the
+    * a-priori bound (double arithmetic, so the check itself cannot
+    * wrap) fails fast with instructions to rerun in DECIMAL(38)
+    * instead of silently wrapping; at typical cent magnitudes (~10⁴)
+    * that admits ~10⁵ events per key, far above any per-entity
+    * history here.
     *
     * Scale design: ONE exchange on user_id serves the running sum, the
     * running min, and the per-user argmax row_number — three window
@@ -653,13 +658,16 @@ object Events {
       .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
       .withColumn("n", count(lit(1)).over(byUser))
       .withColumn("sx", sum($"cents").over(byUser))
+      .withColumn("maxc", max(abs($"cents")).over(byUser))
       .withColumn("p", sum(lit(1L) * $"n" * $"cents" - $"sx").over(run))
       .withColumn("c", $"p" - least(lit(0L), min($"p").over(run)))
       .withColumn("rn", row_number().over(
         byUser.orderBy($"c".desc, $"ts", $"event_id")))
       .filter($"rn" === 1)
       .select($"user_id", $"n".as("n_events"),
-        Det.r4($"c", $"n" * 100L).as("cusum_max"),
+        Det.r4(Det.guarded($"c",
+          lit(2.0) * $"n" * $"n" * $"maxc", Det.r4NumBound, "e41"),
+          $"n" * 100L).as("cusum_max"),
         $"ts".as("cp_ts"), $"event_id".as("cp_event_id"))
       .orderBy($"user_id")
   }
@@ -709,8 +717,13 @@ object Events {
     * half-toward-+∞ rational rounding (fdiv(2·num + den, 2·den) —
     * exact, negative-safe, mirrored by the oracle), so both sums of
     * squares are exact BIGINTs; the only double is the final 4-dp
-    * strength and peak average. Envelope: Σr² ≤ n·(max|x|cents)² —
-    * Long-safe past 10⁸ events per key.
+    * strength and peak average. Envelope: the binding constraint is
+    * NOT the Long sum (Σt² ≤ 4n·max|cents|², wraps only past ~2×10¹⁸)
+    * but [[Det.r4]]'s |num| < 2⁶³/20000 ≈ 4.6e14 precondition on
+    * ss_tot — reached near 10⁶ events/key at typical cent magnitudes
+    * (~10⁴). A per-key [[Det.guarded]] check on the a-priori bound
+    * fails fast with a DECIMAL(38) pointer instead of silently
+    * diverging from the oracle (DuckDB widens to HUGEINT).
     *
     * Scale design: two exchanges — (user, hour) for the bucket frames,
     * then user for the totals — and the peak-hour argmax and final
@@ -741,10 +754,12 @@ object Events {
         max(when($"rn" === 1, Det.r4($"s_b", $"cnt_b" * 100L)))
           .as("peak_avg"),
         sum($"r" * $"r").as("ss_res"),
-        sum($"t" * $"t").as("ss_tot"))
+        sum($"t" * $"t").as("ss_tot"),
+        max(abs($"cents")).as("maxc"))
       .select($"user_id", $"n_events", $"peak_hod", $"peak_avg",
-        Det.r4($"ss_tot" - $"ss_res", greatest($"ss_tot", lit(1L)))
-          .as("strength"))
+        Det.r4(Det.guarded($"ss_tot" - $"ss_res",
+          lit(4.0) * $"n_events" * $"maxc" * $"maxc", Det.r4NumBound, "e43"),
+          greatest($"ss_tot", lit(1L))).as("strength"))
       .orderBy($"user_id")
   }
 

@@ -62,6 +62,33 @@ object DetProps extends Properties("Det.r4") {
         Math.floorDiv(n * 20000L + d, d * 2L) / 10000.0 }
     }
 
+  // the e41/e43 envelope guard: values whose a-priori bound is under
+  // the r4 precondition pass through untouched; a bound at/over it
+  // raises instead of silently wrapping (the failure mode ADVICE r7
+  // flagged — DuckDB widens to HUGEINT, int64 Spark would diverge)
+  property("guarded passes under the bound and raises at it") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { v =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
+      val under = Seq(v).toDF("v")
+        .select(graft.functions.Det.guarded($"v", lit(v.toDouble),
+          graft.functions.Det.r4NumBound, "test").as("g"))
+        .collect().head.getLong(0)
+      val over =
+        try {
+          Seq(v).toDF("v")
+            .select(graft.functions.Det.guarded($"v",
+              lit(graft.functions.Det.r4NumBound), // bound == limit → raise
+              graft.functions.Det.r4NumBound, "test").as("g"))
+            .collect(); false
+        } catch { case e: Throwable =>
+          // Spark wraps the codegen'd raise_error in a SparkRuntimeException
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .take(5).exists(_.getMessage.contains("int64 envelope exceeded"))
+        }
+      Prop(under == v && over) :| s"under=$under over=$over"
+    }
+
   // the boundary the grain exists for: x.00005 exactly — HALF_UP must
   // round UP deterministically in both engines
   property("exact .5-at-grain boundaries round up") = {
