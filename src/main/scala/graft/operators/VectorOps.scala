@@ -310,6 +310,34 @@ object VectorOps {
       .limit(10)
   }
 
+  /** The v07 coarse quantizer: per-label mean centroids,
+    * (c_label, cv) — ONE definition shared by the batch probe (v07)
+    * and the streaming cell assignment (s34) so the index cannot
+    * drift between them. */
+  private def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embDouble(spark, sfDir)
+      .select($"label".as("c_label"), posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"c_label", $"pos")
+      .agg(avg($"x").as("c"))
+      .groupBy($"c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+  }
+
+  /** The coarse-quantizer model COLLECTED for broadcast into a
+    * streaming plan: k×64 doubles (bounded — never the data table),
+    * 6-dp rounded per the v09 Lloyd determinism contract so both
+    * engines score incoming vectors against bit-identical values
+    * (raw engine-side averages differ in the last ulp, which a
+    * round(·, 6) OUTPUT could straddle; rounded-model cosines are
+    * bit-identical by construction). */
+  private[graft] def labelCentroidsRounded(spark: SparkSession,
+      sfDir: String): Seq[(Int, Array[Double])] =
+    labelCentroids(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(round6).toArray)
+      .sortBy(_._1).toIndexedSeq
+
   /** IVF-style ANN: vectors are assigned to coarse cells (nearest
     * label-centroid); the query probes its 2 nearest cells and ranks
     * only those cells' members — the inverted-file pattern that bounds
@@ -318,13 +346,7 @@ object VectorOps {
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    val cent = e
-      .select($"label".as("c_label"), posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"c_label", $"pos")
-      .agg(avg($"x").as("c"))
-      .groupBy($"c_label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-        .as("cv"))
+    val cent = labelCentroids(spark, sfDir)
     val wAssign = Window.partitionBy($"vec_id").orderBy(desc("cos"), $"c_label")
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
@@ -980,15 +1002,26 @@ object VectorOps {
   private def cos(a: String, b: String): String =
     cosSql.format(a, b, a, a, b, b)
 
+  /** The v07 index definition (cent/cv/e) as a CTE prefix — ONE text
+    * shared by the v07/v18 oracles and the s34 streaming-assignment
+    * oracle ([[graft.streaming.StreamOps]]) so the coarse quantizer
+    * cannot drift between the batch probe and the ingest path. */
+  private[graft] def ivfCentCte: String =
+    s"""cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+       |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** The DuckDB cosine fragment, for oracle builders outside this
+    * module (s34 shares the index text AND the scoring formula). */
+  private[graft] def cosFragment(a: String, b: String): String = cos(a, b)
+
   /** The v07 IVF probe as a DuckDB CTE chain ending at
     * `ivfr(vec_id, cell, cos, rn)` — every probed candidate ranked by
     * (round(cos, 6) DESC, vec_id) — shared by the v07 and v18 oracles
     * so the index definition cannot drift between them. */
   private def ivfCte: String =
-    s"""cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
-       |cv AS (SELECT c_label, list(c ORDER BY i) AS cvv FROM cent GROUP BY 1),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""$ivfCentCte,
        |assigned AS (SELECT vec_id, v, c_label AS cell FROM (
        |  SELECT e.vec_id, e.v, cv.c_label,
        |    row_number() OVER (PARTITION BY e.vec_id

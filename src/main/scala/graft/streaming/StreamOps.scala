@@ -1604,7 +1604,48 @@ object StreamOps {
       .orderBy(desc("df"), col("term")).limit(50)
   }
 
+  /** s34: streaming IVF cell assignment — the ingest seam between the
+    * vector suite and the streaming suite: incoming embeddings are
+    * scored against the v07 coarse-quantizer centroids and routed to
+    * their nearest cell, the model-serving step that keeps a streaming
+    * corpus partitioned the way the batch IVF index (v07) expects.
+    *
+    * The model is broadcast state: k×64 doubles collected once
+    * ([[graft.operators.VectorOps.labelCentroidsRounded]] — 6-dp
+    * rounded per the v09 Lloyd contract so both engines score against
+    * bit-identical values), inlined as literals so each incoming row
+    * costs k codegen'd cosines and an argmax via struct ordering
+    * (cos DESC, then smaller label — same tiebreak as v07's
+    * row_number). Stateless: no watermark, no state store, append
+    * mode with the no-data batch skipped — the cheapest streaming
+    * shape, and exactly how a 1000-executor ingest job would run it
+    * (the model rides the closure; the stream never shuffles).
+    *
+    * Oracle: shares v07's cent/cv/e CTE text (ivfCentCte) and the
+    * cosine fragment, adds the same round(c, 6) the v09 oracle uses,
+    * and reproduces the argmax with a row_number — so the hash
+    * verifies the served model matches the batch index definition. */
+  def streamIvfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = graft.operators.VectorOps.labelCentroidsRounded(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val scored = cents.map { case (cl, c) =>
+      struct(call_function("graft_cosine", $"v", typedlit(c)).as("c"),
+        lit(-cl).as("nl"))
+    }
+    val assigned = stream
+      .withColumn("m", array_max(array(scored: _*)))
+      .select($"vec_id", (-$"m.nl").as("cell"), round($"m.c", 6).as("ccos"))
+    runToMemory(assigned, "graft_s34", "append", noDataBatch = false)
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
     "s01_stream_tumbling" -> streamTumbling _,
     "s02_stream_latest"   -> streamLatest _,
@@ -1647,6 +1688,21 @@ object StreamOps {
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // shares v07's index-definition CTE text + cosine fragment; the
+    // centroid round(c, 6) is the v09 Lloyd determinism contract
+    "s34_stream_ivf_assign" -> {
+      val V = graft.operators.VectorOps
+      val c = V.cosFragment("e.v", "cvr.cvv")
+      s"""WITH ${V.ivfCentCte},
+         |cvr AS (SELECT c_label, list(round(c, 6) ORDER BY i) AS cvv
+         |  FROM cent GROUP BY 1),
+         |ac AS (SELECT e.vec_id, cvr.c_label, $c AS ccos,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $c DESC, cvr.c_label) AS rn
+         |  FROM e CROSS JOIN cvr)
+         |SELECT vec_id, c_label AS cell, round(ccos, 6) AS ccos
+         |FROM ac WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     // the e39 batch oracle verbatim: streaming incremental assembly of
     // the trailing-20 window must reproduce the batch window sort
     "s30_stream_anomaly" ->

@@ -1160,6 +1160,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(out).count() == 0)
   }
 
+  test("s34 streaming IVF assignment equals an independent batch argmax") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val out = StreamOps.streamIvfAssign(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf)
+    // stateless serving: exactly one assignment per incoming vector
+    assert(out.count() == emb.count())
+    // batch recomputation through a DIFFERENT plan shape (broadcast
+    // join + row_number argmax, v07-style) over the same rounded model
+    val centDf = graft.operators.VectorOps.labelCentroidsRounded(spark, sf)
+      .map { case (cl, c) => (cl, c.toSeq) }.toDF("cl", "cv")
+    val batch = emb
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy(desc("cos"), $"cl")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cl".as("cell"), round($"cos", 6).as("ccos"))
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
   test("s30 streaming rolling anomaly equals the batch e39 result") {
     val out = StreamOps.streamRollingAnomaly(spark, sf)
     val batch = graft.operators.Events.rollingAnomalies(spark, sf)
