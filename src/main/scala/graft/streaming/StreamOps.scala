@@ -1644,7 +1644,64 @@ object StreamOps {
       .orderBy($"vec_id")
   }
 
+  /** s35: `peek`/`foreach` under the oracle gate — the side-effecting
+    * terminal consumer of the Kafka Streams DSL, expressed the way
+    * Structured Streaming prescribes it: a foreachBatch sink folding
+    * each micro-batch's bounded per-type aggregate into an external
+    * store (a driver-side map here, standing in for the KV store /
+    * metrics sink a cluster job updates). The DECLARED result is
+    * rebuilt from the side-effect store ONLY — a skipped batch, a
+    * double-applied one, or a dropped type changes the hash, which is
+    * exactly the at-least-once-plus-idempotent-merge contract
+    * foreachBatch asks its user to uphold.
+    *
+    * Scale design: per batch only the ≤5-row per-type aggregate is
+    * collected (the bounded-aggregate export pattern — map-side
+    * combine does the heavy lifting), never event rows; counts and
+    * exact decimal sums are merged across batches, so trigger layout
+    * cannot change the answer. */
+  def streamForeachCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val sums =
+      new java.util.concurrent.ConcurrentHashMap[String, java.math.BigDecimal]()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try {
+      eventsStream(spark, sfDir)
+        .select($"event_type", $"value")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy($"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast("decimal(18,4)")).as("s"))
+            .collect().foreach { r =>
+              val t = r.getString(0)
+              counts.merge(t, r.getLong(1), (a, b) => a + b)
+              sums.merge(t, r.getDecimal(2), (a, b) => a.add(b))
+            }
+          ()
+        }
+        .option("checkpointLocation",
+          newTempDir("graft_ckpt_s35").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set(key, prev)
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.map { case (t, n) =>
+      // the Det.dsum contract, replicated driver-side: exact decimal
+      // sum → double → HALF_UP 2-dp (what Spark's round(double, 2)
+      // does), matching the oracle's round(CAST(sum AS DOUBLE), 2)
+      val d = java.math.BigDecimal.valueOf(sums.get(t).doubleValue)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+      (t, n, d)
+    }.toDF("event_type", "n", "sum_value").orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
     "s01_stream_tumbling" -> streamTumbling _,
@@ -1688,6 +1745,13 @@ object StreamOps {
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the side-effect store must reconstruct the full per-type
+    // aggregate: counts + the Det.dsum decimal-sum contract
+    "s35_foreach_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // shares v07's index-definition CTE text + cosine fragment; the
     // centroid round(c, 6) is the v09 Lloyd determinism contract
     "s34_stream_ivf_assign" -> {
