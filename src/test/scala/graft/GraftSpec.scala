@@ -1160,6 +1160,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(out).count() == 0)
   }
 
+  test("s35 foreachBatch side-effect store reconstructs the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = StreamOps.streamForeachCounts(spark, sf)
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum($"value").as("sum_value"))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
   test("s34 streaming IVF assignment equals an independent batch argmax") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
