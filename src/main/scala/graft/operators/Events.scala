@@ -763,7 +763,100 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** e44: ordered funnel conversion (view → click within 6h → purchase
+    * within 6h) — the canonical product-analytics question: of the
+    * users who viewed, how many then clicked within the conversion
+    * window AFTER a view, and then purchased within the window after
+    * such a click? Order AND recency matter: a purchase before any
+    * qualified click, or hours past the window, does not count — which
+    * is exactly what a naive "has all three types" intersection gets
+    * wrong.
+    *
+    * The step-ordering state machine is declarative: a running
+    * `max(case …)` over the per-user (ts, event_id) total order carries
+    * "latest view at or before this row", the next running max carries
+    * "latest view-qualified click", and a purchase qualifies iff it
+    * lands within the window of that click. Ties at the same timestamp
+    * resolve by event_id in both engines, so qualification is exact.
+    *
+    * Scale design: ONE exchange on user_id serves both chained window
+    * passes and the per-user aggregate that follows (same key — no
+    * second shuffle); per-key cost is linear in that user's history.
+    * The output is ≤4 rows (one per funnel depth), so the final
+    * single-partition cumulative window is free. This is the funnel
+    * plan you want at 100 TB: no self-joins (the min-ts-chain
+    * formulation pays one join per step), no per-user collect_list. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val win = expr("INTERVAL 6 HOURS")
+    val perUser = Tables.events(spark, sfDir)
+      .withColumn("lv",
+        max(when($"event_type" === "view", $"ts")).over(run))
+      .withColumn("lc",
+        max(when($"event_type" === "click" && $"lv".isNotNull &&
+          $"ts" <= $"lv" + win, $"ts")).over(run))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("s1"),
+        max(when($"lc".isNotNull, 1).otherwise(0)).as("s2"),
+        max(when($"event_type" === "purchase" && $"lc".isNotNull &&
+          $"ts" <= $"lc" + win, 1).otherwise(0)).as("s3"))
+      // monotone by construction (s3 ⇒ s2 ⇒ s1), so depth = s1+s2+s3
+      .select($"user_id", ($"s1" + $"s2" + $"s3").cast("long").as("stage"))
+    funnelReduce(perUser)
+  }
+
+  /** (user_id, stage) → the declared funnel shape: per-depth user
+    * counts, suffix-sum reach, r4 conversion rate. Shared verbatim with
+    * the streaming face (s36) so batch and incremental assembly reduce
+    * through identical code. The partition-less windows run over ≤4
+    * rows (one per funnel depth). */
+  private[graft] def funnelReduce(perUser: DataFrame): DataFrame = {
+    val total = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perUser.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("n_reached",
+        sum(col("n_users")).over(Window.orderBy(col("stage").desc)))
+      .withColumn("conv_pct",
+        Det.r4(col("n_reached"), sum(col("n_users")).over(total)))
+      .orderBy(col("stage"))
+  }
+
+  /** e45: `selectKey` → `groupByKey` re-key aggregation, driven through
+    * the Kafka-Streams-style DSL ([[graft.api.KStreamG.selectKey]]) —
+    * the repartition-topic pattern: a stream keyed by user_id re-keyed
+    * by a value-derived attribute (here the JSON `props.k` bucket), then
+    * aggregated under the NEW key. In Kafka Streams this materializes a
+    * repartition topic; in Spark it is one lazy exchange on the derived
+    * key at the next stateful op — same data movement, but Catalyst
+    * sees through it (the JSON extraction stays map-side, ONE shuffle
+    * with partial aggregation, no intermediate topic write).
+    *
+    * Scale design: one exchange on a 10-value derived key; the
+    * map-side combine collapses each partition to ≤10 rows before the
+    * shuffle, so the exchange moves O(partitions·buckets), not O(rows).
+    * countDistinct adds the standard expand-shuffle pass — bounded by
+    * the same key-space. */
+  def rekeyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.api.GraftStreams
+    GraftStreams.stream(Tables.events(spark, sfDir), "user_id", "ts")
+      .selectKey("k_mod",
+        get_json_object($"props", "$.k").cast("long") % 10)
+      .groupByKey
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        Det.dsum($"value").as("total_value"))
+      .orderBy($"k_mod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e44_funnel_stages" -> funnelStages _,
+    "e45_rekey_counts" -> rekeyCounts _,
     "e39_rolling_anomaly" -> rollingAnomalies _,
     "e40_grid_interpolate" -> gridInterpolate _,
     "e41_cusum_changepoint" -> cusumChangepoint _,
@@ -796,6 +889,38 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // chained running-max state machine: window aliases can't be
+    // referenced in the same SELECT, hence the stacked CTEs — same
+    // single (user_id, ts, event_id) sort in both engines
+    "e44_funnel_stages" ->
+      s"""WITH a AS (SELECT user_id, ts, event_id, event_type,
+         |  max(CASE WHEN event_type = 'view' THEN ts END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv
+         |  FROM events),
+         |b AS (SELECT *,
+         |  max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+         |           AND ts <= lv + INTERVAL 6 HOURS THEN ts END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lc
+         |  FROM a),
+         |u AS (SELECT user_id,
+         |  CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |    + max(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END)
+         |    + max(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+         |               AND ts <= lc + INTERVAL 6 HOURS
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS stage
+         |  FROM b GROUP BY user_id),
+         |s AS (SELECT stage, count(*) AS n_users FROM u GROUP BY stage)
+         |SELECT stage, n_users,
+         |  CAST(sum(n_users) OVER (ORDER BY stage DESC) AS BIGINT) AS n_reached,
+         |  ${D.r4("CAST(sum(n_users) OVER (ORDER BY stage DESC) AS BIGINT)",
+               "CAST(sum(n_users) OVER () AS BIGINT)")} AS conv_pct
+         |FROM s ORDER BY stage""".stripMargin,
+    "e45_rekey_counts" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_mod,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${D.dsum("value", "total_value")}
+         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
     // integer z²: DuckDB widens sum(BIGINT) to HUGEINT mid-CTE, which is
     // fine — the only OUTPUT column it feeds is r4's final /10000.0
     // DOUBLE (the d29/d30 lesson: keep HUGEINT off the output schema)

@@ -1654,7 +1654,43 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** d44: bigram-coverage quality score — the n-gram-LM-lite fluency
+    * filter (the CCNet/Gopher-style "does this document look like the
+    * corpus head?" signal without transcendental math): the corpus's
+    * top-200 word bigrams form the head model, and each document is
+    * scored by the fraction of ITS bigrams that land in that head.
+    * Low coverage flags boilerplate, shuffled-token spam, and
+    * out-of-domain text; unlike a real LM perplexity it is exactly
+    * reproducible across engines (pure counting + one rational
+    * rounding — no log/exp whose last-ulp behavior differs).
+    *
+    * Scale design: pass 1 is a two-level hash-agg (map-side combine
+    * collapses each partition's bigram counts before ONE shuffle) +
+    * a 200-row TakeOrdered to the driver; pass 2 broadcast-joins that
+    * 200-row head to the corpus bigrams — the corpus never shuffles
+    * on the bigram key, and per-doc aggregation shuffles on doc_id
+    * only. At 100 TB the head stays 200 rows: both passes are scans. */
+  def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+    val head = bi.groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"bigram").limit(200)
+      .select($"bigram", lit(1).as("hit"))
+    bi.join(broadcast(head), Seq("bigram"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("covered"))
+      .withColumn("coverage", Det.r4($"covered", $"n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d44_bigram_coverage" -> bigramCoverage _,
     "d43_source_drift"  -> sourceDrift _,
     "d01_exact_dedup"   -> exactDedup _,
     "d29_pagerank"      -> pageRank _,
@@ -1810,6 +1846,24 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // DuckDB lists are 1-based (t[i-1]||' '||t[i] over i ∈ 2..len ≡
+    // Spark's 0-based toks[i-1]+' '+toks[i] over i ∈ 1..size-1);
+    // str_split('',' ') = [''] (len 1) on both sides → the len≥2
+    // filter drops empty docs identically
+    "d44_bigram_coverage" ->
+      s"""WITH bi AS (SELECT doc_id,
+         |    unnest(list_transform(range(2, len(t) + 1),
+         |      i -> t[i-1] || ' ' || t[i])) AS bigram
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) s
+         |  WHERE len(t) >= 2),
+         |head AS (SELECT bigram FROM bi GROUP BY bigram
+         |  ORDER BY count(*) DESC, bigram LIMIT 200)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM head)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+         |  ${D.r4("CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM head) THEN 1 ELSE 0 END) AS BIGINT)",
+              "count(*)")} AS coverage
+         |FROM bi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // drift_ppb sums BIGINTs (HUGEINT in DuckDB) → CAST back on output;
     // rates mirror Det.fdiv exactly (non-negative here, but keep the
     // explicit floor for symmetry with the Spark side)

@@ -1492,6 +1492,60 @@ object StreamOps {
       .orderBy($"user_id")
   }
 
+  private val funnelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s36: streaming ordered-funnel tracking — the ingest face of e44:
+    * events arrive in three time-partitioned micro-batches, each user's
+    * funnel progress (latest view / latest qualified click / purchased)
+    * is carried in [[FunnelProcessor]] RocksDB state across the
+    * boundaries, and the declared result — the per-depth user histogram
+    * with reach counts and conversion rates — must equal the e44 batch
+    * oracle computed over the whole month at once. Depth emissions are
+    * monotone, so `max(stage)` per user over all update-mode emissions
+    * IS the final depth — no retraction logic.
+    *
+    * Scale design: two timestamps + a flag of state per live key, one
+    * state roundtrip per key per batch; the post-stream reduction
+    * (shared verbatim with e44 via funnelReduce) touches one row per
+    * user per batch, not per event. */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(funnelDirs, sfDir, "events.parquet",
+        "graft_funnel") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      // three time-partitioned batches: funnel ordering must cross the
+      // boundaries via state, never via reordering
+      def cutUs(day: Int): Long = java.time.LocalDateTime
+        .of(2024, 1, day, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      Seq(ev.filter(col("ts_us") < cutUs(11)),
+        ev.filter(col("ts_us") >= cutUs(11) && col("ts_us") < cutUs(21)),
+        ev.filter(col("ts_us") >= cutUs(21)))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts_us BIGINT, event_id BIGINT, event_type STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[FunnelDepth])
+      .toDF()
+    val depths = withRocksDb(spark) {
+      runToMemory(stream, "graft_s36", "update", Some(8),
+        noDataBatch = false)
+    }
+    graft.operators.Events.funnelReduce(
+      depths.groupBy($"user_id").agg(max($"stage").as("stage")))
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1736,6 +1790,7 @@ object StreamOps {
     "s31_stream_cusum"      -> streamCusum _,
     "s32_timer_sessions"    -> streamTimerSessions _,
     "s33_sink_roundtrip"    -> streamSinkRoundtrip _,
+    "s36_stream_funnel"     -> streamFunnel _,
   )
 
   private val tumblingOracle =
@@ -1745,6 +1800,11 @@ object StreamOps {
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the e44 batch oracle verbatim: incremental funnel assembly across
+    // the three time-partitioned batches must equal the whole-month
+    // window-chain result
+    "s36_stream_funnel" ->
+      graft.operators.Events.oracles("e44_funnel_stages"),
     // the side-effect store must reconstruct the full per-type
     // aggregate: counts + the Det.dsum decimal-sum contract
     "s35_foreach_counts" ->

@@ -2410,6 +2410,105 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Direct Scala recomputations of the round-8 additions (e44 windowed
+  * funnel, e45 selectKey re-key, d44 bigram coverage) — the same
+  * replay-the-semantics style as the e41/e43 specs, independent of the
+  * DuckDB oracle. */
+class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("e44 funnel equals a direct per-user state-machine replay") {
+    import spark.implicits._
+    val winUs = 6L * 3600 * 1000000 // 6h in µs
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").toInstant.toEpochMilli * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").toInstant.getNano / 1000 % 1000,
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1)
+    val stages = byUser.values.map { rows =>
+      var lv = Long.MinValue; var lc = Long.MinValue
+      var s1 = 0; var s2 = 0; var s3 = 0
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tpe) =>
+        if (tpe == "view") { s1 = 1; lv = math.max(lv, us) }
+        if (tpe == "click" && lv != Long.MinValue && us <= lv + winUs) {
+          s2 = 1; lc = math.max(lc, us)
+        }
+        if (tpe == "purchase" && lc != Long.MinValue && us <= lc + winUs)
+          s3 = 1
+      }
+      s1 + s2 + s3
+    }.toSeq
+    val want = stages.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Events.funnelStages(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got == want)
+    // n_reached is the suffix sum of n_users over descending stage
+    val out = graft.operators.Events.funnelStages(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    out.foreach { r =>
+      val st = r.getAs[Long]("stage")
+      val reach = want.filter(_._1 >= st).values.sum
+      assert(r.getAs[Long]("n_reached") == reach)
+    }
+  }
+
+  test("e45 rekey counts equal a direct props-bucket recomputation") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"props").collect()
+      .map { r =>
+        val k = """"k":\s*(\d+)""".r.findFirstMatchIn(
+          r.getAs[String]("props")).get.group(1).toLong
+        (k % 10, r.getAs[Long]("user_id"))
+      }
+    val want = evs.groupBy(_._1).view.mapValues(xs =>
+      (xs.length.toLong, xs.map(_._2).distinct.length.toLong)).toMap
+    val got = graft.operators.Events.rekeyCounts(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, u) = want(r.getAs[Long]("k_mod"))
+      assert(r.getAs[Long]("n_events") == n &&
+        r.getAs[Long]("n_users") == u)
+    }
+  }
+
+  test("d44 bigram coverage equals a direct head-set recomputation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).toSeq)
+      .filter(_._2.length >= 2)
+    val bigrams = docs.map { case (id, toks) =>
+      id -> toks.sliding(2).map(p => p(0) + " " + p(1)).toSeq }
+    val head = bigrams.flatMap(_._2).groupBy(identity).toSeq
+      .map { case (b, xs) => (b, xs.length) }
+      .sortBy { case (b, n) => (-n, b) }.take(200).map(_._1).toSet
+    val want = bigrams.map { case (id, bs) =>
+      val cov = bs.count(head)
+      val den = bs.length.toLong
+      (id, den, cov.toLong,
+        Math.floorDiv(cov * 20000L + den, den * 2L) / 10000.0)
+    }.sortBy(_._1)
+    val got = graft.operators.TextOps.bigramCoverage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("covered"), r.getAs[Double]("coverage")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("s36 streaming funnel equals the e44 batch result row-for-row") {
+    val batch = graft.operators.Events.funnelStages(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.streaming.StreamOps
+      .queries("s36_stream_funnel")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+}
+
 /** The connected-components loop must stay correct on the
   * no-broadcast path (what a general graph above `broadcastNodeLimit`
   * takes at scale: AQE-chosen shuffled joins instead of hinted
