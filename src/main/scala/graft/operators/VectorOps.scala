@@ -345,6 +345,25 @@ object VectorOps {
     * centroids stand in for trained coarse quantizers). */
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (assigned, q, qCells) = ivfIndex(spark, sfDir)
+    assigned
+      .join(broadcast(qCells), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+  }
+
+  /** The v07 inverted file as data: (assigned(vec_id, v, cell),
+    * q(qv), qCells(probe_cell)) — ONE definition shared by the plain
+    * IVF probe (v07, and v18's recall gate through it) and the
+    * composed IVF-PQ probe (v22), so cell assignment and probe
+    * selection cannot drift between the two indexes. */
+  private def ivfIndex(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val e = embDouble(spark, sfDir)
     val cent = labelCentroids(spark, sfDir)
     val wAssign = Window.partitionBy($"vec_id").orderBy(desc("cos"), $"c_label")
@@ -361,14 +380,7 @@ object VectorOps {
       .orderBy(desc("qcos"), $"c_label")
       .limit(2)
       .select($"c_label".as("probe_cell"))
-    assigned
-      .join(broadcast(qCells), $"cell" === $"probe_cell")
-      .filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(q))
-      .select($"vec_id", $"cell",
-        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
-      .orderBy(desc("cos"), $"vec_id")
-      .limit(10)
+    (assigned, q, qCells)
   }
 
   /** v18: ANN recall evaluation — the index-quality gate every
@@ -582,6 +594,33 @@ object VectorOps {
   def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir).select($"vec_id", $"v")
+    val cents = pqModel(spark, sfDir)
+    val coded = pqEncode(e, cents)
+    coded.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3",
+        round(pqAdc(spark, sfDir, cents), 6).as("adist"))
+      .orderBy($"adist", $"vec_id")
+      .limit(10)
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Map[(Int, Long), Array[Double]]]
+
+  /** PQ sub-codebook training — the v13 model, factored out so the
+    * composed IVF-PQ index (v22) trains the SAME codebooks, and cached
+    * per (session, sfDir) so they train once (the kmCache discipline:
+    * stopped-session entries evicted on access). Returns
+    * (subspace, codeword) → 6-dp-rounded centroid slice. */
+  private def pqModel(spark: SparkSession,
+      sfDir: String): Map[(Int, Long), Array[Double]] = {
+    pqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    pqCache.getOrElseUpdate((spark, sfDir), pqTrain(spark, sfDir))
+  }
+
+  private def pqTrain(spark: SparkSession,
+      sfDir: String): Map[(Int, Long), Array[Double]] = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir).select($"vec_id", $"v")
     // one row per (vec_id, subspace): the shared training frame
     val subCols = (0 until PqS).map(s =>
       struct(lit(s).as("s"), slice($"v", s * PqD + 1, PqD).as("vs")))
@@ -594,24 +633,9 @@ object VectorOps {
         (r.getInt(1), r.getLong(0)) ->
           r.getSeq[Double](2).map(round6).toArray
       }.toMap
-    // argmin codeword per (row, subspace) as a when-chain over s — each
-    // subspace's codebook is its own literal set. dist² − ‖vs‖² =
-    // ‖c‖² − 2·vs·c as in v09. A codeword that loses all members drops
-    // out of the map in BOTH engines (the oracle's update CTE loses the
-    // row), keeping the iterations aligned.
-    def argmin(vs: Column, cs: Map[(Int, Long), Array[Double]], s: Int): Column = {
-      val structs = cs.keys.filter(_._1 == s).map(_._2).toSeq.sorted.map { cl =>
-        val c = cs((s, cl))
-        val cc = c.map(x => x * x).sum
-        struct((lit(cc) - lit(2.0) *
-          call_function("graft_dot", vs, typedlit(c.toSeq))).as("d"),
-          lit(cl).as("cl"))
-      }
-      array_min(array(structs: _*)).getField("cl")
-    }
     def assignCol(cs: Map[(Int, Long), Array[Double]]): Column =
-      (1 until PqS).foldLeft(when($"s" === 0, argmin($"vs", cs, 0))) {
-        (acc, s) => acc.when($"s" === s, argmin($"vs", cs, s))
+      (1 until PqS).foldLeft(when($"s" === 0, pqArgmin($"vs", cs, 0))) {
+        (acc, s) => acc.when($"s" === s, pqArgmin($"vs", cs, s))
       }
     for (_ <- 1 to PqIters) {
       cents = es.withColumn("cl", assignCol(cents))
@@ -623,14 +647,44 @@ object VectorOps {
         .collect().map(r => (r.getInt(0), r.getLong(1)) ->
           r.getSeq[Double](2).map(round6).toArray).toMap
     }
-    // encode wide (one code column per subspace) so the ADC sum below
-    // adds in a FIXED left-to-right order — a groupBy-sum over a long
-    // format would re-associate float adds nondeterministically
-    val coded = e.select($"vec_id" +: (0 until PqS).map(s =>
-      argmin(slice($"v", s * PqD + 1, PqD), cents, s).as(s"c$s")): _*)
-    // ADC table: per (subspace, codeword) distance contribution to the
-    // query (vec_id 0); ‖q_s‖² is constant per subspace and dropped
-    val q = e.filter($"vec_id" === 0).select($"v").collect()(0)
+    cents
+  }
+
+  /** argmin codeword for one subspace slice — each subspace's codebook
+    * is its own literal set. dist² − ‖vs‖² = ‖c‖² − 2·vs·c as in v09.
+    * A codeword that loses all members drops out of the map in BOTH
+    * engines (the oracle's update CTE loses the row), keeping the
+    * iterations aligned. */
+  private def pqArgmin(vs: Column, cs: Map[(Int, Long), Array[Double]],
+      s: Int): Column = {
+    val structs = cs.keys.filter(_._1 == s).map(_._2).toSeq.sorted.map { cl =>
+      val c = cs((s, cl))
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) *
+        call_function("graft_dot", vs, typedlit(c.toSeq))).as("d"),
+        lit(cl).as("cl"))
+    }
+    array_min(array(structs: _*)).getField("cl")
+  }
+
+  /** Encode wide (one code column per subspace) so the ADC sum adds in
+    * a FIXED left-to-right order — a groupBy-sum over a long format
+    * would re-associate float adds nondeterministically. Keeps every
+    * non-code input column. */
+  private def pqEncode(e: DataFrame,
+      cents: Map[(Int, Long), Array[Double]]): DataFrame =
+    e.select(e.columns.filter(_ != "v").map(col) ++
+      (0 until PqS).map(s =>
+        pqArgmin(slice(col("v"), s * PqD + 1, PqD), cents, s).as(s"c$s")): _*)
+
+  /** The ADC distance column over c0..c3: per (subspace, codeword)
+    * distance contribution to the query (vec_id 0); ‖q_s‖² is constant
+    * per subspace and dropped. */
+  private def pqAdc(spark: SparkSession, sfDir: String,
+      cents: Map[(Int, Long), Array[Double]]): Column = {
+    import spark.implicits._
+    val q = embDouble(spark, sfDir).select($"vec_id", $"v")
+      .filter($"vec_id" === 0).select($"v").collect()(0)
       .getSeq[Double](0).toArray
     val flatT = (0 until PqS).flatMap { s =>
       val qs = q.slice(s * PqD, s * PqD + PqD)
@@ -640,12 +694,35 @@ object VectorOps {
       }
     }
     val tLit = typedlit(flatT)
-    val adist = (0 until PqS).map(s =>
+    (0 until PqS).map(s =>
       element_at(tLit, (lit(s * PqK) + col(s"c$s") + 1).cast("int")))
       .reduceLeft(_ + _)
-    coded.filter($"vec_id" =!= 0)
-      .select($"vec_id", $"c0", $"c1", $"c2", $"c3",
-        round(adist, 6).as("adist"))
+  }
+
+  /** v22: IVF-PQ — the composed production ANN shape (the FAISS
+    * IndexIVFPQ configuration with by_residual=false): the v07 coarse
+    * quantizer bounds WHICH rows are scanned (the query's 2 nearest
+    * cells), and the v13 product quantizer bounds WHAT the scan reads
+    * (4 code columns instead of 64 doubles). Both components are the
+    * shared definitions ([[ivfIndex]], [[pqModel]]) — index text
+    * cannot drift between v07/v13/v22 on either engine.
+    *
+    * Scale design: candidate set = probed cells only (the IVF
+    * contract), ranked by ADC table lookups over codes only (the PQ
+    * contract); at 100 TB the scan cost is (probed fraction) ×
+    * (codes-only row width) — multiplicative savings, which is why
+    * every production vector store composes exactly these two. */
+  def ivfPqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = pqModel(spark, sfDir)
+    val (assigned, _, qCells) = ivfIndex(spark, sfDir)
+    val cand = assigned
+      .join(broadcast(qCells), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"cell", $"v")
+    pqEncode(cand, cents)
+      .select($"vec_id", $"cell", $"c0", $"c1", $"c2", $"c3",
+        round(pqAdc(spark, sfDir, cents), 6).as("adist"))
       .orderBy($"adist", $"vec_id")
       .limit(10)
   }
@@ -956,6 +1033,7 @@ object VectorOps {
     "v10_embed_dup_clusters" -> embedDupClusters _,
     "v12_quantized_topk"  -> quantizedTopK _,
     "v13_pq_ann"          -> pqAnn _,
+    "v22_ivfpq_ann"       -> ivfPqAnn _,
     "v14_hard_negatives"  -> hardNegatives _,
     "v15_semantic_dedup"  -> semanticDedup _,
     "v18_ann_recall"      -> annRecall _,
@@ -1020,16 +1098,52 @@ object VectorOps {
     * `ivfr(vec_id, cell, cos, rn)` — every probed candidate ranked by
     * (round(cos, 6) DESC, vec_id) — shared by the v07 and v18 oracles
     * so the index definition cannot drift between them. */
-  private def ivfCte: String =
-    s"""$ivfCentCte,
-       |assigned AS (SELECT vec_id, v, c_label AS cell FROM (
+  /** The v07 cell assignment + probe-cell selection CTEs (assigned, q,
+    * qcells; require cent/cv/e in scope) — shared by the plain probe
+    * (ivfCte → v07/v18) and the composed IVF-PQ oracle (v22). */
+  private def ivfProbeCtes: String =
+    s"""assigned AS (SELECT vec_id, v, c_label AS cell FROM (
        |  SELECT e.vec_id, e.v, cv.c_label,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cos("e.v", "cv.cvv")} DESC, cv.c_label) AS rn
        |  FROM e CROSS JOIN cv) x WHERE rn = 1),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |qcells AS (SELECT c_label AS probe_cell FROM cv CROSS JOIN q
-       |  ORDER BY ${cos("cv.cvv", "qv")} DESC, c_label LIMIT 2),
+       |  ORDER BY ${cos("cv.cvv", "qv")} DESC, c_label LIMIT 2)""".stripMargin
+
+  /** The v13 PQ training/encode/ADC chain for subspace `s` (the v09
+    * unrolled-Lloyd oracle instantiated on the slice, plus encode k$s
+    * and ADC table t$s; requires `e` in scope) — shared by the v13 and
+    * v22 oracles so the codebooks cannot drift between them. */
+  private def pqChainCtes(s: Int): String = {
+    val lo = s * PqD + 1; val hi = s * PqD + PqD
+    def assign(prev: String, out: String, proj: String) =
+      s"""$out AS (SELECT $proj FROM (SELECT t.vec_id, t.vs, c.cl,
+         |  row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(t.vs, c.cv), c.cl) AS rn
+         |  FROM e$s t CROSS JOIN $prev c) z WHERE rn = 1)""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      assign(s"c${s}_${i - 1}", s"a${s}_$i", "vec_id, vs, cl") + ",\n" +
+        s"""c${s}_$i AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
+           |  (SELECT cl, i, avg(vs[i]) AS c FROM a${s}_$i
+           |   CROSS JOIN generate_series(1, $PqD) t(i) GROUP BY cl, i) u
+           |  GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    Seq(
+      s"e$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e)",
+      s"""c${s}_0 AS (SELECT vec_id AS cl, [round(x, 6) for x in vs] AS cv
+         |  FROM e$s WHERE vec_id < $PqK)""".stripMargin,
+      iters,
+      assign(s"c${s}_$PqIters", s"k$s", s"vec_id, cl AS c$s"),
+      s"""t$s AS (SELECT cl, list_dot_product(cv, cv)
+         |  - 2*list_dot_product(q.vs, cv) AS t FROM c${s}_$PqIters
+         |  CROSS JOIN (SELECT vs FROM e$s WHERE vec_id = 0) q)""".stripMargin
+    ).mkString(",\n")
+  }
+
+  private def ivfCte: String =
+    s"""$ivfCentCte,
+       |$ivfProbeCtes,
        |ivfr AS (SELECT a.vec_id, a.cell, round(${cos("a.v", "qv")}, 6) AS cos,
        |  row_number() OVER (ORDER BY round(${cos("a.v", "qv")}, 6) DESC, a.vec_id) AS rn
        |  FROM assigned a JOIN qcells ON a.cell = qcells.probe_cell
@@ -1323,36 +1437,9 @@ object VectorOps {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
         |label AS neg_label, cos FROM r
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-    "v13_pq_ann" -> {
-      // the v09 unrolled-Lloyd oracle, instantiated once per subspace
-      // slice, plus PQ encode + ADC table + code-joined distance sum
-      def chain(s: Int): String = {
-        val lo = s * PqD + 1; val hi = s * PqD + PqD
-        def assign(prev: String, out: String, proj: String) =
-          s"""$out AS (SELECT $proj FROM (SELECT t.vec_id, t.vs, c.cl,
-             |  row_number() OVER (PARTITION BY t.vec_id ORDER BY
-             |    list_dot_product(c.cv, c.cv) - 2*list_dot_product(t.vs, c.cv), c.cl) AS rn
-             |  FROM e$s t CROSS JOIN $prev c) z WHERE rn = 1)""".stripMargin
-        val iters = (1 to PqIters).map { i =>
-          assign(s"c${s}_${i - 1}", s"a${s}_$i", "vec_id, vs, cl") + ",\n" +
-            s"""c${s}_$i AS (SELECT cl, list(round(c, 6) ORDER BY i) AS cv FROM
-               |  (SELECT cl, i, avg(vs[i]) AS c FROM a${s}_$i
-               |   CROSS JOIN generate_series(1, $PqD) t(i) GROUP BY cl, i) u
-               |  GROUP BY cl)""".stripMargin
-        }.mkString(",\n")
-        Seq(
-          s"e$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e)",
-          s"""c${s}_0 AS (SELECT vec_id AS cl, [round(x, 6) for x in vs] AS cv
-             |  FROM e$s WHERE vec_id < $PqK)""".stripMargin,
-          iters,
-          assign(s"c${s}_$PqIters", s"k$s", s"vec_id, cl AS c$s"),
-          s"""t$s AS (SELECT cl, list_dot_product(cv, cv)
-             |  - 2*list_dot_product(q.vs, cv) AS t FROM c${s}_$PqIters
-             |  CROSS JOIN (SELECT vs FROM e$s WHERE vec_id = 0) q)""".stripMargin
-        ).mkString(",\n")
-      }
+    "v13_pq_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${(0 until PqS).map(chain).mkString(",\n")}
+         |${(0 until PqS).map(pqChainCtes).mkString(",\n")}
          |SELECT k0.vec_id, c0, c1, c2, c3,
          |round(t0.t + t1.t + t2.t + t3.t, 6) AS adist
          |FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
@@ -1360,8 +1447,24 @@ object VectorOps {
          |JOIN t0 ON t0.cl = c0 JOIN t1 ON t1.cl = c1
          |JOIN t2 ON t2.cl = c2 JOIN t3 ON t3.cl = c3
          |WHERE vec_id <> 0
-         |ORDER BY adist, vec_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    // the composed index: the v13 PQ chain verbatim + the v07
+    // assigned/qcells probe verbatim; candidates restricted to probed
+    // cells, ranked by the same ADC sum
+    "v22_ivfpq_ann" ->
+      s"""WITH $ivfCentCte,
+         |${(0 until PqS).map(pqChainCtes).mkString(",\n")},
+         |$ivfProbeCtes
+         |SELECT k0.vec_id, a.cell, c0, c1, c2, c3,
+         |round(t0.t + t1.t + t2.t + t3.t, 6) AS adist
+         |FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
+         |JOIN k3 USING (vec_id)
+         |JOIN assigned a ON a.vec_id = k0.vec_id
+         |JOIN qcells ON a.cell = qcells.probe_cell
+         |JOIN t0 ON t0.cl = c0 JOIN t1 ON t1.cl = c1
+         |JOIN t2 ON t2.cl = c2 JOIN t3 ON t3.cl = c3
+         |WHERE k0.vec_id <> 0
+         |ORDER BY adist, k0.vec_id LIMIT 10""".stripMargin,
     "v09_kmeans" ->
       s"""WITH $lloydCtes
          |SELECT c.cl AS cluster, CAST(i - 1 AS BIGINT) AS pos, c.cv[i] AS c, n.n

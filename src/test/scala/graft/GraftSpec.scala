@@ -691,6 +691,34 @@ class GraftSpec extends AnyFunSuite {
     assert(rows(5L)._1 >= rows(1L)._1 && rows(10L)._1 >= rows(5L)._1)
   }
 
+  test("v22 IVF-PQ composes v07's probe and v13's codebooks without drift") {
+    import spark.implicits._
+    val ivfpq = VectorOps.ivfPqAnn(spark, sf).collect()
+    assert(ivfpq.length == 10)
+    // candidates come only from the probed cells (≤2 distinct)
+    val cells = ivfpq.map(_.getAs[Int]("cell")).toSet
+    assert(cells.size <= 2)
+    val ivfCells = VectorOps.ivfAnn(spark, sf).collect()
+      .map(_.getAs[Int]("cell")).toSet
+    assert(cells.subsetOf(ivfCells))
+    // ranking is by (adist, vec_id) — non-decreasing, ties broken by id
+    val pairs = ivfpq.map(r =>
+      (r.getAs[Double]("adist"), r.getAs[Long]("vec_id")))
+    assert(pairs.sameElements(pairs.sortBy(identity)))
+    // shared codebooks: any vec_id in both v13's and v22's top-10 has
+    // identical codes and ADC distance in both
+    val pq = VectorOps.pqAnn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((0 to 3).map(i => r.getAs[Long](s"c$i")), r.getAs[Double]("adist")))
+      .toMap
+    ivfpq.foreach { r =>
+      pq.get(r.getAs[Long]("vec_id")).foreach { case (codes, adist) =>
+        assert((0 to 3).map(i => r.getAs[Long](s"c$i")) == codes)
+        assert(r.getAs[Double]("adist") == adist)
+      }
+    }
+  }
+
   test("as-of nearest equals a direct per-purchase recomputation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.unix_micros
