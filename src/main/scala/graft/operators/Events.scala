@@ -854,7 +854,38 @@ object Events {
       .orderBy($"k_mod")
   }
 
+  /** e46: daily cohort retention — the other canonical product
+    * analytics table next to e44's funnel: users grouped by first-seen
+    * day, and for each later day the fraction of the cohort active
+    * again. Day granularity keeps the curve discriminating at this
+    * fixture's activity rate (weekly buckets saturate at 1.0); both
+    * engines truncate days identically and retention is the r4 exact
+    * rational.
+    *
+    * Scale design: one distinct-collapse to (user, day) — the ONLY
+    * pass over raw events — then everything downstream works on the
+    * collapsed grid: first-day agg reuses the user_id partitioning,
+    * cohort sizes are a tiny broadcast, and the final (cohort, offset)
+    * aggregation is over |users|·|days| rows, not events. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("d"))
+      .distinct()
+    val firstD = daily.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    val cohortN = firstD.groupBy($"cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    daily.join(firstD, Seq("user_id"))
+      .withColumn("day_offset", datediff($"d", $"cohort_day").cast("long"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(cohortN), Seq("cohort_day"))
+      .withColumn("retention", Det.r4($"n_active", $"n_cohort"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e46_cohort_retention" -> cohortRetention _,
     "e44_funnel_stages" -> funnelStages _,
     "e45_rekey_counts" -> rekeyCounts _,
     "e39_rolling_anomaly" -> rollingAnomalies _,
@@ -889,6 +920,20 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // DATE − DATE is integer days in DuckDB, matching Spark's datediff
+    "e46_cohort_retention" ->
+      s"""WITH a AS (SELECT DISTINCT user_id,
+         |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+         |f AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY user_id),
+         |n AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY cohort_day),
+         |r AS (SELECT f.cohort_day,
+         |    CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+         |    count(DISTINCT a.user_id) AS n_active
+         |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+         |SELECT r.cohort_day, r.day_offset, r.n_active, n.n_cohort,
+         |  ${D.r4("n_active", "n_cohort")} AS retention
+         |FROM r JOIN n USING (cohort_day)
+         |ORDER BY cohort_day, day_offset""".stripMargin,
     // chained running-max state machine: window aliases can't be
     // referenced in the same SELECT, hence the stacked CTEs — same
     // single (user_id, ts, event_id) sort in both engines

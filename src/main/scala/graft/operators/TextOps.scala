@@ -1689,7 +1689,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** d45: sliding-window chunking with overlap — the ingest step every
+    * RAG / long-context training pipeline runs before embedding: each
+    * document splits into 32-token chunks on a 16-token stride (50%
+    * overlap so no boundary sentence is lost), each chunk carrying its
+    * provenance (doc_id, index, token offset) and a content hash for
+    * downstream chunk-level dedup. Tail chunks keep their natural
+    * (shorter) length — the deterministic naive contract, identical in
+    * both engines' clamped list slicing.
+    *
+    * Scale design: chunk generation is a map-side explode of a
+    * per-doc index sequence (⌈n/stride⌉ rows per doc — no shuffle,
+    * no self-join); the only exchange is the output ordering. At
+    * 100 TB this is a pure scan whose output feeds the embedding
+    * stage partitioned however that stage needs. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val C = 32; val S = 16
+    docsWithToks(spark, sfDir)
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(0, cast((n - 1) / $S AS int))")).as("i"))
+      .withColumn("start_tok", ($"i" * S).cast("long"))
+      .withColumn("chunk", expr(s"slice(toks, start_tok + 1, $C)"))
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"), $"start_tok",
+        size($"chunk").cast("long").as("n_tok"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d45_chunk_overlap" -> chunkOverlap _,
     "d44_bigram_coverage" -> bigramCoverage _,
     "d43_source_drift"  -> sourceDrift _,
     "d01_exact_dedup"   -> exactDedup _,
@@ -1846,6 +1876,19 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's l[a:b] slice is 1-based inclusive and clamps past the
+    // end, mirroring Spark's slice(toks, start+1, 32); str_split('')
+    // = [''] on both sides → empty docs yield one ''-hash chunk
+    "d45_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+        |    len(str_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS i,
+        |    toks, n FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 16 AS BIGINT) AS start_tok,
+        |  CAST(len(toks[i*16 + 1 : i*16 + 32]) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[i*16 + 1 : i*16 + 32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // DuckDB lists are 1-based (t[i-1]||' '||t[i] over i ∈ 2..len ≡
     // Spark's 0-based toks[i-1]+' '+toks[i] over i ∈ 1..size-1);
     // str_split('',' ') = [''] (len 1) on both sides → the len≥2

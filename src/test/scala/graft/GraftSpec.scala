@@ -2527,6 +2527,59 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("d45 chunking equals a direct sliding-window recomputation") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        val toks = r.getAs[String]("text").split(" ", -1)
+        (0 to (toks.length - 1) / 16).map { i =>
+          val chunk = toks.slice(i * 16, math.min(i * 16 + 32, toks.length))
+          (id, i.toLong, i.toLong * 16, chunk.length.toLong,
+            md5(chunk.mkString(" ")))
+        }
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.TextOps.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"),
+        r.getAs[String]("chunk_hash")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("e46 retention equals a direct per-day cohort recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{date_trunc, to_date}
+    val pairs = Tables.events(spark, sf)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("d")))
+      .distinct
+    val first = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).minBy(_.getTime)).toMap
+    val cohortN = first.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val dayMs = 86400000L
+    val want = pairs.groupBy { case (u, d) =>
+        (first(u), (d.getTime - first(u).getTime) / dayMs) }
+      .map { case ((cd, off), xs) =>
+        (cd, off, xs.map(_._1).distinct.length.toLong, cohortN(cd)) }
+      .toSeq.sortBy(t => (t._1.getTime, t._2))
+    val got = graft.operators.Events.cohortRetention(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day"),
+        r.getAs[Long]("day_offset"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_cohort")))
+    assert(got.toSeq == want)
+    got.zip(graft.operators.Events.cohortRetention(spark, sf).collect())
+      .foreach { case ((_, _, a, n), r) =>
+        val exp = Math.floorDiv(a * 20000L + n, n * 2L) / 10000.0
+        assert(r.getAs[Double]("retention") == exp)
+      }
+  }
+
   test("s36 streaming funnel equals the e44 batch result row-for-row") {
     val batch = graft.operators.Events.funnelStages(spark, sf).collect()
       .map(_.toSeq).toSet
