@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.streaming.{FunnelEvent, FunnelState}
+
+/** ScalaCheck properties for the funnel state machine shared by e44
+  * (chained running-max windows) and s36 (FunnelProcessor): the
+  * invariants must hold for ARBITRARY event sequences — including
+  * timestamp ties and boundary-exact conversion windows — AND for
+  * arbitrary time-ordered batch splits, which is exactly what the
+  * streaming delivery does to the sequence. Pure JVM (no Spark job):
+  * the recursion is exercised directly. */
+object FunnelProps extends Properties("FunnelMachine") {
+
+  private val winUs = 6L * 3600 * 1000000
+  private val none = Long.MinValue
+
+  // the literal FunnelProcessor fold over one sorted slice
+  private def fold(s: FunnelState, rows: Seq[FunnelEvent]): FunnelState =
+    rows.sortBy(e => (e.ts_us, e.event_id)).foldLeft(s) { (st, e) =>
+      e.event_type match {
+        case "view" => st.copy(lv = math.max(st.lv, e.ts_us))
+        case "click" if st.lv != none && e.ts_us <= st.lv + winUs =>
+          st.copy(lc = math.max(st.lc, e.ts_us))
+        case "purchase" if st.lc != none && e.ts_us <= st.lc + winUs =>
+          st.copy(purchased = true)
+        case _ => st
+      }
+    }
+
+  private def stage(s: FunnelState): Long =
+    (if (s.lv != none) 1L else 0L) + (if (s.lc != none) 1L else 0L) +
+      (if (s.purchased) 1L else 0L)
+
+  // the e44 window-chain formulation, replayed literally: running max
+  // view ts (lv), then running max of qualified click ts (lc), then
+  // any qualified purchase — over the SAME (ts_us, event_id) order
+  private def windowChainStage(rows: Seq[FunnelEvent]): Long = {
+    val sorted = rows.sortBy(e => (e.ts_us, e.event_id))
+    var lv = none
+    val lvAt = sorted.map { e =>
+      if (e.event_type == "view") lv = math.max(lv, e.ts_us); lv
+    }
+    var lc = none
+    val lcAt = sorted.zip(lvAt).map { case (e, l) =>
+      if (e.event_type == "click" && l != none && e.ts_us <= l + winUs)
+        lc = math.max(lc, e.ts_us)
+      lc
+    }
+    val s1 = if (sorted.exists(_.event_type == "view")) 1L else 0L
+    val s2 = if (lcAt.exists(_ != none)) 1L else 0L
+    val s3 = if (sorted.zip(lcAt).exists { case (e, c) =>
+      e.event_type == "purchase" && c != none && e.ts_us <= c + winUs
+    }) 1L else 0L
+    s1 + s2 + s3
+  }
+
+  // dense timestamps (ties likely) around multiples of the window so
+  // boundary-exact conversions (ts == lv + win) are generated
+  private val eventGen: Gen[FunnelEvent] = for {
+    t <- Gen.chooseNum(0L, 4L * winUs)
+    snap <- Gen.oneOf(true, false)
+    ts = if (snap) (t / winUs) * winUs else t
+    id <- Gen.chooseNum(0L, 30L)
+    tpe <- Gen.oneOf("view", "click", "purchase", "error")
+  } yield FunnelEvent(0L, ts, id, tpe)
+
+  private val seqGen: Gen[List[FunnelEvent]] =
+    Gen.listOf(eventGen).map(_.take(120))
+
+  // split the TIME-SORTED sequence at arbitrary points into 1..5
+  // ordered batches (the s36 delivery contract)
+  private val splitGen: Gen[(List[FunnelEvent], List[List[FunnelEvent]])] =
+    for {
+      xs <- seqGen
+      sorted = xs.sortBy(e => (e.ts_us, e.event_id))
+      n <- Gen.chooseNum(1, 5)
+      cuts <- Gen.listOfN(n - 1, Gen.chooseNum(0, sorted.size))
+    } yield {
+      val bounds = (0 +: cuts.sorted :+ sorted.size).distinct.sorted
+      (sorted, bounds.zip(bounds.tail).map { case (a, b) =>
+        sorted.slice(a, b) })
+    }
+
+  private val zero = FunnelState(none, none, purchased = false)
+
+  property("batch-split fold equals the one-pass fold") =
+    Prop.forAll(splitGen) { case (all, parts) =>
+      val once = fold(zero, all)
+      val batched = parts.foldLeft(zero)(fold)
+      once == batched
+    }
+
+  property("machine stage equals the e44 window-chain stage") =
+    Prop.forAll(seqGen) { xs =>
+      stage(fold(zero, xs)) == windowChainStage(xs)
+    }
+
+  property("stage is monotone non-decreasing across batches") =
+    Prop.forAll(splitGen) { case (_, parts) =>
+      val stages = parts.scanLeft(zero)(fold).tail.map(stage)
+      stages.zip(stages.drop(1)).forall { case (a, b) => a <= b }
+    }
+}

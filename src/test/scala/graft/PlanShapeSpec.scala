@@ -317,6 +317,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"argmax not planned as a window group limit:\n$plan")
   }
 
+  test("e44 funnel: both window passes and the user agg share one user_id exchange") {
+    val plan = planOf(operators.Events.funnelStages(spark, sf))
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+    // exactly one exchange partitions by user_id (serving both chained
+    // windows AND the per-user aggregate); the only other hash exchange
+    // is the tiny ≤4-row stage histogram
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1,
+      s"funnel expected one user_id exchange, got $userEx:\n$plan")
+  }
+
+  test("d44 coverage: head is a TakeOrdered(200) and the probe join broadcasts") {
+    val plan = planOf(operators.TextOps.bigramCoverage(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject(limit=200"),
+      s"head not a bounded TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the 200-row head:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle on the bigram key:\n$plan")
+  }
+
+  test("e46 retention: cohort sizes broadcast; no SMJ forms") {
+    val plan = planOf(operators.Events.cohortRetention(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort-size join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"retention grid must assemble by broadcast/shuffled-hash:\n$plan")
+  }
+
   test("d43 drift: corpus counted once (checkpoint), grid joins broadcast") {
     val df = operators.TextOps.sourceDrift(spark, sf)
     df.collect()
