@@ -763,6 +763,13 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** The e44/s36 conversion window, in ONE place: the batch window
+    * chain, the oracle SQL, the streaming processor, and the property
+    * fuzz all derive from these two values — drifting one of the four
+    * copies was a live hazard flagged in the session-14 review. */
+  private[graft] val FunnelWinHours = 6
+  private[graft] val FunnelWinUs: Long = FunnelWinHours * 3600L * 1000000L
+
   /** e44: ordered funnel conversion (view → click within 6h → purchase
     * within 6h) — the canonical product-analytics question: of the
     * users who viewed, how many then clicked within the conversion
@@ -790,7 +797,7 @@ object Events {
     import spark.implicits._
     val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val win = expr("INTERVAL 6 HOURS")
+    val win = expr(s"INTERVAL $FunnelWinHours HOURS")
     val perUser = Tables.events(spark, sfDir)
       .withColumn("lv",
         max(when($"event_type" === "view", $"ts")).over(run))
@@ -843,9 +850,15 @@ object Events {
   def rekeyCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.api.GraftStreams
+    // try_cast + null filter on BOTH sides: a missing or non-numeric
+    // props.k must drop the row identically in the two engines — a
+    // strict CAST would error in DuckDB (and under ANSI in Spark)
+    // while a silent NULL group would sort FIRST in Spark and LAST in
+    // DuckDB (session-14 review finding)
     GraftStreams.stream(Tables.events(spark, sfDir), "user_id", "ts")
       .selectKey("k_mod",
-        get_json_object($"props", "$.k").cast("long") % 10)
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 10"))
+      .filter($"k_mod".isNotNull)
       .groupByKey
       .agg(
         count(lit(1)).as("n_events"),
@@ -944,14 +957,14 @@ object Events {
          |  FROM events),
          |b AS (SELECT *,
          |  max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
-         |           AND ts <= lv + INTERVAL 6 HOURS THEN ts END)
+         |           AND ts <= lv + INTERVAL $FunnelWinHours HOURS THEN ts END)
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lc
          |  FROM a),
          |u AS (SELECT user_id,
          |  CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
          |    + max(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END)
          |    + max(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
-         |               AND ts <= lc + INTERVAL 6 HOURS
+         |               AND ts <= lc + INTERVAL $FunnelWinHours HOURS
          |               THEN 1 ELSE 0 END) AS BIGINT) AS stage
          |  FROM b GROUP BY user_id),
          |s AS (SELECT stage, count(*) AS n_users FROM u GROUP BY stage)
@@ -961,11 +974,13 @@ object Events {
                "CAST(sum(n_users) OVER () AS BIGINT)")} AS conv_pct
          |FROM s ORDER BY stage""".stripMargin,
     "e45_rekey_counts" ->
-      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_mod,
+      s"""SELECT TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_mod,
          |  count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,
          |  ${D.dsum("value", "total_value")}
-         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+         |FROM events
+         |WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+         |GROUP BY k_mod ORDER BY k_mod""".stripMargin,
     // integer z²: DuckDB widens sum(BIGINT) to HUGEINT mid-CTE, which is
     // fine — the only OUTPUT column it feeds is r4's final /10000.0
     // DOUBLE (the d29/d30 lesson: keep HUGEINT off the output schema)

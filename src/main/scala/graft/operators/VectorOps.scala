@@ -361,7 +361,7 @@ object VectorOps {
     * IVF probe (v07, and v18's recall gate through it) and the
     * composed IVF-PQ probe (v22), so cell assignment and probe
     * selection cannot drift between the two indexes. */
-  private def ivfIndex(spark: SparkSession, sfDir: String):
+  private[graft] def ivfIndex(spark: SparkSession, sfDir: String):
       (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)

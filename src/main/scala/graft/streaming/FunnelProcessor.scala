@@ -35,6 +35,38 @@ case class FunnelDepth(user_id: Long, stage: Long)
   * (Long.MinValue = none yet), and the purchased bit. */
 case class FunnelState(lv: Long, lc: Long, purchased: Boolean)
 
+/** The funnel recursion itself, separated from the state-store plumbing
+  * so the ScalaCheck fuzz (FunnelProps) exercises the PRODUCTION fold —
+  * a hand-copied transcription in the test could silently drift from
+  * the processor (session-14 review finding). The conversion window is
+  * [[graft.operators.Events.FunnelWinUs]], the e44 contract's single
+  * source of truth. */
+object FunnelMachine {
+  val none: Long = Long.MinValue
+  val zero: FunnelState = FunnelState(none, none, purchased = false)
+
+  /** Fold one time-ordered slice (sorted here by (ts_us, event_id))
+    * into the state — the per-batch step of s36. */
+  def fold(s0: FunnelState, rows: Seq[FunnelEvent]): FunnelState = {
+    val winUs = graft.operators.Events.FunnelWinUs
+    rows.sortBy(e => (e.ts_us, e.event_id)).foldLeft(s0) { (s, e) =>
+      e.event_type match {
+        case "view" => s.copy(lv = math.max(s.lv, e.ts_us))
+        case "click" if s.lv != none && e.ts_us <= s.lv + winUs =>
+          s.copy(lc = math.max(s.lc, e.ts_us))
+        case "purchase" if s.lc != none && e.ts_us <= s.lc + winUs =>
+          s.copy(purchased = true)
+        case _ => s
+      }
+    }
+  }
+
+  /** Funnel depth reached: monotone non-decreasing across folds. */
+  def stage(s: FunnelState): Long =
+    (if (s.lv != none) 1L else 0L) + (if (s.lc != none) 1L else 0L) +
+      (if (s.purchased) 1L else 0L)
+}
+
 class FunnelProcessor
     extends StatefulProcessor[Long, FunnelEvent, FunnelDepth] {
 
@@ -46,25 +78,10 @@ class FunnelProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
       timers: TimerValues): Iterator[FunnelDepth] = {
-    val none = Long.MinValue
-    val winUs = 6L * 3600 * 1000000 // e44's 6h conversion window
-    var s = if (st.exists()) st.get() else FunnelState(none, none, false)
-    rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      e.event_type match {
-        case "view" =>
-          s = s.copy(lv = math.max(s.lv, e.ts_us))
-        case "click" =>
-          if (s.lv != none && e.ts_us <= s.lv + winUs)
-            s = s.copy(lc = math.max(s.lc, e.ts_us))
-        case "purchase" =>
-          if (s.lc != none && e.ts_us <= s.lc + winUs)
-            s = s.copy(purchased = true)
-        case _ => ()
-      }
-    }
+    val s = FunnelMachine.fold(
+      if (st.exists()) st.get() else FunnelMachine.zero,
+      rows.toArray.toIndexedSeq)
     st.update(s)
-    val stage = (if (s.lv != none) 1L else 0L) +
-      (if (s.lc != none) 1L else 0L) + (if (s.purchased) 1L else 0L)
-    Iterator.single(FunnelDepth(key, stage))
+    Iterator.single(FunnelDepth(key, FunnelMachine.stage(s)))
   }
 }

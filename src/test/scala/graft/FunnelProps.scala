@@ -1,36 +1,21 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import graft.streaming.{FunnelEvent, FunnelState}
+import graft.streaming.{FunnelEvent, FunnelMachine}
 
 /** ScalaCheck properties for the funnel state machine shared by e44
   * (chained running-max windows) and s36 (FunnelProcessor): the
   * invariants must hold for ARBITRARY event sequences — including
   * timestamp ties and boundary-exact conversion windows — AND for
   * arbitrary time-ordered batch splits, which is exactly what the
-  * streaming delivery does to the sequence. Pure JVM (no Spark job):
-  * the recursion is exercised directly. */
+  * streaming delivery does to the sequence. Pure JVM (no Spark job),
+  * and the fold under test IS the production [[FunnelMachine]] the
+  * processor runs — not a transcription (session-14 review finding). */
 object FunnelProps extends Properties("FunnelMachine") {
 
-  private val winUs = 6L * 3600 * 1000000
-  private val none = Long.MinValue
-
-  // the literal FunnelProcessor fold over one sorted slice
-  private def fold(s: FunnelState, rows: Seq[FunnelEvent]): FunnelState =
-    rows.sortBy(e => (e.ts_us, e.event_id)).foldLeft(s) { (st, e) =>
-      e.event_type match {
-        case "view" => st.copy(lv = math.max(st.lv, e.ts_us))
-        case "click" if st.lv != none && e.ts_us <= st.lv + winUs =>
-          st.copy(lc = math.max(st.lc, e.ts_us))
-        case "purchase" if st.lc != none && e.ts_us <= st.lc + winUs =>
-          st.copy(purchased = true)
-        case _ => st
-      }
-    }
-
-  private def stage(s: FunnelState): Long =
-    (if (s.lv != none) 1L else 0L) + (if (s.lc != none) 1L else 0L) +
-      (if (s.purchased) 1L else 0L)
+  private val winUs = graft.operators.Events.FunnelWinUs
+  private val none = FunnelMachine.none
+  private val zero = FunnelMachine.zero
 
   // the e44 window-chain formulation, replayed literally: running max
   // view ts (lv), then running max of qualified click ts (lc), then
@@ -82,23 +67,22 @@ object FunnelProps extends Properties("FunnelMachine") {
         sorted.slice(a, b) })
     }
 
-  private val zero = FunnelState(none, none, purchased = false)
-
   property("batch-split fold equals the one-pass fold") =
     Prop.forAll(splitGen) { case (all, parts) =>
-      val once = fold(zero, all)
-      val batched = parts.foldLeft(zero)(fold)
-      once == batched
+      FunnelMachine.fold(zero, all) ==
+        parts.foldLeft(zero)(FunnelMachine.fold)
     }
 
   property("machine stage equals the e44 window-chain stage") =
     Prop.forAll(seqGen) { xs =>
-      stage(fold(zero, xs)) == windowChainStage(xs)
+      FunnelMachine.stage(FunnelMachine.fold(zero, xs)) ==
+        windowChainStage(xs)
     }
 
   property("stage is monotone non-decreasing across batches") =
     Prop.forAll(splitGen) { case (_, parts) =>
-      val stages = parts.scanLeft(zero)(fold).tail.map(stage)
+      val stages = parts.scanLeft(zero)(FunnelMachine.fold)
+        .tail.map(FunnelMachine.stage)
       stages.zip(stages.drop(1)).forall { case (a, b) => a <= b }
     }
 }
