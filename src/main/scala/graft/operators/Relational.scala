@@ -502,7 +502,50 @@ object Relational {
       .orderBy($"check_name")
   }
 
+  /** q26: join-key skew profiler — the diagnostic that DECIDES when the
+    * e22 salted-join path is worth its two-stage cost: per candidate
+    * join key, the row-count distribution (exact p50/p90/p99 over the
+    * per-key counts), the hottest key, and the skew ratio max/mean.
+    * Every engine's ops story needs this table before a big join: a
+    * skew ratio near 1 says hash-partitioning will balance; a large one
+    * says the hot keys need salting or AQE skew splitting.
+    *
+    * Determinism: counts are exact longs; percentiles over counts use
+    * the same linear-interpolation contract as e17 (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`); the mean-based skew ratio is the r4
+    * exact rational max·n_keys / total; the hot key ties to the
+    * smallest key.
+    *
+    * Scale design: ONE shuffle builds the per-key count table
+    * (map-side combined); the profile then aggregates |keys| rows, not
+    * |rows| — at 100 TB that second step is the cheap one. Exact
+    * percentiles over billions of keys would use approx_percentile in
+    * production; exact is chosen here for the oracle contract, on the
+    * already-collapsed count table. */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"l_orderkey")
+    counts
+      .withColumn("rn", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("total_rows"),
+        max($"cnt").as("max_cnt"),
+        percentile($"cnt", array(lit(0.5), lit(0.9), lit(0.99))).as("pcts"),
+        max(when($"rn" === 1, $"l_orderkey")).as("hot_key"))
+      .select(
+        $"n_keys", $"total_rows", $"max_cnt",
+        round($"pcts"(0), 2).as("p50_cnt"),
+        round($"pcts"(1), 2).as("p90_cnt"),
+        round($"pcts"(2), 2).as("p99_cnt"),
+        Det.r4($"max_cnt" * $"n_keys", $"total_rows").as("skew_ratio"),
+        $"hot_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_skew_profile"       -> skewProfile _,
     "q25_data_checks" -> dataChecks _,
     "q22_subtree_rollup" -> subtreeRollup _,
     "q23_small_qty_revenue" -> smallQtyRevenue _,
@@ -533,6 +576,25 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont ≡ Spark percentile (e17's contract); the hot key
+    // is the count-desc, key-asc argmax; CASTs keep HUGEINT off the
+    // output schema
+    "q26_skew_profile" ->
+      s"""WITH c AS (SELECT l_orderkey, count(*) AS cnt
+         |  FROM lineitem GROUP BY l_orderkey),
+         |r AS (SELECT *, row_number()
+         |    OVER (ORDER BY cnt DESC, l_orderkey) AS rn FROM c)
+         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(cnt) AS BIGINT) AS total_rows,
+         |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |  round(quantile_cont(cnt, 0.5), 2) AS p50_cnt,
+         |  round(quantile_cont(cnt, 0.9), 2) AS p90_cnt,
+         |  round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
+         |  ${D.r4("CAST(max(cnt) * count(*) AS BIGINT)",
+              "CAST(sum(cnt) AS BIGINT)")} AS skew_ratio,
+         |  CAST(max(CASE WHEN rn = 1 THEN l_orderkey END) AS BIGINT)
+         |    AS hot_key
+         |FROM r""".stripMargin,
     "q25_data_checks" ->
       """WITH v AS (
         |  SELECT 'lineitem_qty_range' AS check_name, count(*) FILTER

@@ -2583,6 +2583,35 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("q26 skew profile equals a direct count-table recomputation") {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("cnt")))
+    val sorted = counts.map(_._2).sorted
+    def pct(p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val lo = rank.toInt; val frac = rank - lo
+      val v = if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo).toDouble
+      math.rint(v * 100) / 100
+    }
+    val r = graft.operators.Relational.skewProfile(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_keys") == counts.length)
+    assert(r.getAs[Long]("total_rows") == counts.map(_._2).sum)
+    assert(r.getAs[Long]("max_cnt") == sorted.last)
+    assert(r.getAs[Double]("p50_cnt") == pct(0.5))
+    assert(r.getAs[Double]("p90_cnt") == pct(0.9))
+    assert(r.getAs[Double]("p99_cnt") == pct(0.99))
+    val hot = counts.filter(_._2 == sorted.last).map(_._1).min
+    assert(r.getAs[Long]("hot_key") == hot)
+    val (mx, nk, tot) = (sorted.last, counts.length.toLong, sorted.sum)
+    assert(r.getAs[Double]("skew_ratio") ==
+      Math.floorDiv(mx * nk * 20000L + tot, tot * 2L) / 10000.0)
+  }
+
   test("s36 streaming funnel equals the e44 batch result row-for-row") {
     val batch = graft.operators.Events.funnelStages(spark, sf).collect()
       .map(_.toSeq).toSet
