@@ -897,7 +897,64 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** e47: last-touch attribution — the revenue-assignment shape every
+    * event pipeline ends in: each purchase is attributed to the user's
+    * LATEST click in the preceding 7 days (backward as-of, e13's
+    * direction), the click's `props.k` bucket names the channel, and
+    * the report aggregates purchases/revenue/click-to-purchase lag per
+    * channel, with an explicit `unattributed` row for purchases with no
+    * qualifying click. Ties on click time take the larger click_id
+    * (freshest-record as-of convention, as e36).
+    *
+    * Determinism: revenue is the exact decimal sum; lag is integer
+    * seconds (µs floor-div 10⁶, non-negative by the join predicate);
+    * the per-channel mean lag is the r4 exact rational, NULL for the
+    * unattributed row (guarded CASE in both engines). A missing or
+    * non-numeric `props.k` still attributes — to the 'unknown' channel
+    * (try_cast + CASE, the e45 null-discipline).
+    *
+    * Scale design: one user_id equi-join with the 7-day residual range
+    * predicate (never a cartesian); the per-purchase argmax window and
+    * the left join back are both keyed on purchase_id so the exchange
+    * is reused (e36's shape); the final aggregation collapses to ≤6
+    * channel rows map-side. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4")
+          .as("kb"))
+      .withColumn("channel",
+        when($"kb" === 0, "ads").when($"kb" === 1, "email")
+          .when($"kb" === 2, "social").when($"kb" === 3, "organic")
+          .otherwise("unknown"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value")
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy(desc("click_ts"), desc("click_id"))
+    val best = p.join(c, $"c_user" === $"user_id" &&
+        $"click_ts" <= $"ts" &&
+        $"click_ts" >= $"ts" - expr("INTERVAL 7 DAYS"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"purchase_id", $"channel",
+        Det.fdiv(unix_micros($"ts") - unix_micros($"click_ts"),
+          lit(1000000L)).as("lag_s"))
+    p.join(best, Seq("purchase_id"), "left")
+      .withColumn("channel", coalesce($"channel", lit("unattributed")))
+      .groupBy($"channel")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        dsum($"value").as("revenue"),
+        when(count($"lag_s") > 0,
+          Det.r4(sum($"lag_s"), count($"lag_s"))).as("avg_lag_s"))
+      .orderBy($"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e47_attribution" -> lastTouchAttribution _,
     "e46_cohort_retention" -> cohortRetention _,
     "e44_funnel_stages" -> funnelStages _,
     "e45_rekey_counts" -> rekeyCounts _,
@@ -933,6 +990,39 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // backward as-of (latest click ≤ purchase within 7 days), channel
+    // from props.k % 4 (try_cast: the e45 null-discipline), lag in
+    // floor-µs→s; CASTs keep HUGEINT off the schema
+    "e47_attribution" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id AS c_user,
+         |    ts AS click_ts,
+         |    try_cast(json_extract_string(props, '$$.k') AS BIGINT) % 4 AS kb
+         |  FROM events WHERE event_type = 'click'),
+         |cc AS (SELECT click_id, c_user, click_ts,
+         |    CASE kb WHEN 0 THEN 'ads' WHEN 1 THEN 'email'
+         |      WHEN 2 THEN 'social' WHEN 3 THEN 'organic'
+         |      ELSE 'unknown' END AS channel FROM c),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT p.purchase_id, cc.channel,
+         |    ${D.fdiv("epoch_us(p.ts) - epoch_us(cc.click_ts)", "1000000")}
+         |      AS lag_s,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY cc.click_ts DESC, cc.click_id DESC) AS rn
+         |  FROM p JOIN cc ON cc.c_user = p.user_id
+         |    AND cc.click_ts <= p.ts
+         |    AND cc.click_ts >= p.ts - INTERVAL 7 DAY),
+         |b AS (SELECT purchase_id, channel, lag_s FROM j WHERE rn = 1),
+         |a AS (SELECT p.purchase_id,
+         |    COALESCE(b.channel, 'unattributed') AS channel, b.lag_s, p.value
+         |  FROM p LEFT JOIN b USING (purchase_id))
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  ${D.dsum("value", "revenue")},
+         |  CASE WHEN count(lag_s) > 0
+         |    THEN ${D.r4("CAST(sum(lag_s) AS BIGINT)",
+                "CAST(count(lag_s) AS BIGINT)")}
+         |  END AS avg_lag_s
+         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
     // DATE − DATE is integer days in DuckDB, matching Spark's datediff
     "e46_cohort_retention" ->
       s"""WITH a AS (SELECT DISTINCT user_id,

@@ -544,7 +544,57 @@ object Relational {
         $"hot_key")
   }
 
+  /** q27: equi-depth (equi-height) histogram of `l_extendedprice` —
+    * q26's sibling diagnostic: where q26 profiles JOIN-key skew, this
+    * is the optimizer-statistics build every engine runs over measure
+    * columns (selectivity estimation, range pruning, AQE skew bounds).
+    * 16 buckets, each holding ~1/16 of the rows; rows with equal value
+    * land in one bucket, so heavy values may make a bucket run long —
+    * the standard equi-depth contract.
+    *
+    * Determinism: prices become exact integer cents; the bucket of a
+    * value is `floor(16·cum_excl / N)` over the VALUE-sorted cumulative
+    * counts — pure int64 arithmetic, no interpolation anywhere, so both
+    * engines bucket identically by construction.
+    *
+    * Scale design: the fact scan collapses to a (value → count)
+    * frequency table in ONE map-side-combined shuffle; the cumulative
+    * window then runs over |distinct values|, not |rows| — bounded by
+    * the price domain (~10⁶ cents values), which is why the
+    * frequency-table route beats any global-sort/ntile shape (whose
+    * window would be a single partition over ALL rows). The one
+    * single-partition window here sees only the collapsed value table;
+    * at a larger domain it would range-partition into ordered chunks
+    * with offset recombination. */
+  def equidepthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.lineitem(spark, sfDir)
+      .withColumn("c", expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .groupBy($"c").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // grand total as an unbounded window over the SAME collapsed value
+    // table (no second fact scan; both window frames ride the one
+    // single-partition stage)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    f.withColumn("n_rows", sum($"cnt").over(wAll))
+      .withColumn("cum_excl", coalesce(sum($"cnt").over(w), lit(0L)))
+      .withColumn("bucket", Det.fdiv($"cum_excl" * 16L, $"n_rows"))
+      .groupBy($"bucket")
+      .agg(
+        round(min($"c") / 100.0, 2).as("lo"),
+        round(max($"c") / 100.0, 2).as("hi"),
+        count(lit(1)).as("n_values"),
+        sum($"cnt").as("n"),
+        max($"n_rows").as("n_rows"))
+      .select($"bucket", $"lo", $"hi", $"n_values", $"n",
+        Det.r4($"n", $"n_rows").as("share"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_equidepth_hist"     -> equidepthHistogram _,
     "q26_skew_profile"       -> skewProfile _,
     "q25_data_checks" -> dataChecks _,
     "q22_subtree_rollup" -> subtreeRollup _,
@@ -576,6 +626,27 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    // integer-cents frequency table → exclusive cumulative counts →
+    // floor(16·cum/N) bucketing: no interpolation, so the bucketing is
+    // bit-identical across engines; CASTs keep HUGEINT off the schema
+    "q27_equidepth_hist" ->
+      s"""WITH f AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         |    count(*) AS cnt FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM f),
+         |w AS (SELECT c, cnt, n_rows,
+         |    COALESCE(CAST(sum(cnt) OVER (ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum_excl
+         |  FROM f CROSS JOIN t),
+         |b AS (SELECT ${D.fdiv("cum_excl * 16", "n_rows")} AS bucket,
+         |    c, cnt, n_rows FROM w)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  round(min(c) / 100.0, 2) AS lo,
+         |  round(max(c) / 100.0, 2) AS hi,
+         |  CAST(count(*) AS BIGINT) AS n_values,
+         |  CAST(sum(cnt) AS BIGINT) AS n,
+         |  ${D.r4("CAST(sum(cnt) AS BIGINT)", "max(n_rows)")} AS share
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // quantile_cont ≡ Spark percentile (e17's contract); the hot key
     // is the count-desc, key-asc argmax; CASTs keep HUGEINT off the
     // output schema

@@ -1718,7 +1718,107 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Containment (overlap-coefficient) threshold and the rare-shingle
+    * document-frequency cap that defines d46's candidate contract. */
+  private val ContainDfCap = 50L
+
+  /** d46: sub-document containment — partial duplication that Jaccard
+    * dedup (d06/d08) is BLIND to: a short document wholly quoted inside
+    * a much longer one has overlap coefficient |A∩B|/min(|A|,|B|) ≈ 1
+    * but Jaccard ≈ |A|/|B| ≈ 0, so it collides in no MinHash band.
+    * Contract: pairs sharing at least one RARE 3-shingle (corpus df ≤
+    * 50 — the d37 posting-cap discipline, here doubling as the skew
+    * bound) whose exact overlap coefficient is ≥ 0.8, with the Jaccard
+    * alongside so a consumer sees which pairs plain near-dup would have
+    * caught. The df cap is part of the declared contract: containment
+    * evidence lives in rare shingles; boilerplate shingles (df > cap)
+    * are exactly the ones that would chain unrelated documents.
+    *
+    * Scale design: the candidate self-join keys on rare shingles only,
+    * so every bucket holds ≤ cap docs (≤ cap² pairs per shingle) — the
+    * unbounded-bucket skew of a full shingle join cannot occur. Exact
+    * verification touches candidates only: one codegen'd sorted-array
+    * intersection over the per-doc hash sets (the d08 verify shape).
+    * Threshold test is the cross-multiplied integer predicate 5·common
+    * ≥ 4·min(n1,n2) — no double compare. Like every pair-emitting op
+    * here, output is c² per duplicate group (see the d08/SURVEY §6
+    * caveat); the cluster-emitting composition canonicalizes first. */
+  def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val sh = cached(spark, sfDir, "d46_sh") {
+      docsWithToks(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+    }
+    val byDoc = cached(spark, sfDir, "d46_bydoc") {
+      sh.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"h")).as("hs"),
+          count(lit(1)).as("n"))
+    }
+    val rare = sh.filter($"df" <= ContainDfCap).select($"doc_id", $"h")
+    // dedup BEFORE verify here (unlike d08): a contained pair shares
+    // every rare shingle of the smaller doc, so candidate multiplicity
+    // is ~doc-length — one exchange over the slim pair list beats
+    // hundreds of redundant array intersections per pair
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    cand
+      .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
+      .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
+      .withColumn("common",
+        call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
+      .filter($"common" * 5L >= least($"n1", $"n2") * 4L)
+      .select($"d1", $"d2", $"n1", $"n2", $"common",
+        r4($"common", least($"n1", $"n2")).as("containment"),
+        r4($"common", $"n1" + $"n2" - $"common").as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** d47: hashed linear quality classifier — the fastText/CCNet-style
+    * model-based filter shape: every token hashes into one of 64
+    * feature buckets, each bucket carries a fixed integer weight (here
+    * a closed-form LCG of the bucket id standing in for trained
+    * weights; a production run broadcasts the real weight vector), the
+    * document's margin is the mean token weight and the keep decision
+    * is its sign. The point is the EXECUTION shape of model scoring at
+    * corpus scale, with a deterministic stand-in model both engines
+    * can agree on bit-exactly.
+    *
+    * Determinism: one codegen'd md5 per token occurrence (the
+    * [[minhashSigs]] measurement: beats interpreted per-element
+    * lambdas), bucket/weight are pure int64 arithmetic on non-negative
+    * operands, the margin is the r4 exact rational Σw / (1000·n).
+    *
+    * Scale design: scoring is map work; the only exchange is the
+    * per-doc hash-agg, collapsed map-side to one row per document per
+    * partition before shuffling — |docs| rows move, never |tokens|. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .select($"doc_id", explode($"toks").as("t"))
+      .withColumn("b",
+        expr("conv(substr(md5(t), 1, 8), 16, 10)").cast("long") % 64L)
+      .withColumn("w",
+        (lit(2654435761L) * $"b" + lit(1013904223L)) % 2001L - 1000L)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("sum_w"))
+      .select($"doc_id", $"n_tokens", $"sum_w",
+        r4($"sum_w", $"n_tokens" * 1000L).as("score"),
+        ($"sum_w" > 0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d46_containment"   -> containmentDups _,
+    "d47_classifier_score" -> classifierScore _,
     "d45_chunk_overlap" -> chunkOverlap _,
     "d44_bigram_coverage" -> bigramCoverage _,
     "d43_source_drift"  -> sourceDrift _,
@@ -1876,6 +1976,42 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // brute-force semantics of d46's contract: candidates = pairs
+    // sharing a rare (df ≤ cap) shingle; exact intersection over ALL
+    // distinct shingles; cross-multiplied 5·common ≥ 4·min threshold
+    "d46_containment" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |sh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+         |  for g in range(1, len(toks) - 1)])) AS s FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN df ON df.s = a.s WHERE df.df <= $ContainDfCap),
+         |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, CAST(sa.n AS BIGINT) AS n1,
+         |  CAST(sb.n AS BIGINT) AS n2, CAST(c.common AS BIGINT) AS common,
+         |  ${D.r4("c.common", "least(sa.n, sb.n)")} AS containment,
+         |  ${D.r4("c.common", "sa.n + sb.n - c.common")} AS jaccard
+         |FROM cand JOIN c ON c.d1 = cand.d1 AND c.d2 = cand.d2
+         |JOIN sz sa ON sa.doc_id = c.d1 JOIN sz sb ON sb.doc_id = c.d2
+         |WHERE c.common * 5 >= least(sa.n, sb.n) * 4
+         |ORDER BY c.d1, c.d2""".stripMargin,
+    // same md5-hex-prefix bucket hash as the minhash CTEs; the LCG
+    // weight stays in BIGINT (2654435761·63 ≈ 1.7e11); only sum()
+    // widens, hence the CASTs
+    "d47_classifier_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+         |hb AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b FROM tk),
+         |wv AS (SELECT doc_id, (2654435761 * b + 1013904223) % 2001 - 1000 AS w FROM hb)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w) AS BIGINT) AS sum_w,
+         |  ${D.r4("CAST(sum(w) AS BIGINT)", "count(*) * 1000")} AS score,
+         |  CAST(sum(w) AS BIGINT) > 0 AS kept
+         |FROM wv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DuckDB's l[a:b] slice is 1-based inclusive and clamps past the
     // end, mirroring Spark's slice(toks, start+1, 32); str_split('')
     // = [''] on both sides → empty docs yield one ''-hash chunk

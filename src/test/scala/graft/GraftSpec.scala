@@ -2612,6 +2612,140 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
       Math.floorDiv(mx * nk * 20000L + tot, tot * 2L) / 10000.0)
   }
 
+  test("q27 equi-depth histogram partitions all rows into balanced buckets") {
+    import org.apache.spark.sql.functions.{col, round => fround}
+    val cents = Tables.lineitem(spark, sf)
+      .select(fround(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val rows = graft.operators.Relational.equidepthHistogram(spark, sf).collect()
+    // buckets cover every row exactly once and are contiguous in value
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L until 16L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+    // recompute each value's bucket directly from the sorted row list
+    val byValue = cents.groupBy(identity).view.mapValues(_.length.toLong)
+    val cumExcl = scala.collection.mutable.Map.empty[Long, Long]
+    var acc = 0L
+    byValue.keys.toSeq.sorted.foreach { v =>
+      cumExcl(v) = acc; acc += byValue(v)
+    }
+    val expected = byValue.keys.groupBy(v => cumExcl(v) * 16 / n)
+    rows.foreach { r =>
+      val vs = expected(r.getAs[Long]("bucket"))
+      assert(r.getAs[Double]("lo") == math.rint(vs.min / 100.0 * 100) / 100)
+      assert(r.getAs[Double]("hi") == math.rint(vs.max / 100.0 * 100) / 100)
+      assert(r.getAs[Long]("n") == vs.map(byValue).sum)
+      assert(r.getAs[Long]("n_values") == vs.size)
+    }
+    // equi-depth property: no bucket under ~half or over ~double the
+    // ideal fill on this fixture (ties can only run a bucket long)
+    val ideal = n / 16.0
+    rows.foreach { r =>
+      val bn = r.getAs[Long]("n")
+      assert(bn > ideal / 2 && bn < ideal * 2, s"unbalanced bucket: $r")
+    }
+  }
+
+  test("e47 attribution equals a per-purchase direct recomputation") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        col("value"), col("props"))
+      .collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click").map { r =>
+      val k = """"k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(
+        r.getAs[String]("props")).map(_.group(1).toLong)
+      (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[Long]("event_id"),
+        k.map(_ % 4) match {
+          case Some(0) => "ads"; case Some(1) => "email"
+          case Some(2) => "social"; case Some(3) => "organic"
+          case _ => "unknown"
+        })
+    }
+    val weekUs = 7L * 86400 * 1000000
+    val attributed = ev.filter(_.getAs[String]("event_type") == "purchase").map { r =>
+      val (u, t) = (r.getAs[Long]("user_id"), r.getAs[Long]("us"))
+      val best = clicks.filter(c =>
+          c._1 == u && c._2 <= t && c._2 >= t - weekUs)
+        .sortBy(c => (-c._2, -c._3)).headOption
+      (best.map(_._4).getOrElse("unattributed"),
+        best.map(c => Math.floorDiv(t - c._2, 1000000L)),
+        r.getAs[Double]("value"))
+    }
+    val got = graft.operators.Events.lastTouchAttribution(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_purchases")).sum == attributed.length)
+    got.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      val mine = attributed.filter(_._1 == ch)
+      assert(r.getAs[Long]("n_purchases") == mine.length, s"n mismatch: $ch")
+      val rev = BigDecimal(mine.map(x =>
+        BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("revenue") == rev, s"revenue mismatch: $ch")
+      val lags = mine.flatMap(_._2)
+      if (ch == "unattributed") assert(r.isNullAt(r.fieldIndex("avg_lag_s")))
+      else assert(r.getAs[Double]("avg_lag_s") ==
+        Math.floorDiv(lags.sum * 20000L + lags.length, lags.length * 2L) / 10000.0)
+    }
+  }
+
+  test("d46 containment finds contained pairs brute force misses nothing") {
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = shingles.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ids = shingles.keys.toSeq.sorted
+    val exp = (for {
+      i <- ids; j <- ids if i < j
+      si = shingles(i); sj = shingles(j)
+      if (si & sj).exists(s => df(s) <= 50)
+      common = (si & sj).size
+      if common * 5 >= math.min(si.size, sj.size) * 4
+    } yield (i, j, common)).toSet
+    val got = graft.operators.TextOps.containmentDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("common").toInt)).toSet
+    assert(got == exp)
+  }
+
+  test("d47 classifier score matches a per-token direct recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val got = graft.operators.TextOps.classifierScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, toks) =>
+      val ws = toks.map(t => (2654435761L * bucket(t) + 1013904223L) % 2001L - 1000L)
+      val (n, sw) = (toks.length.toLong, ws.sum)
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("sum_w") == sw)
+      val den = n * 1000L
+      assert(r.getAs[Double]("score") ==
+        Math.floorDiv(sw * 20000L + den, den * 2L) / 10000.0)
+      assert(r.getAs[Boolean]("kept") == (sw > 0))
+    }
+  }
+
   test("s36 streaming funnel equals the e44 batch result row-for-row") {
     val batch = graft.operators.Events.funnelStages(spark, sf).collect()
       .map(_.toSeq).toSet

@@ -346,6 +346,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"retention grid must assemble by broadcast/shuffled-hash:\n$plan")
   }
 
+  test("q27 histogram: ONE fact scan; windows ride the collapsed value table") {
+    val plan = planOf(operators.Relational.equidepthHistogram(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"histogram expected one lineitem scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"frequency-table route must not join:\n$plan")
+    // one exchange builds the (value, cnt) table; the single-partition
+    // window stage and the ≤16-row bucket agg sit on top of it
+    val cEx = "Exchange hashpartitioning\\(c".r.findAllIn(plan).length
+    assert(cEx == 1, s"expected one value-key exchange, got $cEx:\n$plan")
+  }
+
+  test("e47 attribution: as-of join stays an equi-join, never a cartesian") {
+    val plan = planOf(operators.Events.lastTouchAttribution(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the 7-day residual predicate must ride a user_id equi-join:\n$plan")
+    // per-purchase argmax is a top-1 window: planned as a group limit
+    // during the sort, not a full rank-then-filter
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmax not planned as a window group limit:\n$plan")
+  }
+
+  test("d46 containment: codegen'd verify, no cartesian anywhere") {
+    val df = operators.TextOps.containmentDups(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must bucket on rare shingles:\n$plan")
+    assert(plan.contains("graft_sorted_isect"),
+      s"verify must use the codegen'd sorted intersection:\n$plan")
+  }
+
+  test("d47 classifier: scoring is map work; ONE doc-key exchange") {
+    val plan = planOf(operators.TextOps.classifierScore(spark, sf))
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    val ex = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(ex == 1, s"expected one doc_id exchange, got $ex:\n$plan")
+    // map-side combine: a partial HashAggregate below the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-doc agg must partial-aggregate map-side:\n$plan")
+  }
+
   test("d43 drift: corpus counted once (checkpoint), grid joins broadcast") {
     val df = operators.TextOps.sourceDrift(spark, sf)
     df.collect()
