@@ -899,51 +899,53 @@ object Events {
 
   /** e47: last-touch attribution — the revenue-assignment shape every
     * event pipeline ends in: each purchase is attributed to the user's
-    * LATEST click in the preceding 7 days (backward as-of, e13's
-    * direction), the click's `props.k` bucket names the channel, and
-    * the report aggregates purchases/revenue/click-to-purchase lag per
+    * latest click STRICTLY PRECEDING it in stream order (ts, then
+    * event_id — the backward as-of, e13's direction) and no older than
+    * 7 days; the click's `props.k` bucket names the channel, and the
+    * report aggregates purchases/revenue/click-to-purchase lag per
     * channel, with an explicit `unattributed` row for purchases with no
-    * qualifying click. Ties on click time take the larger click_id
-    * (freshest-record as-of convention, as e36).
+    * qualifying click.
     *
     * Determinism: revenue is the exact decimal sum; lag is integer
-    * seconds (µs floor-div 10⁶, non-negative by the join predicate);
-    * the per-channel mean lag is the r4 exact rational, NULL for the
+    * seconds (µs floor-div 10⁶, non-negative by the ordering); the
+    * per-channel mean lag is the r4 exact rational, NULL for the
     * unattributed row (guarded CASE in both engines). A missing or
     * non-numeric `props.k` still attributes — to the 'unknown' channel
     * (try_cast + CASE, the e45 null-discipline).
     *
-    * Scale design: one user_id equi-join with the 7-day residual range
-    * predicate (never a cartesian); the per-purchase argmax window and
-    * the left join back are both keyed on purchase_id so the exchange
-    * is reused (e36's shape); the final aggregation collapses to ≤6
-    * channel rows map-side. */
+    * Scale design: NO join — the as-of is ONE `last(_, ignoreNulls)`
+    * window pass over the per-user event order (the e13 LOCF shape),
+    * so cost is linear in events however dense the per-user history.
+    * The first cut was the e36 join shape (clicks ⋈ purchases per user
+    * + per-purchase argmax); the 10× probe showed its fan-out —
+    * 10× clicks × 10× purchases per user = 100× join output, 7.9×
+    * runtime — while this window form re-probed at ~1× (§6 table).
+    * The 7-day recency check is a residual filter on the carried
+    * click, and the final aggregation collapses to ≤6 channel rows
+    * map-side. */
   def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, sfDir)
-    val c = e.filter($"event_type" === "click")
-      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
-        $"ts".as("click_ts"),
-        expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4")
-          .as("kb"))
+    val weekUs = 7L * 86400 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("kb",
+        when($"event_type" === "click",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4")))
+      .withColumn("click_pack",
+        when($"event_type" === "click", struct(
+          unix_micros($"ts").as("cus"),
+          when($"kb" === 0, "ads").when($"kb" === 1, "email")
+            .when($"kb" === 2, "social").when($"kb" === 3, "organic")
+            .otherwise("unknown").as("ch"))))
+      .withColumn("last_click",
+        last($"click_pack", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("lag_s",
+        when(unix_micros($"ts") - $"last_click.cus" <= weekUs,
+          Det.fdiv(unix_micros($"ts") - $"last_click.cus", lit(1000000L))))
       .withColumn("channel",
-        when($"kb" === 0, "ads").when($"kb" === 1, "email")
-          .when($"kb" === 2, "social").when($"kb" === 3, "organic")
-          .otherwise("unknown"))
-    val p = e.filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value")
-    val w = Window.partitionBy($"purchase_id")
-      .orderBy(desc("click_ts"), desc("click_id"))
-    val best = p.join(c, $"c_user" === $"user_id" &&
-        $"click_ts" <= $"ts" &&
-        $"click_ts" >= $"ts" - expr("INTERVAL 7 DAYS"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"purchase_id", $"channel",
-        Det.fdiv(unix_micros($"ts") - unix_micros($"click_ts"),
-          lit(1000000L)).as("lag_s"))
-    p.join(best, Seq("purchase_id"), "left")
-      .withColumn("channel", coalesce($"channel", lit("unattributed")))
+        when($"lag_s".isNotNull, $"last_click.ch").otherwise("unattributed"))
       .groupBy($"channel")
       .agg(
         count(lit(1)).as("n_purchases"),
@@ -990,9 +992,12 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
-    // backward as-of (latest click ≤ purchase within 7 days), channel
-    // from props.k % 4 (try_cast: the e45 null-discipline), lag in
-    // floor-µs→s; CASTs keep HUGEINT off the schema
+    // backward as-of: latest click strictly preceding the purchase in
+    // (ts, event_id) stream order and within 7 days — "latest within
+    // the window" ≡ "latest overall, if within the window", which is
+    // what the Spark LOCF pass computes; channel from props.k % 4
+    // (try_cast: the e45 null-discipline), lag in floor-µs→s; CASTs
+    // keep HUGEINT off the schema
     "e47_attribution" ->
       s"""WITH c AS (SELECT event_id AS click_id, user_id AS c_user,
          |    ts AS click_ts,
@@ -1010,7 +1015,8 @@ object Events {
          |    row_number() OVER (PARTITION BY p.purchase_id
          |      ORDER BY cc.click_ts DESC, cc.click_id DESC) AS rn
          |  FROM p JOIN cc ON cc.c_user = p.user_id
-         |    AND cc.click_ts <= p.ts
+         |    AND (cc.click_ts < p.ts OR
+         |      (cc.click_ts = p.ts AND cc.click_id < p.purchase_id))
          |    AND cc.click_ts >= p.ts - INTERVAL 7 DAY),
          |b AS (SELECT purchase_id, channel, lag_s FROM j WHERE rn = 1),
          |a AS (SELECT p.purchase_id,

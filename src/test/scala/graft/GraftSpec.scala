@@ -2669,8 +2669,10 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     val weekUs = 7L * 86400 * 1000000
     val attributed = ev.filter(_.getAs[String]("event_type") == "purchase").map { r =>
       val (u, t) = (r.getAs[Long]("user_id"), r.getAs[Long]("us"))
+      val pid = r.getAs[Long]("event_id")
       val best = clicks.filter(c =>
-          c._1 == u && c._2 <= t && c._2 >= t - weekUs)
+          c._1 == u && (c._2 < t || (c._2 == t && c._3 < pid)) &&
+            c._2 >= t - weekUs)
         .sortBy(c => (-c._2, -c._3)).headOption
       (best.map(_._4).getOrElse("unattributed"),
         best.map(c => Math.floorDiv(t - c._2, 1000000L)),

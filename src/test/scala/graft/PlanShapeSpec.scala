@@ -357,15 +357,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cEx == 1, s"expected one value-key exchange, got $cEx:\n$plan")
   }
 
-  test("e47 attribution: as-of join stays an equi-join, never a cartesian") {
+  test("e47 attribution: join-free LOCF — one user_id exchange, no join") {
     val plan = planOf(operators.Events.lastTouchAttribution(spark, sf))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"the 7-day residual predicate must ride a user_id equi-join:\n$plan")
-    // per-purchase argmax is a top-1 window: planned as a group limit
-    // during the sort, not a full rank-then-filter
-    assert(plan.contains("WindowGroupLimit"),
-      s"argmax not planned as a window group limit:\n$plan")
+    // the as-of must be the e13 window shape, NOT a clicks⋈purchases
+    // join (whose output is clicks×purchases per user on dense
+    // histories — the 10× probe measured 7.9× on the join form)
+    assert(!plan.contains("Join"), s"attribution must not join:\n$plan")
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1,
+      s"expected one user_id exchange for the LOCF window, got $userEx:\n$plan")
   }
 
   test("d46 containment: codegen'd verify, no cartesian anywhere") {
