@@ -923,29 +923,23 @@ object Events {
     * The 7-day recency check is a residual filter on the carried
     * click, and the final aggregation collapses to ≤6 channel rows
     * map-side. */
-  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val weekUs = 7L * 86400 * 1000000
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, sfDir)
-      .withColumn("kb",
-        when($"event_type" === "click",
-          expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4")))
-      .withColumn("click_pack",
-        when($"event_type" === "click", struct(
-          unix_micros($"ts").as("cus"),
-          when($"kb" === 0, "ads").when($"kb" === 1, "email")
-            .when($"kb" === 2, "social").when($"kb" === 3, "organic")
-            .otherwise("unknown").as("ch"))))
-      .withColumn("last_click",
-        last($"click_pack", ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase")
-      .withColumn("lag_s",
-        when(unix_micros($"ts") - $"last_click.cus" <= weekUs,
-          Det.fdiv(unix_micros($"ts") - $"last_click.cus", lit(1000000L))))
-      .withColumn("channel",
-        when($"lag_s".isNotNull, $"last_click.ch").otherwise("unattributed"))
+  /** The e47 attribution window in µs — single source of truth, shared
+    * with the s37 streaming processor. */
+  private[graft] val AttribWinUs: Long = 7L * 86400 * 1000000
+
+  /** props.k bucket → channel name — ONE definition shared by the e47
+    * batch query and the s37 changelog builder (zero drift). */
+  private[graft] def channelOf(kb: Column): Column =
+    when(kb === 0, "ads").when(kb === 1, "email")
+      .when(kb === 2, "social").when(kb === 3, "organic")
+      .otherwise("unknown")
+
+  /** The e47 channel report over a per-purchase frame with columns
+    * (channel, lag_s nullable, value) — shared verbatim by the s37
+    * streaming reduction (the funnelReduce pairing). */
+  private[graft] def attributionReduce(perPurchase: DataFrame): DataFrame = {
+    import perPurchase.sparkSession.implicits._
+    perPurchase
       .groupBy($"channel")
       .agg(
         count(lit(1)).as("n_purchases"),
@@ -953,6 +947,28 @@ object Events {
         when(count($"lag_s") > 0,
           Det.r4(sum($"lag_s"), count($"lag_s"))).as("avg_lag_s"))
       .orderBy($"channel")
+  }
+
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    attributionReduce(Tables.events(spark, sfDir)
+      .withColumn("kb",
+        when($"event_type" === "click",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4")))
+      .withColumn("click_pack",
+        when($"event_type" === "click", struct(
+          unix_micros($"ts").as("cus"),
+          channelOf($"kb").as("ch"))))
+      .withColumn("last_click",
+        last($"click_pack", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("lag_s",
+        when(unix_micros($"ts") - $"last_click.cus" <= AttribWinUs,
+          Det.fdiv(unix_micros($"ts") - $"last_click.cus", lit(1000000L))))
+      .withColumn("channel",
+        when($"lag_s".isNotNull, $"last_click.ch").otherwise("unattributed")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

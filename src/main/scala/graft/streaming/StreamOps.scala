@@ -1546,6 +1546,70 @@ object StreamOps {
       depths.groupBy($"user_id").agg(max($"stage").as("stage")))
   }
 
+  private val attribDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s37: streaming last-touch attribution — the ingest face of e47,
+    * and the KStream⋈KTable join under continuous ingest: the click
+    * stream materializes as latest-click-per-user state
+    * ([[AttributionProcessor]], one (µs, channel) per user in RocksDB),
+    * each purchase does a point lookup at its own event-time and emits
+    * its attribution exactly once, in the micro-batch that delivers
+    * it. The declared result — per-channel purchases/revenue/lag via
+    * the SHARED [[graft.operators.Events.attributionReduce]] — must
+    * equal the e47 batch oracle over the whole month (incremental
+    * assembly ≡ batch LOCF window).
+    *
+    * Scale design: state is the as-of ANSWER (latest click), not the
+    * click history — constant per user however dense the stream; one
+    * state roundtrip per user per batch; channel parsing happens
+    * map-side in the changelog build via the shared channelOf
+    * expression. */
+  def streamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(attribDirs, sfDir, "events.parquet",
+        "graft_attrib") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .withColumn("kb",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 4"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"),
+          when(col("event_type") === "click",
+            graft.operators.Events.channelOf(col("kb")))
+            .otherwise("").as("channel"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0).as("value"))
+        .filter(col("event_type").isin("click", "purchase"))
+      def cutUs(day: Int): Long = java.time.LocalDateTime
+        .of(2024, 1, day, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      Seq(ev.filter(col("ts_us") < cutUs(11)),
+        ev.filter(col("ts_us") >= cutUs(11) && col("ts_us") < cutUs(21)),
+        ev.filter(col("ts_us") >= cutUs(21)))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts_us BIGINT, event_id BIGINT, event_type STRING, " +
+        "channel STRING, value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[AttribEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[AttribHit])
+      .toDF()
+    val hits = withRocksDb(spark) {
+      runToMemory(stream, "graft_s37", "update", Some(8),
+        noDataBatch = false)
+    }
+    graft.operators.Events.attributionReduce(
+      hits.select($"channel",
+        when($"lag_s" >= 0, $"lag_s").as("lag_s"), $"value"))
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1791,6 +1855,7 @@ object StreamOps {
     "s32_timer_sessions"    -> streamTimerSessions _,
     "s33_sink_roundtrip"    -> streamSinkRoundtrip _,
     "s36_stream_funnel"     -> streamFunnel _,
+    "s37_stream_attribution" -> streamAttribution _,
   )
 
   private val tumblingOracle =
@@ -1805,6 +1870,11 @@ object StreamOps {
     // window-chain result
     "s36_stream_funnel" ->
       graft.operators.Events.oracles("e44_funnel_stages"),
+    // the e47 batch oracle verbatim: incremental latest-click state
+    // across the three time-partitioned batches must equal the
+    // whole-month LOCF window
+    "s37_stream_attribution" ->
+      graft.operators.Events.oracles("e47_attribution"),
     // the side-effect store must reconstruct the full per-type
     // aggregate: counts + the Det.dsum decimal-sum contract
     "s35_foreach_counts" ->

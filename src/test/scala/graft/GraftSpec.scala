@@ -2756,6 +2756,15 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(_.toSeq).toSet
     assert(stream == batch)
   }
+
+  test("s37 streaming attribution equals the e47 batch result row-for-row") {
+    val batch = graft.operators.Events.lastTouchAttribution(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.StreamOps
+      .queries("s37_stream_attribution")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch)
+  }
 }
 
 /** The connected-components loop must stay correct on the
