@@ -297,7 +297,51 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m10: energy segmentation — the audio-curation VAD shape (and the
+    * video equivalent of m09's cut list): per payload, a per-frame
+    * scalar "energy", a threshold into active/silent, and CONTIGUOUS
+    * ACTIVE RUNS reported as segments (start/end frame, length, mean
+    * energy) via gaps-and-islands. m09 answers "where do scenes
+    * change"; this answers "which spans are worth keeping" — the
+    * clip-extraction step an audio/video training pipeline runs before
+    * transcription or embedding.
+    *
+    * The energy itself is a deterministic md5-derived stand-in (the
+    * fixture's word-bag text has no real silence; the [[StubDecoder]]
+    * discipline) — a real pipeline swaps ONE expression for the
+    * decoded-audio RMS and the segmentation plumbing is unchanged.
+    *
+    * Scale design: frames explode map-side off m03's derivation; the
+    * islands window and the segment hash-agg both key on doc_id
+    * (frame counts bounded per payload), then one output ordering. */
+  def energySegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Det
+    val frames = Tables.documents(spark, sfDir)
+      // empty text ⇒ zero frames — same guard as frameSample/sceneCuts
+      .filter(length($"text") > 0)
+      .withColumn("f", explode(expr(
+        "sequence(0, cast((length(text) + 255) div 256 as int) - 1)")))
+      .select($"doc_id", $"f".cast("long").as("frame_id"),
+        (expr("""conv(substr(md5(substring(text, f * 256 + 1, 256)), 1, 4),
+          16, 10)""").cast("long") % 256L).as("energy"))
+      .withColumn("active", $"energy" >= 96L)
+    val w = Window.partitionBy($"doc_id", $"active").orderBy($"frame_id")
+    frames
+      .withColumn("seg", $"frame_id" - row_number().over(w))
+      .filter($"active")
+      .groupBy($"doc_id", $"seg")
+      .agg(min($"frame_id").as("start_frame"),
+        max($"frame_id").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum($"energy").as("sum_energy"))
+      .select($"doc_id", $"start_frame", $"end_frame", $"n_frames",
+        Det.r4($"sum_energy", $"n_frames").as("mean_energy"))
+      .orderBy($"doc_id", $"start_frame")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_energy_segments" -> energySegments _,
     "m09_scene_cuts"   -> sceneCuts _,
     "m01_binary_meta"  -> binaryMeta _,
     "m08_stream_media_dedup" -> streamMediaDedup _,
@@ -310,6 +354,28 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m03's frame derivation; pseudo-energy = md5-hex-prefix % 256
+    // (the graft house hash idiom), islands key = frame_id − rn over
+    // (doc, active); r4 exact mean
+    "m10_energy_segments" -> {
+      val D = graft.functions.Det.sql
+      s"""WITH t AS (SELECT doc_id, text,
+         |  (octet_length(encode(text)) + 255) // 256 AS nf FROM documents
+         |  WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+         |  ('0x' || substr(md5(substr(text, (f * 256 + 1)::INT, 256)), 1, 4))::BIGINT
+         |    % 256 AS energy
+         |  FROM t, unnest(range(0, nf)) u(f)),
+         |fa AS (SELECT *, (energy >= 96) AS active,
+         |  frame_id - row_number() OVER (PARTITION BY doc_id, (energy >= 96)
+         |    ORDER BY frame_id) AS seg FROM fr)
+         |SELECT doc_id, CAST(min(frame_id) AS BIGINT) AS start_frame,
+         |  CAST(max(frame_id) AS BIGINT) AS end_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  ${D.r4("CAST(sum(energy) AS BIGINT)", "count(*)")} AS mean_energy
+         |FROM fa WHERE active GROUP BY doc_id, seg
+         |ORDER BY doc_id, start_frame""".stripMargin
+    },
     // m03's frame derivation + the lag-delta window; single-frame
     // payloads have an all-NULL delta → 0 cuts, max_delta 0 in both
     // engines (NULL comparison falls to ELSE / COALESCE)

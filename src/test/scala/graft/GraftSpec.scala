@@ -1569,6 +1569,45 @@ class MultimodalSpec extends AnyFunSuite {
     val d = decoded.filter(_.doc_id == 0).collect()(0)
     assert(d.width >= 1 && d.width <= 64 && d.channels == 3)
   }
+
+  test("m10 energy segments equal a per-frame direct recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def energy(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val texts = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .filter(_._2.nonEmpty)
+    val exp = texts.flatMap { case (id, t) =>
+      val energies = t.grouped(256).map(energy).toArray
+      // contiguous active runs (gaps-and-islands by hand)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < energies.length) {
+        if (energies(i) >= 96) {
+          val s = i
+          while (i < energies.length && energies(i) >= 96) i += 1
+          runs += ((s, i - 1))
+        } else i += 1
+      }
+      runs.map { case (s, e) =>
+        val es = (s to e).map(energies(_))
+        val (sum, n) = (es.sum, es.length.toLong)
+        (id, s.toLong, e.toLong, n,
+          Math.floorDiv(sum * 20000L + n, n * 2L) / 10000.0)
+      }
+    }.toSet
+    val got = Multimodal.energySegments(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_frame"),
+        r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames"),
+        r.getAs[Double]("mean_energy"))).toSet
+    assert(got == exp)
+  }
 }
 
 case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
