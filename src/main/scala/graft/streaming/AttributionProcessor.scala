@@ -39,6 +39,45 @@ case class AttribHit(
 /** Latest click seen for the key, across all folded batches. */
 case class LastClick(cus: Long, ch: String)
 
+/** The attribution fold itself, separated from the state-store plumbing
+  * so the ScalaCheck fuzz (AttribProps) exercises the PRODUCTION fold —
+  * a hand-copied transcription in the test could silently drift from
+  * the processor (the FunnelMachine discipline). The window is
+  * [[graft.operators.Events.AttribWinUs]], the e47 contract's single
+  * source of truth.
+  *
+  * Delivery contract: batches must be TIME-PARTITIONED by ts (the s30
+  * discipline) — equal-ts rows never split across batches, so the
+  * in-batch (ts_us, event_id) sort alone reproduces the e47 window's
+  * strictly-preceding tie rule. */
+object AttribMachine {
+  /** Fold one batch slice into the latest-click state (`null` = none
+    * yet), emitting one hit per purchase; lag_s = −1 encodes
+    * unattributed. */
+  def fold(s0: LastClick, rows: Seq[AttribEvent]): (LastClick, Seq[AttribHit]) = {
+    val winUs = graft.operators.Events.AttribWinUs
+    var last = s0
+    val out = Seq.newBuilder[AttribHit]
+    rows.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      e.event_type match {
+        case "click" =>
+          // sorted ascending → unconditional overwrite IS the running max
+          last = LastClick(e.ts_us, e.channel)
+        case "purchase" =>
+          if (last != null && e.ts_us - last.cus <= winUs)
+            // both non-negative → Long '/' is the floor div of the contract
+            out += AttribHit(e.user_id, e.event_id, last.ch,
+              (e.ts_us - last.cus) / 1000000L, e.value)
+          else
+            out += AttribHit(e.user_id, e.event_id, "unattributed", -1L,
+              e.value)
+        case _ => ()
+      }
+    }
+    (last, out.result())
+  }
+}
+
 class AttributionProcessor
     extends StatefulProcessor[Long, AttribEvent, AttribHit] {
 
@@ -50,27 +89,9 @@ class AttributionProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[AttribEvent],
       timers: TimerValues): Iterator[AttribHit] = {
-    val winUs = graft.operators.Events.AttribWinUs
-    var last = if (st.exists()) st.get() else null
-    val out = Seq.newBuilder[AttribHit]
-    // (ts_us, event_id) order inside the batch = the e47 window order;
-    // batches themselves are time-partitioned (the s30 discipline)
-    rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      e.event_type match {
-        case "click" =>
-          // sorted ascending → unconditional overwrite IS the running max
-          last = LastClick(e.ts_us, e.channel)
-        case "purchase" =>
-          if (last != null && e.ts_us - last.cus <= winUs)
-            // both non-negative → Long '/' is the floor div of the contract
-            out += AttribHit(key, e.event_id, last.ch,
-              (e.ts_us - last.cus) / 1000000L, e.value)
-          else
-            out += AttribHit(key, e.event_id, "unattributed", -1L, e.value)
-        case _ => ()
-      }
-    }
+    val (last, hits) = AttribMachine.fold(
+      if (st.exists()) st.get() else null, rows.toArray.toIndexedSeq)
     if (last != null) st.update(last)
-    out.result().iterator
+    hits.iterator
   }
 }
