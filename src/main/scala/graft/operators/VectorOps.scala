@@ -1012,7 +1012,42 @@ object VectorOps {
       .orderBy($"dim_idx")
   }
 
+  /** v23's cosine radius — on the near-isotropic fixture embeddings
+    * (pairwise cosines ≤ ~0.37) this yields a few-dozen-row answer;
+    * a clustered corpus would use a tighter τ. */
+  private val RangeTau = 0.2
+
+  /** v23: cosine RANGE search (radius query) — the other similarity
+    * contract next to top-k: ALL vectors with cos ≥ τ of the query,
+    * however many there are. It is the primitive that threshold-dedup
+    * and near-duplicate retrieval actually want (top-k truncates a
+    * large duplicate set; range search returns it whole). IVF-bounded
+    * like v07: only the query's 2 probe cells are scanned, so the
+    * declared contract is "within probed cells" — the same recall
+    * trade v07 declares, measured by v18's gate.
+    *
+    * Scale design: shares [[ivfIndex]] verbatim with v07/v22 (cell
+    * assignment and probe selection cannot drift); the scan reads
+    * probed cells only, the threshold is a codegen'd filter on the
+    * rounded cosine (the round(·, 6) cross-engine contract), and —
+    * unlike top-k — there is no global TakeOrdered bound, so the
+    * output ordering exchange is the only post-scan cost. */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, q, qCells) = ivfIndex(spark, sfDir)
+    assigned
+      .join(broadcast(qCells), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(call_function("graft_cosine", $"v", $"qv"), 6))
+      .filter($"cos" >= RangeTau)
+      .select($"vec_id", $"cell", $"cos")
+      .orderBy(desc("cos"), $"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v23_range_search"    -> rangeSearch _,
     "v20_pca_power"       -> pcaPower _,
     "v21_truncated_recall" -> truncatedRecall _,
     "v16_mmr_diversify"   -> mmrDiversify _,
@@ -1312,6 +1347,12 @@ object VectorOps {
     "v07_ivf_ann" ->
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
+         |ORDER BY cos DESC, vec_id""".stripMargin,
+    // the same probed-cell scan as v07's ivfr, thresholded on the
+    // rounded cosine instead of ranked — index text shared verbatim
+    "v23_range_search" ->
+      s"""WITH $ivfCte
+         |SELECT vec_id, cell, cos FROM ivfr WHERE cos >= $RangeTau
          |ORDER BY cos DESC, vec_id""".stripMargin,
     // v18's recall harness over the matryoshka-prefix candidate ranking
     "v21_truncated_recall" ->

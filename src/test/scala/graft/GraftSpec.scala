@@ -691,6 +691,25 @@ class GraftSpec extends AnyFunSuite {
     assert(rows(5L)._1 >= rows(1L)._1 && rows(10L)._1 >= rows(5L)._1)
   }
 
+  test("v23 range search: thresholded superset of v07's probed-cell hits") {
+    val range = VectorOps.rangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cos")))
+    // every returned row clears the radius; ordering is (cos desc, id)
+    range.foreach { case (_, _, c) => assert(c >= 0.2) }
+    range.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ => ()
+    }
+    // v07 scans the SAME probed cells: its top-10 hits at or above the
+    // radius must all appear (range search never truncates)
+    val ivfAtTau = VectorOps.ivfAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cos")))
+      .filter(_._3 >= 0.2)
+    assert(ivfAtTau.toSet.subsetOf(range.toSet))
+  }
+
   test("v22 IVF-PQ composes v07's probe and v13's codebooks without drift") {
     import spark.implicits._
     val ivfpq = VectorOps.ivfPqAnn(spark, sf).collect()
