@@ -971,7 +971,55 @@ object Events {
         when($"lag_s".isNotNull, $"last_click.ch").otherwise("unattributed")))
   }
 
+  /** e48: session path mining — the Sankey/user-journey table next to
+    * e20's pairwise transitions: per 2-hour-gap session (e04's gap
+    * contract in gaps-and-islands form), the ordered event-type
+    * sequence joined as a path string (capped at the first 20 steps —
+    * the declared bound that keeps a pathological never-idle key from
+    * growing an unbounded string), then the global top-20 paths with
+    * session counts, distinct users, and exact mean session length.
+    *
+    * Determinism: session ids are a running sum of gap>2h flags over
+    * the total (ts, event_id) order; the path orders steps the same
+    * way; both engines' list slicing clamps; avg_len is the r4 exact
+    * rational; the head is (n_sessions DESC, path) — total order.
+    *
+    * Scale design: ONE user_id exchange serves the lag flag, the
+    * running session-id sum, and (after re-keying by (user, sess) —
+    * same prefix, no second full shuffle of raw events in practice:
+    * the session agg's key extends the partitioning) the per-session
+    * collect; the path histogram is a map-side-combined hash-agg and
+    * the head a TakeOrdered(20). Per-session collect_list is bounded
+    * by the 20-step cap's input contract (session length ≤ events in
+    * a 2h-idle-bounded burst). */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("ns",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 7200L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"ns").over(wCum))
+      .groupBy($"user_id", $"sess")
+      .agg(
+        concat_ws(">", expr(
+          """slice(transform(array_sort(collect_list(struct(
+            unix_micros(ts) AS t, event_id AS i, event_type AS e))),
+            x -> x.e), 1, 20)""")).as("path"),
+        count(lit(1)).as("len"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"),
+        Det.r4(sum($"len"), count(lit(1))).as("avg_len"))
+      .orderBy(desc("n_sessions"), $"path")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e48_session_paths" -> sessionPaths _,
     "e47_attribution" -> lastTouchAttribution _,
     "e46_cohort_retention" -> cohortRetention _,
     "e44_funnel_stages" -> funnelStages _,
@@ -1008,6 +1056,29 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // 2h-gap gaps-and-islands sessionization (e04's gap contract),
+    // ordered event-type path capped at 20 steps, top-20 histogram;
+    // CASTs keep HUGEINT off the schema
+    "e48_session_paths" ->
+      s"""WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts), event_id) IS NULL
+         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts), event_id) > ${7200L * 1000000L}
+         |      THEN 1 ELSE 0 END AS ns
+         |  FROM events),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o),
+         |p AS (SELECT user_id, sess,
+         |    array_to_string((list(event_type ORDER BY t, event_id))[1:20],
+         |      '>') AS path,
+         |    count(*) AS len
+         |  FROM s GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${D.r4("CAST(sum(len) AS BIGINT)", "count(*)")} AS avg_len
+         |FROM p GROUP BY path ORDER BY n_sessions DESC, path
+         |LIMIT 20""".stripMargin,
     // backward as-of: latest click strictly preceding the purchase in
     // (ts, event_id) stream order and within 7 days — "latest within
     // the window" ≡ "latest overall, if within the window", which is

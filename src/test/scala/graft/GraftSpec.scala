@@ -2806,6 +2806,40 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("e48 session paths equal a direct sessionize-and-count recomputation") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val gapUs = 7200L * 1000000L
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[String]]
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev == Long.MinValue || r._2 - prev > gapUs)
+          segs += scala.collection.mutable.ArrayBuffer.empty[String]
+        segs.last += r._4
+        prev = r._2
+      }
+      segs.map(s => (u, s.take(20).mkString(">"), s.length.toLong))
+    }
+    val exp = sessions.groupBy(_._2).map { case (path, ss) =>
+      val n = ss.length.toLong
+      val lenSum = ss.map(_._3).sum
+      (path, n, ss.map(_._1).distinct.length.toLong,
+        Math.floorDiv(lenSum * 20000L + n, n * 2L) / 10000.0)
+    }.toSeq.sortBy(p => (-p._2, p._1)).take(20)
+    val got = graft.operators.Events.sessionPaths(spark, sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("avg_len"))).toSeq
+    assert(got == exp)
+  }
+
   test("s36 streaming funnel equals the e44 batch result row-for-row") {
     val batch = graft.operators.Events.funnelStages(spark, sf).collect()
       .map(_.toSeq).toSet

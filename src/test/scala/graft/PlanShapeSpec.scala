@@ -388,6 +388,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc agg must partial-aggregate map-side:\n$plan")
   }
 
+  test("e48 paths: session agg rides the window's user_id exchange; top-20 bounded") {
+    val plan = planOf(operators.Events.sessionPaths(spark, sf))
+    assert(!plan.contains("Join"), s"path mining must not join:\n$plan")
+    // hashpartitioning(user_id) satisfies the (user_id, sess) grouping,
+    // so the window exchange is the ONLY event-keyed one; the second
+    // exchange is the collapsed path histogram
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1,
+      s"expected one user_id exchange shared by window+session agg, got $userEx:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"head not a bounded TakeOrdered:\n$plan")
+  }
+
   test("d43 drift: corpus counted once (checkpoint), grid joins broadcast") {
     val df = operators.TextOps.sourceDrift(spark, sf)
     df.collect()
