@@ -186,6 +186,27 @@ class GraftSpec extends AnyFunSuite {
     assert(out == refBpe(corpus, 3))
   }
 
+  test("d48 fertility telescopes against d36's applied-merge counts") {
+    // each applied merge removes exactly one unit from the corpus, so
+    // Σ units (d48) = Σ words − Σ applied (d36) — the cross-query
+    // invariant that pins both faces of the shared BPE run
+    val applied = TextOps.bpeMerges(spark, sf).collect()
+      .map(_.getAs[Long]("n_applied")).sum
+    val fert = TextOps.tokenizerFertility(spark, sf).collect()
+    val words = fert.map(_.getAs[Long]("n_words")).sum
+    val units = fert.map(_.getAs[Long]("n_units")).sum
+    val merged = fert.map(_.getAs[Long]("n_merged")).sum
+    assert(units == words - applied)
+    // a merged unit absorbs ≥1 applied merge (a later round can merge
+    // a merged unit again), so merged ≤ applied; fixture applies some
+    assert(merged > 0 && merged <= applied)
+    fert.foreach { r =>
+      val (u, w) = (r.getAs[Long]("n_units"), r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("compression") ==
+        Math.floorDiv(u * 20000L + w, w * 2L) / 10000.0)
+    }
+  }
+
   test("BPE merges stop early when a degenerate corpus runs out of pairs") {
     // both docs collapse to single units in round 1 → rounds 2-3 have
     // no pairs; the engine and the reference both emit ONE row (and
