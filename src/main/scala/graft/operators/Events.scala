@@ -897,32 +897,6 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
-  /** e47: last-touch attribution — the revenue-assignment shape every
-    * event pipeline ends in: each purchase is attributed to the user's
-    * latest click STRICTLY PRECEDING it in stream order (ts, then
-    * event_id — the backward as-of, e13's direction) and no older than
-    * 7 days; the click's `props.k` bucket names the channel, and the
-    * report aggregates purchases/revenue/click-to-purchase lag per
-    * channel, with an explicit `unattributed` row for purchases with no
-    * qualifying click.
-    *
-    * Determinism: revenue is the exact decimal sum; lag is integer
-    * seconds (µs floor-div 10⁶, non-negative by the ordering); the
-    * per-channel mean lag is the r4 exact rational, NULL for the
-    * unattributed row (guarded CASE in both engines). A missing or
-    * non-numeric `props.k` still attributes — to the 'unknown' channel
-    * (try_cast + CASE, the e45 null-discipline).
-    *
-    * Scale design: NO join — the as-of is ONE `last(_, ignoreNulls)`
-    * window pass over the per-user event order (the e13 LOCF shape),
-    * so cost is linear in events however dense the per-user history.
-    * The first cut was the e36 join shape (clicks ⋈ purchases per user
-    * + per-purchase argmax); the 10× probe showed its fan-out —
-    * 10× clicks × 10× purchases per user = 100× join output, 7.9×
-    * runtime — while this window form re-probed at ~1× (§6 table).
-    * The 7-day recency check is a residual filter on the carried
-    * click, and the final aggregation collapses to ≤6 channel rows
-    * map-side. */
   /** The e47 attribution window in µs — single source of truth, shared
     * with the s37 streaming processor. */
   private[graft] val AttribWinUs: Long = 7L * 86400 * 1000000
@@ -949,6 +923,32 @@ object Events {
       .orderBy($"channel")
   }
 
+  /** e47: last-touch attribution — the revenue-assignment shape every
+    * event pipeline ends in: each purchase is attributed to the user's
+    * latest click STRICTLY PRECEDING it in stream order (ts, then
+    * event_id — the backward as-of, e13's direction) and no older than
+    * 7 days; the click's `props.k` bucket names the channel, and the
+    * report aggregates purchases/revenue/click-to-purchase lag per
+    * channel, with an explicit `unattributed` row for purchases with no
+    * qualifying click.
+    *
+    * Determinism: revenue is the exact decimal sum; lag is integer
+    * seconds (µs floor-div 10⁶, non-negative by the ordering); the
+    * per-channel mean lag is the r4 exact rational, NULL for the
+    * unattributed row (guarded CASE in both engines). A missing or
+    * non-numeric `props.k` still attributes — to the 'unknown' channel
+    * (try_cast + CASE, the e45 null-discipline).
+    *
+    * Scale design: NO join — the as-of is ONE `last(_, ignoreNulls)`
+    * window pass over the per-user event order (the e13 LOCF shape),
+    * so cost is linear in events however dense the per-user history.
+    * The first cut was the e36 join shape (clicks ⋈ purchases per user
+    * + per-purchase argmax); the 10× probe showed its fan-out —
+    * 10× clicks × 10× purchases per user = 100× join output, 7.9×
+    * runtime — while this window form re-probed at ~1× (§6 table).
+    * The 7-day recency check is a residual filter on the carried
+    * click, and the final aggregation collapses to ≤6 channel rows
+    * map-side. */
   def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

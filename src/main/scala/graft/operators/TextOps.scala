@@ -289,18 +289,27 @@ object TextOps {
   // access, so a long-lived JVM hosting many sessions can't pin dead
   // sessions' checkpoint blocks.
   private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), (SparkSession, DataFrame)]
+    .empty[(Int, String, String), (SparkSession, Any)]
 
-  private[operators] def cached(spark: SparkSession, sfDir: String, what: String)(
-      build: => DataFrame): DataFrame = {
+  /** The session-keyed cache discipline, generic in the value (one
+    * definition — DataFrames go through [[cached]] which adds the
+    * localCheckpoint; non-DF artifacts like the BPE run pair use this
+    * directly). */
+  private[operators] def sessionCached[A](spark: SparkSession, sfDir: String,
+      what: String)(build: => A): A = {
     dfCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
     val key = (System.identityHashCode(spark), sfDir, what)
-    dfCache.get(key).filter(_._1 eq spark).map(_._2).getOrElse {
-      val df = build.localCheckpoint()
-      dfCache.put(key, (spark, df))
-      df
-    }
+    dfCache.get(key).filter(_._1 eq spark).map(_._2.asInstanceOf[A])
+      .getOrElse {
+        val v = build
+        dfCache.put(key, (spark, v))
+        v
+      }
   }
+
+  private[operators] def cached(spark: SparkSession, sfDir: String, what: String)(
+      build: => DataFrame): DataFrame =
+    sessionCached(spark, sfDir, what)(build.localCheckpoint())
 
   private[graft] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "lsh_pairs") {
@@ -917,38 +926,29 @@ object TextOps {
 
   /** One BPE training run per (session, sfDir) — the summary AND the
     * final rewritten corpus, shared by d36 (merge table) and d48
-    * (fertility over the final corpus). With a second reader, the last
-    * round's rewrite IS worth its checkpoint (the standalone skip
-    * optimization applied only while nothing else read it); the
-    * eviction/identity discipline is [[dfCache]]'s. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, (DataFrame, DataFrame))]
-
+    * (fertility over the final corpus). The final corpus comes back
+    * UN-checkpointed: a d36-only session keeps the skip optimization
+    * (nothing materializes a table only the final recount reads);
+    * d48's first access checkpoints it through [[cached]]. */
   private def bpeRunCached(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
-    bpeCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (System.identityHashCode(spark), sfDir)
-    bpeCache.get(key).filter(_._1 eq spark).map(_._2).getOrElse {
-      val r = bpeRun(spark, docsWithToks(spark, sfDir),
-        checkpointFinal = true)
-      bpeCache.put(key, (spark, r))
-      r
+      sfDir: String): (DataFrame, DataFrame) =
+    sessionCached(spark, sfDir, "bpe_run") {
+      bpeRun(spark, docsWithToks(spark, sfDir))
     }
-  }
 
   /** [[bpeMerges]] body over any (doc_id, toks) frame — split out so the
     * greedy-overlap parity logic ("x x x x" merges twice, not thrice)
     * is testable on constructed corpora the fixture doesn't contain. */
   private[graft] def bpeMergesFrom(spark: SparkSession,
       docs: DataFrame): DataFrame =
-    bpeRun(spark, docs, checkpointFinal = false)._1
+    bpeRun(spark, docs)._1
 
   /** The training loop; returns (per-round summary, final positional
-    * corpus (doc_id, pos, tok, nxt)). `checkpointFinal` materializes
-    * the last rewrite — pass true iff a second consumer (d48) will
-    * read it; standalone d36 keeps the skip optimization. */
-  private def bpeRun(spark: SparkSession, docs: DataFrame,
-      checkpointFinal: Boolean): (DataFrame, DataFrame) = {
+    * corpus (doc_id, pos, tok, nxt) — NOT checkpointed: the summary
+    * path never re-reads it, and [[tokenizerFertility]] checkpoints on
+    * first use). */
+  private def bpeRun(spark: SparkSession,
+      docs: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
     // AQE stays ON (re-measured per the r7 verdict): with the old
     // 11-job round structure, per-stage re-planning cost ~25% of wall
@@ -1020,13 +1020,12 @@ object TextOps {
                   .orderBy($"oldpos")).cast("long").as("pos"),
                 $"tok")
               .withColumn("nxt", lead($"tok", 1).over(wDoc))
-            // standalone (checkpointFinal=false): the last round's
-            // rewrite feeds ONLY the final pair recount — computing it
-            // inside that count job beats materializing a checkpoint
-            // nothing else reads; cached runs checkpoint it for d48
+            // the last round's rewrite feeds ONLY the final pair
+            // recount on this path — computing it inside that count
+            // job beats materializing a checkpoint nothing else reads
+            // (d48 checkpoints its own read through `cached`)
             withNext =
-              if (it < nRounds || checkpointFinal) rewritten.localCheckpoint()
-              else rewritten
+              if (it < nRounds) rewritten.localCheckpoint() else rewritten
         }
       }
       // close the telescope: np after the final executed round (the
@@ -1050,15 +1049,21 @@ object TextOps {
     * its dominant language best; this table is where that bias becomes
     * visible.
     *
-    * Scale design: the final corpus is the SHARED [[bpeRunCached]]
-    * checkpoint (d36 and d48 pay the 3 training rounds once per
-    * session); on top of it: one doc_id hash-agg (rides the corpus
+    * Scale design: the final corpus comes from the SHARED
+    * [[bpeRunCached]] run (d36 and d48 pay the 3 training rounds once
+    * per session; this query checkpoints the corpus on first access);
+    * on top of it: one doc_id hash-agg (rides the corpus
     * partitioning), a join to the per-doc lang/word-count projection on
     * doc_id, and a ≤5-row language rollup. Counts are exact longs,
     * compression the r4 exact rational. */
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (_, corpus) = bpeRunCached(spark, sfDir)
+    // the shared run's final corpus, checkpointed on first d48 access
+    // (recomputes at most the final rewrite round from the round-2
+    // checkpoint, once) — d36-only sessions never pay this
+    val corpus = cached(spark, sfDir, "bpe_final") {
+      bpeRunCached(spark, sfDir)._2
+    }
     val perDoc = corpus.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_units"),
         sum(when($"tok".contains(" "), 1L).otherwise(0L)).as("n_merged"))
