@@ -1018,7 +1018,55 @@ object Events {
       .limit(20)
   }
 
+  /** e49: A/B experiment readout — the other end of the analytics
+    * pipeline: users split into variants by the standard deterministic
+    * id-hash rule (here user_id parity), per-variant users / converters
+    * (≥1 purchase) / conversion rate / revenue, plus the pooled
+    * two-proportion z² statistic the experimenter actually reads
+    * (z² > 3.84 ≈ p < .05). NULL z² when a degenerate split (no
+    * conversions, or all) makes the pooled variance zero.
+    *
+    * Determinism: counts are exact longs off one per-user collapse;
+    * rates are r4 exact rationals; revenue is the exact decimal sum;
+    * z² = (c_a·n_b − c_b·n_a)²·(n_a+n_b) / (n_a·n_b·c·(n−c)) is
+    * computed as the SAME double expression tree in both engines
+    * (products of exact int64 counts ≤ 10⁸ promoted to double in the
+    * same order — bit-identical before the 4-dp round).
+    *
+    * Scale design: one map-side-combined per-user collapse (the only
+    * event-volume shuffle), then two 1-row conditional aggregates and
+    * a broadcast cross of the scalars. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val flags = ev.groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("va", $"user_id" % 2 === 0)
+    val counts = flags.agg(
+      sum(when($"va", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"va", $"conv").otherwise(0L)).as("c_a"),
+      sum(when(!$"va", 1L).otherwise(0L)).as("n_b"),
+      sum(when(!$"va", $"conv").otherwise(0L)).as("c_b"))
+    val rev = ev.filter($"event_type" === "purchase").agg(
+      dsum(when($"user_id" % 2 === 0, $"value").otherwise(lit(0.0)))
+        .as("rev_a"),
+      dsum(when($"user_id" % 2 =!= 0, $"value").otherwise(lit(0.0)))
+        .as("rev_b"))
+    counts.crossJoin(broadcast(rev))
+      .withColumn("d", ($"c_a" * $"n_b" - $"c_b" * $"n_a").cast("double"))
+      .withColumn("den",
+        $"n_a".cast("double") * $"n_b" * ($"c_a" + $"c_b") *
+          ($"n_a" + $"n_b" - $"c_a" - $"c_b"))
+      .select(
+        $"n_a", $"c_a", Det.r4($"c_a", $"n_a").as("rate_a"), $"rev_a",
+        $"n_b", $"c_b", Det.r4($"c_b", $"n_b").as("rate_b"), $"rev_b",
+        when($"den" > 0.0,
+          round($"d" * $"d" * ($"n_a" + $"n_b") / $"den", 4)).as("z2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e49_ab_test" -> abTest _,
     "e48_session_paths" -> sessionPaths _,
     "e47_attribution" -> lastTouchAttribution _,
     "e46_cohort_retention" -> cohortRetention _,
@@ -1056,6 +1104,33 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // per-user conversion collapse, parity split, and the SAME double
+    // expression tree for z² in both engines (int64 products promoted
+    // to double in the same order); CASE guards the degenerate splits
+    "e49_ab_test" ->
+      s"""WITH f AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM f),
+         |v AS (SELECT
+         |    ${D.dsum("CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END", "rev_a")},
+         |    ${D.dsum("CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END", "rev_b")}
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT n_a, c_a, ${D.r4("c_a", "n_a")} AS rate_a, rev_a,
+         |  n_b, c_b, ${D.r4("c_b", "n_b")} AS rate_b, rev_b,
+         |  CASE WHEN CAST(n_a AS DOUBLE) * n_b * (c_a + c_b)
+         |      * (n_a + n_b - c_a - c_b) > 0
+         |    THEN round(CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+         |      * CAST(c_a * n_b - c_b * n_a AS DOUBLE) * (n_a + n_b)
+         |      / (CAST(n_a AS DOUBLE) * n_b * (c_a + c_b)
+         |        * (n_a + n_b - c_a - c_b)), 4)
+         |  END AS z2
+         |FROM c CROSS JOIN v""".stripMargin,
     // 2h-gap gaps-and-islands sessionization (e04's gap contract),
     // ordered event-type path capped at 20 steps, top-20 histogram;
     // CASTs keep HUGEINT off the schema

@@ -593,7 +593,53 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** The q28 profiled column set — int keys and low-cardinality flags
+    * (doubles/timestamps excluded: their VARCHAR rendering is the one
+    * thing the two engines do NOT agree on bit-for-bit). */
+  private val StatsCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+
+  /** q28: column NDV + most-common-values profiler — the third leg of
+    * the optimizer-statistics suite (q26 join-key skew, q27 value
+    * histograms): per column, exact distinct-value count, row count,
+    * and the top-3 most common values with frequencies (count desc,
+    * value asc ties) — what selectivity estimation and dictionary/
+    * low-cardinality encoding decisions read.
+    *
+    * Scale design: the 6 columns MELT into (col, value) rows map-side
+    * (one scan, 6× rows, no per-column scans), then ONE
+    * map-side-combined hash-agg collapses to the frequency table;
+    * everything after (per-column rollup, top-3 window) runs on
+    * |distinct values|, not |rows|. Exact NDV is the declared
+    * contract on the collapsed table (the sketch counterpart is x01).
+    * The per-column window partitions by col — 6 partitions whose
+    * sizes are the NDVs; a wider profile at 100 TB would salt the
+    * high-NDV columns' rank or use approx MCV. */
+  def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val melted = Tables.lineitem(spark, sfDir)
+      .select(explode(array(StatsCols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*))
+        .as("cv"))
+      .select($"cv.col".as("col"), $"cv.v".as("v"))
+    val freq = melted.groupBy($"col", $"v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"col").orderBy(desc("cnt"), $"v")
+    freq.withColumn("rn", row_number().over(w))
+      .groupBy($"col")
+      .agg(
+        count(lit(1)).as("ndv"),
+        sum($"cnt").as("n_rows"),
+        concat_ws(",", expr(
+          """transform(array_sort(collect_list(
+            CASE WHEN rn <= 3
+              THEN named_struct('rn', rn, 's', concat(v, ':', cast(cnt AS string)))
+            END)), x -> x.s)""")).as("top3"))
+      .orderBy($"col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_column_stats"       -> columnStats _,
     "q27_equidepth_hist"     -> equidepthHistogram _,
     "q26_skew_profile"       -> skewProfile _,
     "q25_data_checks" -> dataChecks _,
@@ -626,6 +672,22 @@ object Relational {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)"
 
   val oracles: Map[String, String] = Map(
+    // melt → frequency table → per-column rollup + ordered top-3;
+    // int/flag columns only (VARCHAR casts agree cross-engine there)
+    "q28_column_stats" -> {
+      val melt = StatsCols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH m AS (\n  $melt),
+         |c AS (SELECT col, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY col
+         |    ORDER BY cnt DESC, v) AS rn FROM c)
+         |SELECT col, CAST(count(*) AS BIGINT) AS ndv,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  string_agg(CASE WHEN rn <= 3 THEN v || ':' || cnt END, ','
+         |    ORDER BY rn) AS top3
+         |FROM r GROUP BY col ORDER BY col""".stripMargin
+    },
     // integer-cents frequency table → exclusive cumulative counts →
     // floor(16·cum/N) bucketing: no interpolation, so the bucketing is
     // bit-identical across engines; CASTs keep HUGEINT off the schema

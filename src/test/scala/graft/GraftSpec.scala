@@ -2827,6 +2827,56 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("q28 column stats equal a per-column direct recomputation") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr(cols.map(c => s"CAST($c AS STRING) AS $c"): _*)
+      .collect()
+    val got = graft.operators.Relational.columnStats(spark, sf).collect()
+      .map(r => r.getAs[String]("col") ->
+        (r.getAs[Long]("ndv"), r.getAs[Long]("n_rows"),
+          r.getAs[String]("top3"))).toMap
+    assert(got.keySet == cols.toSet)
+    cols.foreach { c =>
+      val vs = rows.map(_.getAs[String](c))
+      val freq = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      val top3 = freq.toSeq.sortBy { case (v, n) => (-n, v) }.take(3)
+        .map { case (v, n) => s"$v:$n" }.mkString(",")
+      assert(got(c) == ((freq.size.toLong, vs.length.toLong, top3)), c)
+    }
+  }
+
+  test("e49 A/B readout equals a per-user direct recomputation") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.exists(_._2 == "purchase"))
+    val (aU, bU) = byUser.partition(_._1 % 2 == 0)
+    val (nA, cA) = (aU.size.toLong, aU.count(_._2).toLong)
+    val (nB, cB) = (bU.size.toLong, bU.count(_._2).toLong)
+    def revOf(p: Long => Boolean): Double = BigDecimal(
+      ev.filter(e => e._2 == "purchase" && p(e._1))
+        .map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.operators.Events.abTest(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("c_a") == cA)
+    assert(r.getAs[Long]("n_b") == nB && r.getAs[Long]("c_b") == cB)
+    assert(r.getAs[Double]("rate_a") ==
+      Math.floorDiv(cA * 20000L + nA, nA * 2L) / 10000.0)
+    assert(r.getAs[Double]("rev_a") == revOf(_ % 2 == 0))
+    assert(r.getAs[Double]("rev_b") == revOf(_ % 2 != 0))
+    val d = (cA * nB - cB * nA).toDouble
+    val den = nA.toDouble * nB * (cA + cB) * (nA + nB - cA - cB)
+    if (den > 0)
+      assert(r.getAs[Double]("z2") == BigDecimal(d * d * (nA + nB) / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    else assert(r.isNullAt(r.fieldIndex("z2")))
+  }
+
   test("e48 session paths equal a direct sessionize-and-count recomputation") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val ev = Tables.events(spark, sf)
