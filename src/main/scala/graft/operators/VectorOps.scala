@@ -1046,7 +1046,35 @@ object VectorOps {
       .orderBy(desc("cos"), $"vec_id")
   }
 
+  /** v24: IVF cell-balance report — the index-health diagnostic next
+    * to v18's recall gate (FAISS's "imbalance factor"): per coarse
+    * cell, member count and share, plus the max/mean imbalance ratio
+    * every row repeats (one report row per cell keeps the output
+    * relational). A balanced inverted file probes ~n/k vectors per
+    * cell; a skewed one makes nprobe cost unpredictable and is the
+    * signal to retrain the quantizer or split hot cells — the ANN
+    * equivalent of q26's join-skew profile.
+    *
+    * Scale design: rides the SHARED [[ivfIndex]] assignment (no drift
+    * from v07/v22/v23); the count is one k-row hash-agg over the
+    * assignment, the ratio a broadcast scalar join — nothing touches
+    * vector payloads. */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, _, _) = ivfIndex(spark, sfDir)
+    val cells = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum($"n_vectors").as("total"),
+      max($"n_vectors").as("max_n"), count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vectors",
+        graft.functions.Det.r4($"n_vectors", $"total").as("share"),
+        graft.functions.Det.r4($"max_n" * $"k", $"total").as("imbalance"))
+      .orderBy($"cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v24_ivf_balance"     -> ivfBalance _,
     "v23_range_search"    -> rangeSearch _,
     "v20_pca_power"       -> pcaPower _,
     "v21_truncated_recall" -> truncatedRecall _,
@@ -1348,6 +1376,22 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // the shared cell assignment (cent/cv/e + assigned CTEs), counted
+    // per cell; imbalance = max·k/total in the r4 exact rational
+    "v24_ivf_balance" -> {
+      val F = graft.functions.Det.sql
+      s"""WITH $ivfCentCte,
+         |$ivfProbeCtes,
+         |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM assigned GROUP BY cell),
+         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+         |  CAST(max(n_vectors) AS BIGINT) AS max_n,
+         |  CAST(count(*) AS BIGINT) AS k FROM cc)
+         |SELECT cell, n_vectors,
+         |  ${F.r4("n_vectors", "total")} AS share,
+         |  ${F.r4("max_n * k", "total")} AS imbalance
+         |FROM cc CROSS JOIN t ORDER BY cell""".stripMargin
+    },
     // the same probed-cell scan as v07's ivfr, thresholded on the
     // rounded cosine instead of ranked — index text shared verbatim
     "v23_range_search" ->

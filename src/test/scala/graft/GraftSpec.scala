@@ -731,6 +731,23 @@ class GraftSpec extends AnyFunSuite {
     assert(ivfAtTau.toSet.subsetOf(range.toSet))
   }
 
+  test("v24 balance report sums to the corpus and repeats one ratio") {
+    val rows = VectorOps.ivfBalance(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n)
+    // shares are the exact rationals of the counts; imbalance is one
+    // value repeated (max·k/total), ≥ 1 by construction
+    val k = rows.length.toLong
+    val mx = rows.map(_.getAs[Long]("n_vectors")).max
+    val expImb = Math.floorDiv(mx * k * 20000L + n, n * 2L) / 10000.0
+    rows.foreach { r =>
+      assert(r.getAs[Double]("imbalance") == expImb)
+      assert(r.getAs[Double]("share") ==
+        Math.floorDiv(r.getAs[Long]("n_vectors") * 20000L + n, n * 2L) / 10000.0)
+    }
+    assert(expImb >= 1.0)
+  }
+
   test("v22 IVF-PQ composes v07's probe and v13's codebooks without drift") {
     import spark.implicits._
     val ivfpq = VectorOps.ivfPqAnn(spark, sf).collect()
