@@ -1610,6 +1610,58 @@ object StreamOps {
         when($"lag_s" >= 0, $"lag_s").as("lag_s"), $"value"))
   }
 
+  private val lateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s38: GRACE / LATE-DATA semantics under the oracle gate — the last
+    * §2 row that had been spec-only "by nature": it isn't, once the
+    * replay is deterministic. Events replay INTERLEAVED (batch =
+    * event_id % 3, so every batch spans the whole month and batches
+    * 2–3 are massively late), a 2-day watermark closes daily windows
+    * as the running max event time advances, and late rows for closed
+    * windows are DROPPED. The declared result is the surviving daily
+    * (window, type) counts in append mode.
+    *
+    * The drop rule is pinned empirically (WatermarkSemanticsSpec): a
+    * row is dropped iff its WINDOW END ≤ the late-events watermark — a
+    * row whose raw ts is behind the watermark but whose window is
+    * still open IS counted — and, crucially, Spark's stateful
+    * operators filter late events with the PREVIOUS batch's watermark
+    * (`watermarkForLateEvents`) while emitting/evicting with the
+    * current one (`watermarkForEviction`; the two-watermark design of
+    * SPARK-24634). The oracle replays exactly that: the keep threshold
+    * for batch b is the running max event time of batches ≤ b−2 minus
+    * the 2-day delay (one batch of extra lag), and a window appears in
+    * the append output only once the FINAL eviction watermark (global
+    * max − 2 days) passes its end. Batch boundaries are part of the
+    * declared contract (as s30/s36's time-partitioned cuts are).
+    *
+    * Scale design: one windowed streaming aggregation with watermarked
+    * state (bounded: open windows only); the changelog build is one
+    * pass over events. */
+  def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(lateDirs, sfDir, "events.parquet",
+        "graft_late") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select($"ts", $"event_type", $"event_id")
+      (0 until 3).map(i => ev.filter($"event_id" % 3 === i)
+        .select($"ts", $"event_type"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+    runToMemory(stream, "graft_s38", "append")
+      .orderBy($"w_start", $"event_type")
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1856,6 +1908,7 @@ object StreamOps {
     "s33_sink_roundtrip"    -> streamSinkRoundtrip _,
     "s36_stream_funnel"     -> streamFunnel _,
     "s37_stream_attribution" -> streamAttribution _,
+    "s38_late_data"         -> streamLateData _,
   )
 
   private val tumblingOracle =
@@ -1875,6 +1928,25 @@ object StreamOps {
     // whole-month LOCF window
     "s37_stream_attribution" ->
       graft.operators.Events.oracles("e47_attribution"),
+    // the empirically-pinned drop rule replayed relationally: batch =
+    // event_id % 3, watermark_b = running max event time of PRIOR
+    // batches − 2 days, keep iff daily window END > watermark
+    "s38_late_data" ->
+      """WITH e AS (SELECT event_id % 3 AS b, epoch_us(ts) AS tus,
+        |    event_type FROM events),
+        |mx AS (SELECT b, max(tus) AS mts FROM e GROUP BY b),
+        |wm AS (SELECT b, max(mts) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |    - 2 * 86400000000 AS wm_us FROM mx),
+        |fin AS (SELECT max(tus) - 2 * 86400000000 AS fwm FROM e),
+        |k AS (SELECT e.tus, e.event_type FROM e JOIN wm USING (b)
+        |  WHERE wm.wm_us IS NULL
+        |    OR ((e.tus // 86400000000) + 1) * 86400000000 > wm.wm_us)
+        |SELECT make_timestamp((tus // 86400000000) * 86400000000) AS w_start,
+        |  event_type, count(*) AS n
+        |FROM k CROSS JOIN fin
+        |WHERE ((tus // 86400000000) + 1) * 86400000000 <= fin.fwm
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     // the side-effect store must reconstruct the full per-type
     // aggregate: counts + the Det.dsum decimal-sum contract
     "s35_foreach_counts" ->

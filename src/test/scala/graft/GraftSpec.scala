@@ -2072,6 +2072,57 @@ class WatermarkSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows(java.sql.Timestamp.valueOf("2024-01-01 10:40:00")) == 2L)
   }
 
+  test("late-events filter uses the PREVIOUS batch's watermark (SPARK-24634 lag)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // no-data micro-batches would advance the lagged filter between
+    // data batches and mask the lag — the s38 file-source replay has
+    // none between its file triggers, so disable them here too
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "60 minutes").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"k", $"n")
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_lag_test").outputMode("append").start()
+    try {
+      // batch 1: event time jumps to 12:00 → the CURRENT watermark
+      // after this batch is 11:55
+      input.addData((ts("2024-01-01 12:00:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: a row in the long-closed 09:00 window. Under a
+      // current-watermark late filter (11:55) it would be dropped;
+      // the late-events filter actually uses the PREVIOUS batch's
+      // watermark (epoch 0), so it is KEPT — this lag is the contract
+      // the s38 oracle replays (threshold = running max of batches
+      // ≤ b−2)
+      input.addData((ts("2024-01-01 09:10:00"), "a"))
+      q.processAllAvailable()
+      // batch 3: a second 09:xx row now meets the caught-up filter
+      // (11:55) and must be dropped; observer row advances nothing
+      input.addData((ts("2024-01-01 09:20:00"), "a"))
+      q.processAllAvailable()
+      // close everything
+      input.addData((ts("2024-01-01 14:30:00"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 16:30:00"), "a"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set(ndKey, prevNd)
+    }
+    val rows = spark.table("wm_lag_test")
+      .select($"w_start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(rows.get(ts("2024-01-01 09:00:00")) == Some(1L),
+      s"expected the batch-2 late row kept (lagged filter) and the " +
+        s"batch-3 one dropped: $rows")
+  }
+
   test("incremental ingest state (NearDupProcessor) survives a restart") {
     import spark.implicits._
     import graft.streaming.{BandEvent, BandMatch, NearDupProcessor, StreamOps}
