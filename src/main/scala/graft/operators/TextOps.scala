@@ -1888,7 +1888,54 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** d49: corpus snapshot diff — the incremental-ingest planning step:
+    * given the previous and current snapshot of a keyed corpus, which
+    * documents were ADDED, REMOVED, or CHANGED (content hash differs),
+    * and how much re-embedding/re-indexing work that implies (changed +
+    * added character volume). The fixture stands the two snapshots up
+    * deterministically so all four statuses occur: the OLD snapshot
+    * holds docs with id % 5 ≠ 4 (original text), the NEW one docs with
+    * id % 7 ≠ 6, where docs with id % 3 = 0 carry an edited text
+    * (suffix marker) — so removed/added/changed/unchanged are all
+    * non-empty and the diff logic is what is under test. Output:
+    * per-status doc counts and char volumes plus the per-status min
+    * key as a spot-check anchor.
+    *
+    * Scale design: the diff is ONE full-outer hash join on the snapshot
+    * key (both sides pre-collapsed to (key, md5, chars) map-side — the
+    * text column never shuffles), then a ≤4-row status rollup. At
+    * 100 TB this is the shape that decides how much of the embedding/
+    * index pipeline reruns — the whole point of keying corpora. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as("k"), $"text",
+        $"n_chars".cast("long").as("n_chars"))
+    val old = docs.filter($"k" % 5 =!= 4)
+      .select($"k", md5($"text").as("old_h"),
+        $"n_chars".as("old_chars"))
+    val nw = docs.filter($"k" % 7 =!= 6)
+      .select($"k",
+        md5(when($"k" % 3 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("new_h"),
+        (when($"k" % 3 === 0, $"n_chars" + 3L)
+          .otherwise($"n_chars")).as("new_chars"))
+    old.join(nw, Seq("k"), "full_outer")
+      .withColumn("status",
+        when($"old_h".isNull, "added")
+          .when($"new_h".isNull, "removed")
+          .when($"old_h" === $"new_h", "unchanged")
+          .otherwise("changed"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"new_chars", lit(0L))).as("new_chars"),
+        sum(coalesce($"old_chars", lit(0L))).as("old_chars"),
+        min($"k").as("min_key"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d49_snapshot_diff" -> snapshotDiff _,
     "d46_containment"   -> containmentDups _,
     "d47_classifier_score" -> classifierScore _,
     "d48_tokenizer_fertility" -> tokenizerFertility _,
@@ -2073,6 +2120,29 @@ object TextOps {
          |JOIN sz sa ON sa.doc_id = c.d1 JOIN sz sb ON sb.doc_id = c.d2
          |WHERE c.common * 5 >= least(sa.n, sb.n) * 4
          |ORDER BY c.d1, c.d2""".stripMargin,
+    // full-outer diff on the snapshot key; CASTs keep HUGEINT off the
+    // schema
+    "d49_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id AS k, text,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |o AS (SELECT k, md5(text) AS old_h, n_chars AS old_chars FROM d
+        |  WHERE k % 5 <> 4),
+        |n AS (SELECT k,
+        |    md5(CASE WHEN k % 3 = 0 THEN text || ' v2' ELSE text END) AS new_h,
+        |    CASE WHEN k % 3 = 0 THEN n_chars + 3 ELSE n_chars END AS new_chars
+        |  FROM d WHERE k % 7 <> 6),
+        |j AS (SELECT COALESCE(o.k, n.k) AS k, old_h, new_h,
+        |    old_chars, new_chars,
+        |    CASE WHEN old_h IS NULL THEN 'added'
+        |      WHEN new_h IS NULL THEN 'removed'
+        |      WHEN old_h = new_h THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.k = n.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(COALESCE(new_chars, 0)) AS BIGINT) AS new_chars,
+        |  CAST(sum(COALESCE(old_chars, 0)) AS BIGINT) AS old_chars,
+        |  CAST(min(k) AS BIGINT) AS min_key
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     // d36's t0 + three unrolled training rounds verbatim; the
     // evaluation reads the final table t3 per language
     "d48_tokenizer_fertility" ->

@@ -186,6 +186,28 @@ class GraftSpec extends AnyFunSuite {
     assert(out == refBpe(corpus, 3))
   }
 
+  test("d49 snapshot diff partitions keys exactly and balances volumes") {
+    val ids = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val rows = TextOps.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_key"))).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    // direct per-key status recomputation from the declared split rules
+    def statusOf(k: Long): String = {
+      val inOld = k % 5 != 4; val inNew = k % 7 != 6
+      if (!inOld && inNew) "added"
+      else if (inOld && !inNew) "removed"
+      else if (k % 3 == 0) "changed" else "unchanged"
+    }
+    val exp = ids.filter(k => k % 5 != 4 || k % 7 != 6).groupBy(statusOf)
+    exp.foreach { case (s, ks) =>
+      assert(rows(s)._1 == ks.length, s"count mismatch for $s")
+      assert(rows(s)._2 == ks.min, s"min_key mismatch for $s")
+    }
+  }
+
   test("d48 fertility telescopes against d36's applied-merge counts") {
     // each applied merge removes exactly one unit from the corpus, so
     // Σ units (d48) = Σ words − Σ applied (d36) — the cross-query
