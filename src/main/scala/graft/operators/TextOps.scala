@@ -1906,32 +1906,56 @@ object TextOps {
     * text column never shuffles), then a ≤4-row status rollup. At
     * 100 TB this is the shape that decides how much of the embedding/
     * index pipeline reruns — the whole point of keying corpora. */
-  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+  /** d49/s39 synthetic-snapshot split rules — ONE definition for the
+    * batch diff, the streaming CDC changelog builder, and both oracle
+    * strings (drift-proof literals). */
+  private[graft] val SnapOldMod = 5L   // in OLD iff k % 5 ≠ 4
+  private[graft] val SnapNewMod = 7L   // in NEW iff k % 7 ≠ 6
+  private[graft] val SnapEditMod = 3L  // NEW text edited iff k % 3 = 0
+
+  /** The old/new snapshot projections (k, h, chars) — shared by the
+    * d49 batch join and the s39 streaming changelog builder. */
+  private[graft] def snapshotSides(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id".as("k"), $"text",
         $"n_chars".cast("long").as("n_chars"))
-    val old = docs.filter($"k" % 5 =!= 4)
-      .select($"k", md5($"text").as("old_h"),
-        $"n_chars".as("old_chars"))
-    val nw = docs.filter($"k" % 7 =!= 6)
+    val old = docs.filter($"k" % SnapOldMod =!= (SnapOldMod - 1))
+      .select($"k", md5($"text").as("h"), $"n_chars".as("chars"))
+    val nw = docs.filter($"k" % SnapNewMod =!= (SnapNewMod - 1))
       .select($"k",
-        md5(when($"k" % 3 === 0, concat($"text", lit(" v2")))
-          .otherwise($"text")).as("new_h"),
-        (when($"k" % 3 === 0, $"n_chars" + 3L)
-          .otherwise($"n_chars")).as("new_chars"))
-    old.join(nw, Seq("k"), "full_outer")
-      .withColumn("status",
-        when($"old_h".isNull, "added")
-          .when($"new_h".isNull, "removed")
-          .when($"old_h" === $"new_h", "unchanged")
-          .otherwise("changed"))
-      .groupBy($"status")
+        md5(when($"k" % SnapEditMod === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("h"),
+        (when($"k" % SnapEditMod === 0, $"n_chars" + 3L)
+          .otherwise($"n_chars")).as("chars"))
+    (old, nw)
+  }
+
+  /** The d49 per-status rollup over (k, status, old_chars, new_chars)
+    * rows — shared verbatim by the s39 streaming reduction. */
+  private[graft] def snapshotDiffReduce(j: DataFrame): DataFrame = {
+    import j.sparkSession.implicits._
+    j.groupBy($"status")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce($"new_chars", lit(0L))).as("new_chars"),
         sum(coalesce($"old_chars", lit(0L))).as("old_chars"),
         min($"k").as("min_key"))
       .orderBy($"status")
+  }
+
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (old, nw) = snapshotSides(spark, sfDir)
+    snapshotDiffReduce(old
+      .select($"k", $"h".as("old_h"), $"chars".as("old_chars"))
+      .join(nw.select($"k", $"h".as("new_h"), $"chars".as("new_chars")),
+        Seq("k"), "full_outer")
+      .withColumn("status",
+        when($"old_h".isNull, "added")
+          .when($"new_h".isNull, "removed")
+          .when($"old_h" === $"new_h", "unchanged")
+          .otherwise("changed")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2123,14 +2147,14 @@ object TextOps {
     // full-outer diff on the snapshot key; CASTs keep HUGEINT off the
     // schema
     "d49_snapshot_diff" ->
-      """WITH d AS (SELECT doc_id AS k, text,
+      s"""WITH d AS (SELECT doc_id AS k, text,
         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
         |o AS (SELECT k, md5(text) AS old_h, n_chars AS old_chars FROM d
-        |  WHERE k % 5 <> 4),
+        |  WHERE k % $SnapOldMod <> ${SnapOldMod - 1}),
         |n AS (SELECT k,
-        |    md5(CASE WHEN k % 3 = 0 THEN text || ' v2' ELSE text END) AS new_h,
-        |    CASE WHEN k % 3 = 0 THEN n_chars + 3 ELSE n_chars END AS new_chars
-        |  FROM d WHERE k % 7 <> 6),
+        |    md5(CASE WHEN k % $SnapEditMod = 0 THEN text || ' v2' ELSE text END) AS new_h,
+        |    CASE WHEN k % $SnapEditMod = 0 THEN n_chars + 3 ELSE n_chars END AS new_chars
+        |  FROM d WHERE k % $SnapNewMod <> ${SnapNewMod - 1}),
         |j AS (SELECT COALESCE(o.k, n.k) AS k, old_h, new_h,
         |    old_chars, new_chars,
         |    CASE WHEN old_h IS NULL THEN 'added'

@@ -1662,6 +1662,67 @@ object StreamOps {
       .orderBy($"w_start", $"event_type")
   }
 
+  private val cdcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s39: streaming CDC snapshot ingest — the d49 diff's streaming
+    * face (the e47/s37 pairing): the old snapshot loads per-key hashes
+    * into [[CdcProcessor]] RocksDB state in batch 1, the new snapshot
+    * classifies against it in batch 2 (added/changed/unchanged), and
+    * the declared report is the SHARED
+    * [[graft.operators.TextOps.snapshotDiffReduce]] over the emissions
+    * — d49's rollup minus `removed`, which arrival-side CDC cannot see
+    * (the oracle states the same). Snapshot sides come from the shared
+    * [[graft.operators.TextOps.snapshotSides]] projections, so batch
+    * and streaming faces cannot drift.
+    *
+    * Scale design: one (hash, chars) per key in state, one point
+    * lookup per arriving doc, no snapshot rescan — the append-only
+    * ingest shape of s24/s26. */
+  def streamCdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = cachedScratchDir(cdcDirs, sfDir, "documents.parquet") {
+      val dir = newTempDir("graft_cdc")
+      val (old, nw) = graft.operators.TextOps.snapshotSides(spark, sfDir)
+      Seq(old.withColumn("side", lit("O")),
+        nw.withColumn("side", lit("N"))).zipWithIndex.foreach {
+        case (df, i) =>
+          val tmp = dir.resolve(s"b$i")
+          df.select(col("k"), col("side"), col("h"), col("chars"))
+            .coalesce(1).write.option("compression", "none")
+            .parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator()
+          val f = Iterator.continually(part).takeWhile(_.hasNext)
+            .map(_.next()).find(_.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(f, dir.resolve(s"changelog_$i.parquet"))
+          deleteRecursively(tmp)
+          dir.resolve(s"changelog_$i.parquet").toFile
+            .setLastModified(1700000000000L + i * 60000L)
+      }
+      dir.toString
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, side STRING, h STRING, chars BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[SnapEvent]
+      .groupByKey(_.k)
+      .transformWithState(new CdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[CdcEmit])
+      .toDF()
+    val hits = withRocksDb(spark) {
+      runToMemory(stream, "graft_s39", "update", Some(8),
+        noDataBatch = false)
+    }
+    graft.operators.TextOps.snapshotDiffReduce(
+      hits.select($"k", $"status", $"new_chars",
+        when($"status" =!= "added", $"old_chars").as("old_chars")))
+  }
+
   private val noveltyDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -1909,6 +1970,7 @@ object StreamOps {
     "s36_stream_funnel"     -> streamFunnel _,
     "s37_stream_attribution" -> streamAttribution _,
     "s38_late_data"         -> streamLateData _,
+    "s39_stream_cdc"        -> streamCdcDiff _,
   )
 
   private val tumblingOracle =
@@ -1928,6 +1990,32 @@ object StreamOps {
     // whole-month LOCF window
     "s37_stream_attribution" ->
       graft.operators.Events.oracles("e47_attribution"),
+    // the d49 oracle minus the removed row — arrival-side CDC cannot
+    // see keys that never re-appear; split-rule literals interpolate
+    // from the same Scala constants as the batch oracle
+    "s39_stream_cdc" -> {
+      val T = graft.operators.TextOps
+      s"""WITH d AS (SELECT doc_id AS k, text,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |o AS (SELECT k, md5(text) AS old_h, n_chars AS old_chars FROM d
+         |  WHERE k % ${T.SnapOldMod} <> ${T.SnapOldMod - 1}),
+         |n AS (SELECT k,
+         |    md5(CASE WHEN k % ${T.SnapEditMod} = 0 THEN text || ' v2'
+         |      ELSE text END) AS new_h,
+         |    CASE WHEN k % ${T.SnapEditMod} = 0 THEN n_chars + 3
+         |      ELSE n_chars END AS new_chars
+         |  FROM d WHERE k % ${T.SnapNewMod} <> ${T.SnapNewMod - 1}),
+         |j AS (SELECT n.k, old_h, new_h, old_chars, new_chars,
+         |    CASE WHEN old_h IS NULL THEN 'added'
+         |      WHEN old_h = new_h THEN 'unchanged'
+         |      ELSE 'changed' END AS status
+         |  FROM n LEFT JOIN o ON o.k = n.k)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(new_chars, 0)) AS BIGINT) AS new_chars,
+         |  CAST(sum(COALESCE(old_chars, 0)) AS BIGINT) AS old_chars,
+         |  CAST(min(k) AS BIGINT) AS min_key
+         |FROM j GROUP BY status ORDER BY status""".stripMargin
+    },
     // the empirically-pinned drop rule replayed relationally: batch =
     // event_id % 3, watermark_b = running max event time of PRIOR
     // batches − 2 days, keep iff daily window END > watermark

@@ -3010,6 +3010,16 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("s39 streaming CDC equals the d49 batch diff minus removed") {
+    val batch = graft.operators.TextOps.snapshotDiff(spark, sf).collect()
+      .filter(_.getAs[String]("status") != "removed")
+      .map(_.toSeq).toSet
+    val stream = graft.streaming.StreamOps
+      .queries("s39_stream_cdc")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
   test("s37 streaming attribution equals the e47 batch result row-for-row") {
     val batch = graft.operators.Events.lastTouchAttribution(spark, sf)
       .collect().map(_.toSeq).toSet
