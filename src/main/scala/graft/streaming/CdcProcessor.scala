@@ -44,8 +44,9 @@ class CdcProcessor
       timers: TimerValues): Iterator[CdcEmit] = {
     val out = Seq.newBuilder[CdcEmit]
     // "O" before "N" within a batch mirrors the side-partitioned
-    // delivery (the two sides arrive in separate batches anyway)
-    rows.toArray.sortBy(_.side).foreach { e =>
+    // delivery (the two sides arrive in separate batches anyway) —
+    // note 'O' > 'N' in ASCII, hence the reversed ordering
+    rows.toArray.sortBy(_.side)(Ordering[String].reverse).foreach { e =>
       e.side match {
         case "O" => st.update(SnapState(e.h, e.chars))
         case _ =>

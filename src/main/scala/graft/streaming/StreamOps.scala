@@ -1681,25 +1681,12 @@ object StreamOps {
     * ingest shape of s24/s26. */
   def streamCdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dirStr = cachedScratchDir(cdcDirs, sfDir, "documents.parquet") {
-      val dir = newTempDir("graft_cdc")
+    val dirStr = orderedBatchDir(cdcDirs, sfDir, "documents.parquet",
+        "graft_cdc") {
       val (old, nw) = graft.operators.TextOps.snapshotSides(spark, sfDir)
       Seq(old.withColumn("side", lit("O")),
-        nw.withColumn("side", lit("N"))).zipWithIndex.foreach {
-        case (df, i) =>
-          val tmp = dir.resolve(s"b$i")
-          df.select(col("k"), col("side"), col("h"), col("chars"))
-            .coalesce(1).write.option("compression", "none")
-            .parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).iterator()
-          val f = Iterator.continually(part).takeWhile(_.hasNext)
-            .map(_.next()).find(_.toString.endsWith(".parquet")).get
-          java.nio.file.Files.move(f, dir.resolve(s"changelog_$i.parquet"))
-          deleteRecursively(tmp)
-          dir.resolve(s"changelog_$i.parquet").toFile
-            .setLastModified(1700000000000L + i * 60000L)
-      }
-      dir.toString
+        nw.withColumn("side", lit("N")))
+        .map(_.select(col("k"), col("side"), col("h"), col("chars")))
     }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "k BIGINT, side STRING, h STRING, chars BIGINT")
@@ -1719,8 +1706,7 @@ object StreamOps {
         noDataBatch = false)
     }
     graft.operators.TextOps.snapshotDiffReduce(
-      hits.select($"k", $"status", $"new_chars",
-        when($"status" =!= "added", $"old_chars").as("old_chars")))
+      hits.select($"k", $"status", $"new_chars", $"old_chars"))
   }
 
   private val noveltyDirs =
