@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det
 import graft.functions.Det.{dec4, dsum}
 
 /** Remaining SURVEY §2 breadth: CUBE, the SQL entry surface with a
@@ -150,17 +151,49 @@ object Extras {
 
   /** EXACT percentiles (the oracle-checkable counterpart of the x02
     * sketch): linear-interpolated median/p90/p99 of extended price per
-    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+    * return flag — rank r = (n−1)·p over integer cents, interpolated
+    * as the EXACT rational lo·(100−fn) + hi·fn over 100, rounded
+    * half-up to cents in pure int64.
+    *
+    * Why not `percentile` ≡ `quantile_cont` (the original contract):
+    * the two engines compute `lo + frac·(hi−lo)` with DIFFERENT double
+    * expression trees, and when the true value sits exactly on a
+    * `.xx5` cent boundary (frac = 0.5 between adjacent cents) the
+    * last-ulp difference flips the 2-dp rounding — found by a full
+    * sf0.001 sweep (one group's p50: 52724.24 vs .25). Integer
+    * arithmetic is identical in both engines by construction. (q26's
+    * count percentiles keep the quantile_cont contract: interpolants
+    * of integer COUNTS with frac = k/100 have ≤ 2 exact decimals, so
+    * its round(·, 2) has no boundary to straddle.)
+    *
+    * Scale note: this shape is also the scalable one — `percentile()`
+    * buffers every value of a group in the aggregator, while the
+    * rank window is a distributed per-group sort. */
   def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
-      .agg(percentile($"l_extendedprice", array(lit(0.5), lit(0.9), lit(0.99)))
-        .as("pcts"))
+    val wRank = Window.partitionBy($"l_returnflag").orderBy($"c")
+    val wN = Window.partitionBy($"l_returnflag")
+    val ks = Seq(50, 90, 99)
+    val ranked = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag",
-        round($"pcts"(0), 2).as("p50"),
-        round($"pcts"(1), 2).as("p90"),
-        round($"pcts"(2), 2).as("p99"))
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+    def loIdx(k: Int) = Det.fdiv(($"n" - 1L) * k, lit(100L)) + 1L
+    val agg = ranked.groupBy($"l_returnflag")
+      .agg(max($"n").as("n"),
+        ks.flatMap(k => Seq(
+          max(when($"rn" === loIdx(k), $"c")).as(s"lo$k"),
+          max(when($"rn" === least(loIdx(k) + 1L, $"n"), $"c")).as(s"hi$k")
+        )): _*)
+    def out(k: Int) = {
+      val fn = pmod(($"n" - 1L) * k, lit(100L))
+      val interp = col(s"lo$k") * (lit(100L) - fn) + col(s"hi$k") * fn
+      // half-up to cents: (2·interp + 100) div 200, then dollars
+      (Det.fdiv(interp * 2L + 100L, lit(200L)) / 100.0).as(s"p$k")
+    }
+    agg.select($"l_returnflag", out(50).as("p50"), out(90).as("p90"),
+        out(99).as("p99"))
       .orderBy($"l_returnflag")
   }
 
@@ -247,12 +280,32 @@ object Extras {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
-    "e17_exact_percentiles" ->
-      """SELECT l_returnflag,
-        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // integer-cents order statistics + exact rational interpolation
+    // (see the Spark-side scaladoc for why quantile_cont was dropped:
+    // cross-engine last-ulp divergence at .xx5 cent boundaries)
+    "e17_exact_percentiles" -> {
+      val ks = Seq(50, 90, 99)
+      val picks = ks.map { k =>
+        s"""  max(CASE WHEN rn = ((n-1)*$k // 100) + 1 THEN c END) AS lo$k,
+           |  max(CASE WHEN rn = least(((n-1)*$k // 100) + 2, n) THEN c END) AS hi$k"""
+          .stripMargin
+      }.mkString(",\n")
+      val outs = ks.map { k =>
+        s"""  (((lo$k * (100 - ((n-1)*$k % 100)) + hi$k * ((n-1)*$k % 100))
+           |    * 2 + 100) // 200) / 100.0 AS p$k""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem),
+         |r AS (SELECT l_returnflag, c,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM b),
+         |a AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+         |$picks
+         |  FROM r GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |$outs
+         |FROM a ORDER BY l_returnflag""".stripMargin
+    },
     "q13_cube_orders" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n,

@@ -2498,6 +2498,32 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("e17 exact percentiles equal an integer-rational direct recomputation") {
+    import org.apache.spark.sql.functions.{col, round => fround}
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        fround(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("c"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(cs: Array[Long], k: Int): Double = {
+      val n = cs.length.toLong
+      val num = (n - 1) * k
+      val lo = cs((num / 100).toInt)
+      val hi = cs(math.min(num / 100 + 1, n - 1).toInt)
+      val fn = num % 100
+      val interp = lo * (100 - fn) + hi * fn
+      Math.floorDiv(interp * 2 + 100, 200L) / 100.0
+    }
+    val got = graft.operators.Extras.exactPercentiles(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Double]("p99"))).toMap
+    byFlag.foreach { case (f, cs) =>
+      assert(got(f) == ((pct(cs, 50), pct(cs, 90), pct(cs, 99))), f)
+    }
+  }
+
   test("x02 approx percentiles bracket the exact interpolated values") {
     import spark.implicits._
     val exact = graft.operators.Extras.exactPercentiles(spark, sf)
