@@ -47,8 +47,10 @@ object Det {
     * double-divide-then-round alternative puts ties at the 5th decimal
     * at the mercy of each engine's last ulp. REQUIRES den > 0 and
     * |num| < 2⁶³/20000; negative num floors like DuckDB `//`, i.e.
-    * ties round toward +∞ (HALF_UP proper on non-negatives, which is
-    * every current call site). */
+    * ties round toward +∞ (HALF_UP proper on non-negatives). The
+    * floor-tie semantics are LOAD-BEARING: d47's classifierScore
+    * passes a signed Σw numerator, and both engines agree only
+    * because fdiv is true floor on each. */
   def r4(num: Column, den: Column): Column =
     fdiv(num * 20000L + den, den * 2L) / 10000.0
 

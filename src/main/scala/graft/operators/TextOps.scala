@@ -1814,7 +1814,19 @@ object TextOps {
     * Threshold test is the cross-multiplied integer predicate 5·common
     * ≥ 4·min(n1,n2) — no double compare. Like every pair-emitting op
     * here, output is c² per duplicate group (see the d08/SURVEY §6
-    * caveat); the cluster-emitting composition canonicalizes first. */
+    * caveat); the cluster-emitting composition canonicalizes first.
+    *
+    * COLLISION CAVEAT: shingle sets are xxhash64 values, not raw
+    * strings, so two DISTINCT shingles colliding in 64 bits would
+    * inflate `common` / shrink n (and diverge from a raw-string
+    * oracle). Birthday bound: P(any collision) ≈ m²/2⁶⁵ for m distinct
+    * corpus shingles — negligible at fixture scale, ~3% at m = 10¹⁰
+    * (a 100 TB corpus). The d08 Jaccard path carries the same caveat.
+    * At that scale either accept the ppb-level per-pair error (each
+    * collision perturbs one count by 1; the 0.8 threshold is not
+    * knife-edge) or confirm candidates on raw shingles in the verify
+    * join — the candidate generator is unaffected (a collision only
+    * ADDS a candidate pair, which exact verify then rejects). */
   def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)

@@ -426,7 +426,8 @@ object StreamOps {
     * app would call num.stream.threads). */
   def runToMemory(df: DataFrame, name: String, mode: String,
       partitions: Option[Int] = None,
-      noDataBatch: Boolean = true): DataFrame = {
+      noDataBatch: Boolean = true,
+      assertLastBatchId: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -466,6 +467,19 @@ object StreamOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // Callers whose ORACLE encodes the micro-batch schedule (s38: the
+      // two-watermark late filter lags exactly one batch per file
+      // trigger) pin the terminal batchId here, so a Spark upgrade that
+      // changes AvailableNow scheduling (an interleaved no-data batch,
+      // a merged trigger) fails loudly instead of silently producing a
+      // one-batch-off oracle divergence.
+      assertLastBatchId.foreach { expect =>
+        val got = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        require(got == expect,
+          s"$name: terminal batchId $got != expected $expect — " +
+            "micro-batch scheduling changed; revisit the oracle's " +
+            "batch-lag assumptions")
+      }
     } finally {
       spark.conf.set(key, prev)
       spark.conf.set(ndKey, prevNd)
@@ -1658,7 +1672,17 @@ object StreamOps {
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("w_start"), $"event_type", $"n")
-    runToMemory(stream, "graft_s38", "append")
+    // The oracle's one-batch watermark lag (ROWS ... 2 PRECEDING) holds
+    // only if the three file triggers run as exactly batches 0/1/2 with
+    // NO interleaved no-data batch. Pin that schedule: measured, the
+    // terminal batchId is 2 — the three %3-interleaved batches all span
+    // the whole month, so the final file batch advances the watermark
+    // by seconds only, closes no additional daily window, and
+    // AvailableNow terminates without a trailing no-data batch. A Spark
+    // upgrade that interleaves a no-data batch (shifting the lag) or
+    // appends one (harmless but schedule-changing) fails this loudly.
+    runToMemory(stream, "graft_s38", "append",
+        assertLastBatchId = Some(2L))
       .orderBy($"w_start", $"event_type")
   }
 

@@ -10,16 +10,24 @@ import org.scalacheck.{Gen, Prop, Properties}
   * small random graphs so each property case is one fast local job. */
 object GraphProps extends Properties("Graph.connectedComponents") {
 
-  // Fixed initial seed: one full-suite run (2026-08-14) reported a
-  // falsification here that never reproduced — not in isolation (10×
-  // per arg list, see CcRepro where both lists are pinned green) nor
-  // under targeted concurrent streaming load. Until a mechanism is
-  // found, the random walk is pinned so the driver's suite run is
-  // deterministic; CcRepro holds the suspect graphs as explicit
-  // regressions.
+  // Default-fixed initial seed: one full-suite run (2026-08-14)
+  // reported a falsification here that never reproduced — not in
+  // isolation (10× per arg list, see CcRepro where both lists are
+  // pinned green) nor under targeted concurrent streaming load. Until
+  // a mechanism is found, the random walk is pinned BY DEFAULT so the
+  // driver's suite run is deterministic; CcRepro holds the suspect
+  // graphs as explicit regressions. Fresh randomized coverage is NOT
+  // forfeited: set -Dgraft.graphprops.seed=<long> (or =random) to
+  // explore a different walk — exploratory sessions should run a few
+  // random seeds, and any falsifying graph found gets pinned into
+  // CcRepro.
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
       : org.scalacheck.Test.Parameters =
-    p.withInitialSeed(org.scalacheck.rng.Seed(20260814L))
+    sys.props.get("graft.graphprops.seed") match {
+      case Some("random") => p // ScalaCheck picks a fresh seed
+      case Some(s) => p.withInitialSeed(org.scalacheck.rng.Seed(s.toLong))
+      case None => p.withInitialSeed(org.scalacheck.rng.Seed(20260814L))
+    }
 
   private lazy val spark = TestSession.spark
 
