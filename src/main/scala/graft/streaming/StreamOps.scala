@@ -789,6 +789,24 @@ object StreamOps {
       cache.updateWith(sfDir) { _ => Some((srcMtime, build)) }.get._2)
   }
 
+  /** Materialize ONE batch DataFrame as `changelog_<i>.parquet` in
+    * `dir`, mtime-pinned so a file-source stream replays files in index
+    * order. Shared by [[orderedBatchDir]] (all batches up front) and
+    * the restart harness (s40 adds files BETWEEN query runs). */
+  private[graft] def writeChangelogFile(df: DataFrame,
+      dir: java.nio.file.Path, i: Int): Unit = {
+    val tmp = dir.resolve(s"b$i")
+    df.coalesce(1).write.option("compression", "none")
+      .parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    val f = Iterator.continually(part).takeWhile(_.hasNext)
+      .map(_.next()).find(_.toString.endsWith(".parquet")).get
+    val dst = dir.resolve(s"changelog_$i.parquet")
+    java.nio.file.Files.move(f, dst)
+    deleteRecursively(tmp)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+  }
+
   private[graft] def orderedBatchDir(cache:
       scala.collection.concurrent.TrieMap[String, (Long, String)],
       sfDir: String, srcFixture: String, prefix: String)(
@@ -802,16 +820,7 @@ object StreamOps {
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.{Await, Future}
           val writes = batches.zipWithIndex.map { case (df, i) => Future {
-            val tmp = dir.resolve(s"b$i")
-            df.coalesce(1).write.option("compression", "none")
-              .parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator()
-            val f = Iterator.continually(part).takeWhile(_.hasNext)
-              .map(_.next()).find(_.toString.endsWith(".parquet")).get
-            val dst = dir.resolve(s"changelog_$i.parquet")
-            java.nio.file.Files.move(f, dst)
-            deleteRecursively(tmp)
-            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+            writeChangelogFile(df, dir, i)
           }}
           writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
           dir.toString
@@ -1941,7 +1950,240 @@ object StreamOps {
     }.toDF("event_type", "n", "sum_value").orderBy($"event_type")
   }
 
+  private val foreachEosDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** Evidence that [[streamForeachExactlyOnce]]'s replay actually
+    * happened: batch count, total foreachBatch invocations (including
+    * duplicates), and whether the redelivered batch carried
+    * bit-identical rows. Surfaced for the spec; the declared query
+    * requires the duplicate occurred. */
+  private[graft] case class ForeachEvidence(nBatches: Int,
+      nDeliveries: Int, dupIdentical: Boolean)
+
+  /** s41: EXACTLY-ONCE foreachBatch sink semantics — the Kafka Streams
+    * EOS analogue, forced: the per-type aggregate of each micro-batch
+    * is written to an external store keyed by batchId with
+    * put-if-absent (the batchId-idempotent write Spark's docs
+    * prescribe for foreachBatch sinks), and the harness then FORCES a
+    * duplicate delivery by deleting the checkpoint's latest commit-log
+    * entry and restarting — exactly the crash window where a real sink
+    * sees the same batch twice (processed, externally applied, died
+    * before the commit log fsync). The redelivered batch must carry
+    * identical rows (the offset log pins its file set) and must not
+    * change the store (idempotence); the declared result is rebuilt
+    * from the store only and must hash-match the whole-table oracle.
+    * A non-idempotent merge would double-count the replayed batch and
+    * flip the hash; a lost batch would shrink it.
+    *
+    * Scale design: like s35, only the ≤5-row per-type per-batch
+    * aggregate crosses to the store — map-side combine does the heavy
+    * lifting; the idempotence key (batchId) is Spark's own replay
+    * unit, so the contract holds under any trigger layout. */
+  private[graft] def runForeachExactlyOnce(spark: SparkSession,
+      sfDir: String): (DataFrame, ForeachEvidence) = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(foreachEosDirs, sfDir, "events.parquet",
+        "graft_s41") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select($"event_type", $"value", $"event_id")
+      (0 until 3).map(i => ev.filter($"event_id" % 3 === i)
+        .select($"event_type", $"value"))
+    }
+    val store = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[(String, Long, java.math.BigDecimal)]]
+    val deliveries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dupIdentical = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ck = newTempDir("graft_ckpt_s41")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, value DOUBLE")
+    def runOnce(): Unit = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "2")
+      try {
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "changelog_*.parquet")
+          .parquet(dirStr)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val rows = batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast("decimal(18,4)")).as("s"))
+              .collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+              .sortBy(_._1)
+            deliveries.incrementAndGet()
+            store.putIfAbsent(batchId, rows) match {
+              case Some(prior) =>   // duplicate delivery: store unchanged
+                if (prior.sameElements(rows)) dupIdentical.set(true)
+              case None => ()
+            }
+            ()
+          }
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally spark.conf.set(key, prev)
+    }
+    runOnce()
+    // Crash injection: drop the newest commit-log entry. The offset log
+    // still holds the batch, so on restart Spark re-executes it from
+    // the SAME recorded file offsets and redelivers it to foreachBatch
+    // with the SAME batchId — the documented at-least-once window that
+    // batchId-idempotent writes exist to close. The local Hadoop FS
+    // keeps a `.N.crc` sidecar per log entry; it must go with the
+    // entry or the replayed commit write collides on the CRC rename.
+    val commits = ck.resolve("commits")
+    import scala.jdk.CollectionConverters._
+    val latest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(latest)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve(s".${latest.getFileName}.crc"))
+    runOnce()
+    val merged = store.values.flatten.toSeq
+      .groupBy(_._1).toSeq.map { case (t, rs) =>
+        val n = rs.map(_._2).sum
+        val s = rs.map(_._3).reduce(_.add(_))
+        // the Det.dsum contract replicated driver-side (see s35)
+        val d = java.math.BigDecimal.valueOf(s.doubleValue)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+        (t, n, d)
+      }
+    (merged.toDF("event_type", "n", "sum_value").orderBy($"event_type"),
+      ForeachEvidence(store.size, deliveries.get(), dupIdentical.get()))
+  }
+
+  def streamForeachExactlyOnce(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (df, ev) = runForeachExactlyOnce(spark, sfDir)
+    // the replay must actually have happened, with identical rows —
+    // otherwise this query proves nothing and should fail loudly
+    require(ev.nDeliveries == ev.nBatches + 1 && ev.dupIdentical,
+      s"s41: expected exactly one identical duplicate delivery, got " +
+        s"${ev.nDeliveries} deliveries over ${ev.nBatches} batches " +
+        s"(dupIdentical=${ev.dupIdentical})")
+    df
+  }
+
+  private val restartDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The s40 tumbling aggregation, shared by both query runs — restart
+    * recovery requires the restarted query to be the SAME plan, so the
+    * construction is factored to a single site. */
+  private[graft] def restartAggStream(spark: SparkSession,
+      in: java.nio.file.Path): DataFrame = {
+    import graft.functions.Det.dsum
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(in.toString)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** One AvailableNow run of the s40 query against checkpoint `ck` and
+    * file sink `out`; returns the terminal batchId (−1 if no batch ran).
+    * RocksDB + changelog checkpointing, so the restart exercises the
+    * production recovery path: state rebuilt from per-batch changelogs,
+    * not an in-memory carryover. */
+  private[graft] def runRestartLeg(spark: SparkSession, in: java.nio.file.Path,
+      out: java.nio.file.Path, ck: java.nio.file.Path): Long = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      withRocksDb(spark) {
+        val q = restartAggStream(spark, in).writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ck.toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** s40: CHECKPOINT-KILL-RESTART RECOVERY under the oracle gate — the
+    * fault-tolerance property a 100 TB deployment exercises that no
+    * single-run query can: a streaming query is stopped after batch k
+    * of n, a NEW query instance restarts from the checkpoint, and the
+    * combined output must still hash-match the batch oracle (s01's
+    * tumbling contract, the s38 promotion pattern applied to fault
+    * tolerance).
+    *
+    * The replay is deterministic: events cut time-ordered at two
+    * MID-DAY instants (Jan 11 07:00, Jan 21 13:00), so the daily
+    * window at each cut spans two micro-batches. Run 1 sees only
+    * batches 0–1 and terminates — the Jan 21 window sits half-counted
+    * in RocksDB state. Batch 2 and the flush sentinel are written
+    * AFTER run 1 has fully terminated, so run 2 (same checkpoint, same
+    * sink) can only produce the correct Jan 21 count by recovering
+    * run 1's state from the checkpoint — the restart is load-bearing
+    * for the hash, not incidental. Exactly-once across the restart
+    * comes from the production mechanisms themselves: source progress
+    * from the offset log, state from RocksDB changelog checkpoints,
+    * sink atomicity from the file sink's _spark_metadata transaction
+    * log (which the read-back honors). A re-read of consumed batches
+    * would double counts; lost state would shrink them; either flips
+    * the hash.
+    *
+    * Scale design: identical to s01/s33 (one windowed streaming agg,
+    * bounded open-window state); the recovery adds no data-sized work
+    * — checkpoint replay is O(state), not O(history). */
+  def streamRestartRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val outStr = cachedScratchDir(restartDirs, sfDir, "events.parquet") {
+      val in = newTempDir("graft_s40_in")
+      val out = newTempDir("graft_s40_out")
+      val ck = newTempDir("graft_ckpt_s40")
+      val ev = graft.Tables.events(spark, sfDir)
+        .select($"ts", $"event_type", $"value")
+      val cut1 = lit(java.sql.Timestamp.valueOf("2024-01-11 07:00:00.0"))
+      val cut2 = lit(java.sql.Timestamp.valueOf("2024-01-21 13:00:00.0"))
+      writeChangelogFile(ev.filter($"ts" < cut1), in, 0)
+      writeChangelogFile(ev.filter($"ts" >= cut1 && $"ts" < cut2), in, 1)
+      val firstLeg = runRestartLeg(spark, in, out, ck)   // ← the "kill"
+      // files that did not exist during run 1: the tail of the data and
+      // the watermark-flush sentinel (one per type, see eventsStreamWithFlush)
+      writeChangelogFile(ev.filter($"ts" >= cut2), in, 2)
+      writeChangelogFile(
+        ev.select($"event_type").distinct()
+          .withColumn("ts",
+            lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+          .withColumn("value", lit(0.0))
+          .select($"ts", $"event_type", $"value"), in, 3)
+      val secondLeg = runRestartLeg(spark, in, out, ck)  // ← the restart
+      // continuity proof: run 2 resumed the checkpoint (batchIds carry
+      // on past run 1's) rather than starting a fresh query at 0 — a
+      // fresh start would also double-process and flip the hash, but
+      // fail loudly here instead of at the oracle compare
+      require(firstLeg >= 0 && secondLeg > firstLeg,
+        s"s40: restart did not resume from checkpoint " +
+          s"(run1 terminal batchId $firstLeg, run2 $secondLeg)")
+      out.toString
+    }
+    spark.read.parquet(outStr)
+      .orderBy($"w_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s40_restart_recovery" -> streamRestartRecovery _,
+    "s41_foreach_exactly_once" -> streamForeachExactlyOnce _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2048,6 +2290,14 @@ object StreamOps {
     // the side-effect store must reconstruct the full per-type
     // aggregate: counts + the Det.dsum decimal-sum contract
     "s35_foreach_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |  AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // s35's contract under a FORCED duplicate batch delivery: the
+    // batchId-idempotent store must absorb the replay, so the rebuilt
+    // aggregate still equals the whole-table truth
+    "s41_foreach_exactly_once" ->
       """SELECT event_type, count(*) AS n,
         |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
         |  AS sum_value
@@ -2253,6 +2503,11 @@ object StreamOps {
         |WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY 1, 2 ORDER BY w_start, n_name""".stripMargin,
     "s01_stream_tumbling" -> tumblingOracle,
+    // the same tumbling contract, but the execution provably crosses a
+    // checkpoint restart: run 1 consumes a time-ordered prefix and
+    // terminates, run 2 restarts from the checkpoint and finishes; the
+    // mid-day batch cuts make the recovered window state load-bearing
+    "s40_restart_recovery" -> tumblingOracle,
     // the same tumbling contract, but the result ARRIVES through a real
     // file sink (writeStream.format("parquet")) and is read back from
     // the sink's output files — the to(topic)/sink row of §2 under the

@@ -3080,3 +3080,99 @@ class GraphScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(wrong == 0L)
   }
 }
+
+/** Fault-tolerance specs for the s40/s41 recovery queries: the declared
+  * queries already gate the deterministic restart under the DuckDB
+  * oracle; these cover the HARSHER variants — a query killed mid-run by
+  * stop() (not a graceful AvailableNow drain) and the evidence that
+  * s41's duplicate-batch replay really happened. */
+class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def batchTruth = {
+    import spark.implicits._
+    import graft.functions.Det.dsum
+    Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
+  }
+
+  test("s40 declared query equals the batch tumbling truth") {
+    val out = StreamOps.streamRestartRecovery(spark, sf)
+    assert(out.exceptAll(batchTruth).count() == 0)
+    assert(batchTruth.exceptAll(out).count() == 0)
+  }
+
+  test("s40 hard kill: stop() mid-run, restart recovers from the checkpoint") {
+    import spark.implicits._
+    // all four changelog files exist UP FRONT (unlike the declared
+    // query's two-phase layout): the only thing cutting run A short is
+    // the kill itself
+    val in = StreamOps.newTempDir("graft_s40kill_in")
+    val out = StreamOps.newTempDir("graft_s40kill_out")
+    val ck = StreamOps.newTempDir("graft_s40kill_ck")
+    val ev = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
+    val cut1 = lit(java.sql.Timestamp.valueOf("2024-01-11 07:00:00.0"))
+    val cut2 = lit(java.sql.Timestamp.valueOf("2024-01-21 13:00:00.0"))
+    StreamOps.writeChangelogFile(ev.filter($"ts" < cut1), in, 0)
+    StreamOps.writeChangelogFile(
+      ev.filter($"ts" >= cut1 && $"ts" < cut2), in, 1)
+    StreamOps.writeChangelogFile(ev.filter($"ts" >= cut2), in, 2)
+    StreamOps.writeChangelogFile(
+      ev.select($"event_type").distinct()
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+        .withColumn("value", lit(0.0))
+        .select($"ts", $"event_type", $"value"), in, 3)
+    val killedAt = StreamOps.withRocksDb(spark) {
+      // run A: slow trigger so batch 1 won't start before the kill
+      // lands — batch 0 commits, then stop() interrupts the idle query
+      val qa = StreamOps.restartAggStream(spark, in).writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("30 seconds"))
+        .start()
+      var waited = 0
+      while (Option(qa.lastProgress).isEmpty && waited < 60000) {
+        Thread.sleep(50); waited += 50
+      }
+      val at = Option(qa.lastProgress).map(_.batchId).getOrElse(-1L)
+      qa.stop()
+      qa.awaitTermination()
+      at
+    }
+    assert(killedAt >= 0L && killedAt < 3L,
+      s"kill landed after the data was fully consumed (batchId $killedAt)")
+    // run B: restart from the same checkpoint, drain to completion
+    val lastB = StreamOps.runRestartLeg(spark, in, out, ck)
+    assert(lastB > killedAt,
+      s"restart did not resume past the kill point ($killedAt -> $lastB)")
+    val got = spark.read.parquet(out.toString)
+    assert(got.exceptAll(batchTruth).count() == 0)
+    assert(batchTruth.exceptAll(got).count() == 0)
+  }
+
+  test("s41 forces one identical duplicate batch delivery and absorbs it") {
+    import spark.implicits._
+    val (df, ev) = StreamOps.runForeachExactlyOnce(spark, sf)
+    // the crash injection must produce EXACTLY one extra delivery, and
+    // the offset log must pin the replayed batch to identical data
+    assert(ev.nBatches == 3, s"expected 3 micro-batches, got ${ev.nBatches}")
+    assert(ev.nDeliveries == ev.nBatches + 1,
+      s"expected one duplicate delivery, got ${ev.nDeliveries}")
+    assert(ev.dupIdentical, "replayed batch carried different rows")
+    // the idempotent store rebuilt the whole-table truth
+    val truth = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.functions.Det.dsum($"value").as("sum_value"))
+    assert(df.exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(df).count() == 0)
+  }
+}
