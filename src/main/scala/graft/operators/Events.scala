@@ -440,7 +440,19 @@ object Events {
     * sort-merge plans automatically at scale; explicit salting is for
     * the cases it won't touch (aggregations over hot keys,
     * broadcast-ineligible plans) — declared here so the mechanism
-    * stays oracle-verified. */
+    * stays oracle-verified.
+    *
+    * Since r9 the salt is STATISTICS-DRIVEN, not hard-coded: the q26
+    * count-table measurement runs first and [[SkewJoin.shouldSalt]]
+    * decides. On this key (5 balanced hot keys) the hottest key holds
+    * ~20% of the table, so at the 32-reducer deployment target
+    * max·32/total ≈ 6.4 > 2 → salted, deterministically at every SF —
+    * the declared plan is unchanged from the hard-coded era.
+    * targetParallelism is the DEPLOYMENT constant (the cluster's
+    * reducer count the job is sized for), deliberately not the local
+    * defaultParallelism: the decision must not flip between a laptop
+    * test session and the cluster. StatsDrivenJoinSpec pins the flip
+    * on a well-distributed key. */
   def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val hot = Tables.events(spark, sfDir)
@@ -448,7 +460,8 @@ object Events {
     val dim = Tables.nation(spark, sfDir)
       .filter($"n_nationkey" < 5)
       .select($"n_nationkey".cast("long").as("nk"), $"n_name")
-    SkewJoin.saltedJoin(hot, dim, $"hot_key", $"nk", $"event_id", 8)
+    SkewJoin.statsDrivenJoin(hot, dim, $"hot_key", $"nk", $"event_id",
+        saltFactor = 8, targetParallelism = 32)
       .groupBy($"n_name")
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),

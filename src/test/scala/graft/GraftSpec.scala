@@ -2031,6 +2031,62 @@ class SkewJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** The optimizer-statistics suite feeding an execution decision: the
+  * q26 count-table measurement decides whether a join salts, and the
+  * decision must FLIP with the data while both branches return the
+  * same rows (VERDICT r8 item 6). */
+class StatsDrivenJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  import graft.operators.SkewJoin
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.analyzed.toString
+
+  test("hot key (5-key domain) measures as straggler and salts") {
+    import spark.implicits._
+    val hot = Tables.events(spark, sf).withColumn("hot_key", $"user_id" % 5)
+    val (maxCnt, total) = SkewJoin.keyStats(hot, $"hot_key")
+    // 5 roughly-balanced keys: hottest ≈ 20% of rows — a straggler at
+    // 32-way parallelism though max/mean ≈ 1
+    assert(SkewJoin.shouldSalt(maxCnt, total, targetParallelism = 32))
+    val dim = Tables.nation(spark, sf).filter($"n_nationkey" < 5)
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    val joined = SkewJoin.statsDrivenJoin(hot, dim, $"hot_key", $"nk",
+      $"event_id", saltFactor = 8, targetParallelism = 32)
+    // plan-pinned: the salted branch was taken
+    assert(planOf(joined).contains("__salt"))
+    val plain = hot.join(dim, $"hot_key" === $"nk")
+    assert(joined.count() == plain.count())
+    assert(joined.select($"event_id", $"nk")
+      .exceptAll(plain.select($"event_id", $"nk")).count() == 0)
+  }
+
+  test("well-distributed key measures as balanced and stays unsalted") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val (maxCnt, total) = SkewJoin.keyStats(li, $"l_orderkey")
+    // ≤7 lineitems per order over thousands of orders: max·32 ≪ 2·total
+    assert(!SkewJoin.shouldSalt(maxCnt, total, targetParallelism = 32))
+    val o = Tables.orders(spark, sf)
+    val joined = SkewJoin.statsDrivenJoin(li, o, li("l_orderkey"),
+      o("o_orderkey"), li("l_linenumber"), saltFactor = 8,
+      targetParallelism = 32)
+    // plan-pinned: the plain branch was taken — no salt machinery
+    assert(!planOf(joined).contains("__salt"))
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
+
+  test("e22's declared plan still salts under the stats-driven decision") {
+    val e22 = graft.operators.Events.queries("e22_skew_salted_join")(
+      spark, sf)
+    assert(planOf(e22).contains("__salt"))
+    assert(e22.count() == 5)
+  }
+}
+
 class ForeachBatchSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.streaming.StreamOps
   lazy val spark = TestSession.spark
