@@ -415,6 +415,15 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Terminal progress of the most recent [[runToMemory]] run, by query
+    * name — the observability seam for state-size assertions: the spec
+    * suite reads `stateOperators.numRowsTotal` here to prove each
+    * transformWithState query's RocksDB row count is bounded by its
+    * declared contract (occupied buckets / one record per user /
+    * touched terms), not by event volume. */
+  private[graft] val lastProgressByName = scala.collection.concurrent
+    .TrieMap.empty[String, org.apache.spark.sql.streaming.StreamingQueryProgress]
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (available-now semantics).
     *
@@ -467,6 +476,7 @@ object StreamOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      Option(q.lastProgress).foreach(lastProgressByName.put(name, _))
       // Callers whose ORACLE encodes the micro-batch schedule (s38: the
       // two-watermark late filter lags exactly one batch per file
       // trigger) pin the terminal batchId here, so a Spark upgrade that

@@ -3232,3 +3232,89 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(truth.exceptAll(df).count() == 0)
   }
 }
+
+/** State-size assertions for the transformWithState queries (VERDICT r8
+  * item 7): each query's terminal RocksDB row count must be bounded by
+  * its DECLARED state contract — occupied LSH buckets (s24), non-empty
+  * time buckets + one pointer per user (s25), touched terms (s29), one
+  * record per clicking user (s37) — never by event volume. The numbers
+  * come from the terminal StreamingQueryProgress captured by
+  * runToMemory, so the assertion rides the same execution the oracle
+  * gate checks. */
+class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamOps
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def stateRows(name: String): Long = {
+    val p = StreamOps.lastProgressByName.getOrElse(name,
+      fail(s"no terminal progress recorded for $name"))
+    p.stateOperators.map(_.numRowsTotal).sum
+  }
+
+  test("s24 state rows == occupied corpus-side LSH buckets") {
+    import spark.implicits._
+    StreamOps.streamNearDup(spark, sf).collect()
+    val got = stateRows("graft_s24")
+    val corpusBuckets = graft.operators.TextOps.lshBands(spark, sf)
+      .filter($"doc_id" % 2 === 0)
+      .select(concat_ws(":", $"band", $"bh")).distinct().count()
+    val corpusDocs = graft.operators.TextOps.lshBands(spark, sf)
+      .filter($"doc_id" % 2 === 0).select($"doc_id").distinct().count()
+    assert(got == corpusBuckets,
+      s"s24 state $got != occupied corpus buckets $corpusBuckets")
+    // the scaladoc contract: ≤ 4 band rows per corpus doc, and the
+    // probing (incoming) side must leave NO state behind
+    assert(got <= 4 * corpusDocs)
+  }
+
+  test("s25 state rows == non-empty quote buckets + one pointer per user") {
+    import spark.implicits._
+    StreamOps.streamAsOfJoin(spark, sf).collect()
+    val got = stateRows("graft_s25")
+    val views = Tables.events(spark, sf)
+      .filter($"event_type" === "view")
+      .select($"user_id", (unix_micros($"ts") /
+        lit(graft.streaming.AsOfJoinProcessor.BucketUs))
+        .cast("long").as("bucket"))
+    val nonEmptyBuckets = views.distinct().count()
+    val usersWithQuotes = views.select($"user_id").distinct().count()
+    assert(got == nonEmptyBuckets + usersWithQuotes,
+      s"s25 state $got != buckets $nonEmptyBuckets + users $usersWithQuotes")
+    // the 100 TB claim: state scales with OCCUPIED BUCKETS, not with
+    // events — probes (purchases) contribute nothing
+    val totalEvents = Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase")).count()
+    assert(got < totalEvents)
+  }
+
+  test("s29 state rows == distinct terms (two Longs per touched term)") {
+    import spark.implicits._
+    StreamOps.streamInvertedIndex(spark, sf).collect()
+    val got = stateRows("graft_s29")
+    val distinctTerms = graft.operators.TextOps.docsWithToks(spark, sf)
+      .select(explode($"toks").as("term")).distinct().count()
+    assert(got == distinctTerms,
+      s"s29 state $got != distinct terms $distinctTerms")
+    // never the posting volume: (term, doc) pairs would be far larger
+    val postings = graft.operators.TextOps.docsWithToks(spark, sf)
+      .select($"doc_id", explode($"toks").as("term")).distinct().count()
+    assert(got < postings)
+  }
+
+  test("s37 state rows == users with at least one click") {
+    import spark.implicits._
+    StreamOps.streamAttribution(spark, sf).collect()
+    val got = stateRows("graft_s37")
+    val clickingUsers = Tables.events(spark, sf)
+      .filter($"event_type" === "click")
+      .select($"user_id").distinct().count()
+    assert(got == clickingUsers,
+      s"s37 state $got != clicking users $clickingUsers")
+    // constant per key however dense the click stream is
+    val clicks = Tables.events(spark, sf)
+      .filter($"event_type" === "click").count()
+    assert(got < clicks)
+  }
+}
