@@ -2080,6 +2080,68 @@ object StreamOps {
     df
   }
 
+  private val iqDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s42: QUERYABLE STATE — Kafka Streams' Interactive Queries surface,
+    * the one §2-adjacent capability prior rounds listed as missing "no
+    * mid-run store-read API". Spark 4's state data source IS that API:
+    * a streaming changelog query (the [[LatestEventProcessor]] KTable
+    * materialization) runs to completion leaving its RocksDB checkpoint
+    * behind, and the store is then read OUT-OF-BAND with
+    * `spark.read.format("statestore")` — no query running, exactly how
+    * an ops console or serving layer reads a Kafka Streams store via
+    * IQ. The declared result is the store CONTENT (latest event per
+    * user), which must hash-match the batch latest-by-key oracle: a
+    * stale store, a lost key, or a wrong changelog reduction all flip
+    * the hash.
+    *
+    * Scale design: the store read is partition-parallel over the
+    * checkpoint's state files (one task per store partition, no
+    * replay of the source), so serving-layer reads cost O(state), not
+    * O(history) — the IQ promise. */
+  def streamQueryableState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ckStr = cachedScratchDir(iqDirs, sfDir, "events.parquet") {
+      val ck = newTempDir("graft_ckpt_s42")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        withRocksDb(spark) {
+          eventsStream(spark, sfDir).as[EventRow]
+            .groupByKey(_.user_id)
+            .transformWithState(new LatestEventProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[LatestEvent])
+            .toDF()
+            .writeStream
+            // the changelog consumer is irrelevant here — the STORE is
+            // the product (a real deployment tees this to Kafka/a sink)
+            .format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+      } finally spark.conf.set(key, prev)
+      ck.toString
+    }
+    // the Interactive Query: read the named state variable from the
+    // last committed batch's store, with no streaming query running
+    withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "latest")
+        .load()
+        .select($"value.user_id", $"value.event_id", $"value.ts_us",
+          $"value.event_type", round($"value.value", 2).as("value"))
+        .orderBy($"user_id")
+    }
+  }
+
   private val restartDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2194,6 +2256,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s40_restart_recovery" -> streamRestartRecovery _,
     "s41_foreach_exactly_once" -> streamForeachExactlyOnce _,
+    "s42_queryable_state" -> streamQueryableState _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2525,6 +2588,16 @@ object StreamOps {
     "s33_sink_roundtrip" -> tumblingOracle,
     "s02_stream_latest" ->
       """SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the same latest-by-key truth, but the rows come from an
+    // OUT-OF-BAND read of the terminated query's RocksDB store via the
+    // state data source (Interactive Queries): a stale or lossy store
+    // diverges from the batch changelog reduction
+    "s42_queryable_state" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |round(value, 2) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,

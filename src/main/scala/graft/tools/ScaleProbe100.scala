@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 100× scaling probe (VERDICT r8 item 4) — the slope check at
+  * the scale where the 100 TB claim lives, on the linear-subset queries
+  * the 10× probe already covers. Replicates the sf0.1 fixtures 100× in
+  * tmpfs with DISJOINT key/content spaces per replica:
+  *
+  *   documents  — doc_id offset + every TOKEN salted with the replica id
+  *                (so replicas share no shingles: dup DENSITY stays the
+  *                base corpus's, as in a real 100 TB crawl, instead of
+  *                dup MULTIPLICITY ×100, which would contract-quadratic
+  *                the pair-emitting ops' OUTPUT and measure the pair
+  *                list, not the operator)
+  *   embeddings — vec_id offset (labels unchanged)
+  *   events     — event_id AND user_id offsets (per-key density
+  *                constant: 100× the keys, the 1000-executor shape —
+  *                per-user windows must not grow with corpus size)
+  *   lineitem   — l_orderkey offset
+  *   others     — passthrough dims
+  *
+  * Each query runs TWICE per directory and reports the faster run, so
+  * one-time derived-scratch builds (changelog dirs, session caches —
+  * fixture prep, not query work; see Bench's warmup rationale) are not
+  * charged to the measured slope. Never writes under /root/testdata.
+  *
+  * Usage: runMain graft.tools.ScaleProbe100 q1 [q2 ...]
+  */
+object ScaleProbe100 {
+  val Reps = 100
+
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val dir = "/dev/shm/graft_sf100x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    new java.io.File(dir).mkdirs()
+    def missing(name: String) =
+      !new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists()
+
+    def build(name: String, out: Int)(mk: Int => DataFrame): Unit =
+      if (missing(name)) {
+        println(s"[probe100] building $name ...")
+        (0 until Reps).map(mk).reduce(_ unionAll _)
+          .coalesce(out).write.mode("overwrite")
+          .parquet(s"$dir/$name.parquet")
+      }
+
+    locally {
+      val src = spark.read.parquet(s"$base/documents.parquet")
+      val off = src.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      build("documents", 8) { i =>
+        src.withColumn("doc_id", col("doc_id") + lit(i * off))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit(s"x$i"))), " "))
+      }
+    }
+    locally {
+      val src = spark.read.parquet(s"$base/embeddings.parquet")
+      val off = src.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      build("embeddings", 8) { i =>
+        src.withColumn("vec_id", col("vec_id") + lit(i * off))
+      }
+    }
+    locally {
+      val src = spark.read.parquet(s"$base/lineitem.parquet")
+      val off = src.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+      build("lineitem", 16) { i =>
+        src.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+      }
+    }
+    // events must land as ONE FILE named events.parquet (the streaming
+    // sources glob exactly that name — see ScaleProbe's note)
+    if (!new java.io.File(s"$dir/events.parquet").isFile) {
+      println(s"[probe100] building events ...")
+      val src = graft.Tables.events(spark, base)
+      val eOff = src.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val uOff = src.agg(max(col("user_id"))).head.getLong(0) + 1L
+      val tmp = s"$dir/events_tmp"
+      (0 until Reps).map(i =>
+          src.withColumn("event_id", col("event_id") + lit(i * eOff))
+            .withColumn("user_id", col("user_id") + lit(i * uOff)))
+        .reduce(_ unionAll _)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext)
+        .map(_.next()).find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      graft.streaming.StreamOps.deleteRecursively(
+        java.nio.file.Paths.get(tmp))
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        if (missing(t))
+          spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite")
+            .parquet(s"$dir/$t.parquet")
+      }
+
+    args.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      // toRdd.count() forces the FULL physical plan (a bare .count()
+      // lets Catalyst prune row-wise work — windows, projections — and
+      // measure only the surviving aggregate); cold = first touch of
+      // the sfDir (includes one-time session caches / derived scratch),
+      // warm = min of two steady-state reruns.
+      def time(sf: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sf).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = once()
+        (cold, math.min(once(), once()))
+      }
+      val (bc, bw) = time(base)
+      val (xc, xw) = time(dir)
+      println(f"[probe100] $n%-24s sf0.1=$bw%7.2fs (cold $bc%7.2f)  " +
+        f"100x=$xw%8.2fs (cold $xc%8.2f)  warm-ratio=${xw / bw}%6.1f  " +
+        f"cold-ratio=${xc / bc}%6.1f")
+    }
+    spark.stop()
+  }
+}

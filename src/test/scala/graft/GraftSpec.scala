@@ -3215,6 +3215,28 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(batchTruth.exceptAll(got).count() == 0)
   }
 
+  test("s42 reads the state store with NO streaming query active (IQ)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = StreamOps.streamQueryableState(spark, sf)
+    // the changelog query has terminated; the store read that follows
+    // is the Interactive-Queries contract — serving-layer access to
+    // keyed state without a running stream
+    assert(spark.streams.active.isEmpty,
+      "a streaming query was still active at store-read time")
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // equals the batch latest-by-key reduction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val truth = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", round($"value", 2).as("value"))
+    assert(df.exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(df).count() == 0)
+  }
+
   test("s41 forces one identical duplicate batch delivery and absorbs it") {
     import spark.implicits._
     val (df, ev) = StreamOps.runForeachExactlyOnce(spark, sf)
