@@ -2142,6 +2142,85 @@ object StreamOps {
     }
   }
 
+  private val bootstrapDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s43: STATE BOOTSTRAP — the Kafka Streams changelog-restore /
+    * KTable warm-start path, s42's companion on the write side: a new
+    * deployment must not replay the topic from offset 0, it loads an
+    * OFFLINE SNAPSHOT (the compacted changelog: per-user (count, cents)
+    * totals over the month's first half, computed in batch) into state
+    * via `transformWithState`'s initial-state overload, then consumes
+    * only the increments (the second half). The declared result is the
+    * final STORE CONTENT read through the state source (the store, not
+    * the changelog, is the truth), and it must hash-match the
+    * whole-table per-user totals oracle: snapshot(prefix) ⊕
+    * increments(suffix) ≡ full replay.
+    *
+    * The aggregate is deliberately ADDITIVE, so the restore is
+    * load-bearing on EVERY key — a latest-by-key variant would pass
+    * even with the snapshot dropped (every fixture user has post-cut
+    * events; later events win). Here a lost snapshot row halves a
+    * key's count, a double-initialized key doubles it, an increment
+    * folded into empty state truncates the sum — all flip the hash.
+    * The cut is mid-day (Jan 16 09:30) so both sides are non-trivial
+    * for every key.
+    *
+    * Scale design: the snapshot load is one state write per key, the
+    * increment stream touches only arriving keys, and the final read
+    * is partition-parallel over the checkpoint — no path replays
+    * history. */
+  def streamStateBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    // the s31 cents discipline: double→cents in each engine's round()
+    val centsCol = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val ckStr = cachedScratchDir(bootstrapDirs, sfDir, "events.parquet") {
+      val ck = newTempDir("graft_ckpt_s43")
+      // the offline snapshot: batch per-user totals over the first half
+      val snapshot = graft.Tables.events(spark, sfDir)
+        .filter($"ts" < cut)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum(centsCol).as("cents"))
+        .as[UserCounts]
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        withRocksDb(spark) {
+          eventsStream(spark, sfDir)
+            .filter($"ts" >= cut)
+            .select($"user_id", centsCol.as("cents"))
+            .as[UserDelta]
+            .groupByKey(_.user_id)
+            .transformWithState(new CountBootstrapProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              snapshot.groupByKey(_.user_id),
+              org.apache.spark.sql.Encoders.product[UserCounts],
+              org.apache.spark.sql.Encoders.product[UserCounts])
+            .toDF()
+            .writeStream
+            .format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+      } finally spark.conf.set(key, prev)
+      ck.toString
+    }
+    withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "totals")
+        .load()
+        .select($"value.user_id", $"value.n_events", $"value.cents")
+        .orderBy($"user_id")
+    }
+  }
+
   private val restartDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2257,6 +2336,7 @@ object StreamOps {
     "s40_restart_recovery" -> streamRestartRecovery _,
     "s41_foreach_exactly_once" -> streamForeachExactlyOnce _,
     "s42_queryable_state" -> streamQueryableState _,
+    "s43_state_bootstrap" -> streamStateBootstrap _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2601,6 +2681,14 @@ object StreamOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the warm-start identity: snapshot(first half) folded with
+    // increments(second half) must equal the full-replay per-user
+    // totals — additive, so a lost/duplicated snapshot row flips the
+    // hash on that key
+    "s43_state_bootstrap" ->
+      """SELECT user_id, count(*) AS n_events,
+        |sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT event_id, user_id, ts, event_type
         |FROM events ORDER BY event_id""".stripMargin,

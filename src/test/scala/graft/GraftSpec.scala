@@ -3237,6 +3237,28 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(truth.exceptAll(df).count() == 0)
   }
 
+  test("s43 bootstrap is load-bearing: increments alone under-count every key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val got = StreamOps.streamStateBootstrap(spark, sf)
+    // equals the full-replay truth (also the DuckDB oracle's contract)
+    val truth = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("cents"))
+    assert(got.exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(got).count() == 0)
+    // and the snapshot genuinely carried weight: for EVERY key the
+    // increments alone (a cold start that dropped the restore) fall
+    // short — both halves of the cut are non-trivial per user
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    val coldOnly = Tables.events(spark, sf).filter($"ts" >= cut)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_cold"))
+    val short = got.join(coldOnly, "user_id")
+      .filter($"n_cold" < $"n_events").count()
+    assert(short == got.count(),
+      "some key's totals were reproducible without the restored snapshot")
+  }
+
   test("s41 forces one identical duplicate batch delivery and absorbs it") {
     import spark.implicits._
     val (df, ev) = StreamOps.runForeachExactlyOnce(spark, sf)
