@@ -40,7 +40,10 @@ object SkewJoin {
       .agg(count(lit(1)).as("cnt"))
       .agg(max(col("cnt")), sum(col("cnt")))
       .head()
-    (r.getLong(0), r.getLong(1))
+    // an empty big side yields one all-NULL global-agg row; report
+    // (0, 0) so shouldSalt's totalRows guard selects the plain join
+    if (r.isNullAt(0) || r.isNullAt(1)) (0L, 0L)
+    else (r.getLong(0), r.getLong(1))
   }
 
   /** The straggler test: salt iff the hottest key exceeds
@@ -62,7 +65,13 @@ object SkewJoin {
     * execution decision rather than only reporting. Both branches
     * produce identical results and schemas; only the physical shape
     * differs, so callers declare ONE query and the data decides the
-    * plan (StatsDrivenJoinSpec pins that the decision flips). */
+    * plan (StatsDrivenJoinSpec pins that the decision flips).
+    *
+    * NOTE: the measurement is EAGER — a Spark job runs at plan-
+    * construction time (ANALYZE-then-plan). Callers constructing the
+    * same join repeatedly over an unchanged table should cache the
+    * [[keyStats]] pair and branch themselves (e22 does, per sfDir)
+    * rather than re-measure per construction. */
   def statsDrivenJoin(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, idCol: Column, saltFactor: Int,
       targetParallelism: Int): DataFrame = {

@@ -799,21 +799,46 @@ object StreamOps {
       cache.updateWith(sfDir) { _ => Some((srcMtime, build)) }.get._2)
   }
 
+  /** Set `spark.sql.shuffle.partitions` for the duration of `body` and
+    * restore the session value after — the save/set/try/finally block
+    * every streaming roundtrip needs (state-store instances per batch =
+    * shuffle partitions; see [[runToMemory]]'s sizing note). */
+  private[graft] def withShufflePartitions[A](spark: SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Write `df` as exactly ONE uncompressed parquet FILE at `dst` (not
+    * a directory): coalesce(1) into a scratch dir, move the single part
+    * file out, drop the scaffolding. File-source streams glob concrete
+    * file names, so sinks/batches must land as plain files. */
+  private[graft] def writeSingleFile(df: DataFrame,
+      dst: java.nio.file.Path): Unit = {
+    val tmp = dst.getParent.resolve(s".${dst.getFileName}.build")
+    df.coalesce(1).write.option("compression", "none")
+      .mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val f = try {
+      val it = listing.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next()).find(_.toString.endsWith(".parquet")).get
+    } finally listing.close()
+    java.nio.file.Files.deleteIfExists(dst)
+    java.nio.file.Files.move(f, dst)
+    deleteRecursively(tmp)
+  }
+
   /** Materialize ONE batch DataFrame as `changelog_<i>.parquet` in
     * `dir`, mtime-pinned so a file-source stream replays files in index
     * order. Shared by [[orderedBatchDir]] (all batches up front) and
     * the restart harness (s40 adds files BETWEEN query runs). */
   private[graft] def writeChangelogFile(df: DataFrame,
       dir: java.nio.file.Path, i: Int): Unit = {
-    val tmp = dir.resolve(s"b$i")
-    df.coalesce(1).write.option("compression", "none")
-      .parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator()
-    val f = Iterator.continually(part).takeWhile(_.hasNext)
-      .map(_.next()).find(_.toString.endsWith(".parquet")).get
     val dst = dir.resolve(s"changelog_$i.parquet")
-    java.nio.file.Files.move(f, dst)
-    deleteRecursively(tmp)
+    writeSingleFile(df, dst)
     dst.toFile.setLastModified(1700000000000L + i * 60000L)
   }
 
@@ -2007,36 +2032,31 @@ object StreamOps {
     val ck = newTempDir("graft_ckpt_s41")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_type STRING, value DOUBLE")
-    def runOnce(): Unit = {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "2")
-      try {
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "changelog_*.parquet")
-          .parquet(dirStr)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val rows = batch.groupBy(col("event_type"))
-              .agg(count(lit(1)).as("n"),
-                sum(col("value").cast("decimal(18,4)")).as("s"))
-              .collect()
-              .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
-              .sortBy(_._1)
-            deliveries.incrementAndGet()
-            store.putIfAbsent(batchId, rows) match {
-              case Some(prior) =>   // duplicate delivery: store unchanged
-                if (prior.sameElements(rows)) dupIdentical.set(true)
-              case None => ()
-            }
-            ()
+    def runOnce(): Unit = withShufflePartitions(spark, 2) {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "changelog_*.parquet")
+        .parquet(dirStr)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val rows = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).as("s"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+            .sortBy(_._1)
+          deliveries.incrementAndGet()
+          store.putIfAbsent(batchId, rows) match {
+            case Some(prior) =>   // duplicate delivery: store unchanged
+              if (prior.sameElements(rows)) dupIdentical.set(true)
+            case None => ()
           }
-          .option("checkpointLocation", ck.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-      } finally spark.conf.set(key, prev)
+          ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
     }
     runOnce()
     // Crash injection: drop the newest commit-log entry. The offset log
@@ -2048,9 +2068,12 @@ object StreamOps {
     // entry or the replayed commit write collides on the CRC rename.
     val commits = ck.resolve("commits")
     import scala.jdk.CollectionConverters._
-    val latest = java.nio.file.Files.list(commits).iterator().asScala
-      .filter(_.getFileName.toString.forall(_.isDigit))
-      .maxBy(_.getFileName.toString.toLong)
+    val listing = java.nio.file.Files.list(commits)
+    val latest = try {
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+    } finally listing.close()
     java.nio.file.Files.delete(latest)
     java.nio.file.Files.deleteIfExists(
       commits.resolve(s".${latest.getFileName}.crc"))
@@ -2104,10 +2127,7 @@ object StreamOps {
     import spark.implicits._
     val ckStr = cachedScratchDir(iqDirs, sfDir, "events.parquet") {
       val ck = newTempDir("graft_ckpt_s42")
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "8")
-      try {
+      withShufflePartitions(spark, 8) {
         withRocksDb(spark) {
           eventsStream(spark, sfDir).as[EventRow]
             .groupByKey(_.user_id)
@@ -2126,7 +2146,7 @@ object StreamOps {
             .start()
             .awaitTermination()
         }
-      } finally spark.conf.set(key, prev)
+      }
       ck.toString
     }
     // the Interactive Query: read the named state variable from the
@@ -2183,10 +2203,7 @@ object StreamOps {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"), sum(centsCol).as("cents"))
         .as[UserCounts]
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "8")
-      try {
+      withShufflePartitions(spark, 8) {
         withRocksDb(spark) {
           eventsStream(spark, sfDir)
             .filter($"ts" >= cut)
@@ -2208,7 +2225,7 @@ object StreamOps {
             .start()
             .awaitTermination()
         }
-      } finally spark.conf.set(key, prev)
+      }
       ck.toString
     }
     withRocksDb(spark) {
@@ -2250,11 +2267,8 @@ object StreamOps {
     * production recovery path: state rebuilt from per-batch changelogs,
     * not an in-memory carryover. */
   private[graft] def runRestartLeg(spark: SparkSession, in: java.nio.file.Path,
-      out: java.nio.file.Path, ck: java.nio.file.Path): Long = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
+      out: java.nio.file.Path, ck: java.nio.file.Path): Long =
+    withShufflePartitions(spark, 8) {
       withRocksDb(spark) {
         val q = restartAggStream(spark, in).writeStream
           .format("parquet")
@@ -2266,8 +2280,7 @@ object StreamOps {
         q.awaitTermination()
         Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       }
-    } finally spark.conf.set(key, prev)
-  }
+    }
 
   /** s40: CHECKPOINT-KILL-RESTART RECOVERY under the oracle gate — the
     * fault-tolerance property a 100 TB deployment exercises that no

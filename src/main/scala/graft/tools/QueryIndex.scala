@@ -21,9 +21,12 @@ object QueryIndex {
     val srcMain = repo.resolve("src/main/scala")
     val srcTest = repo.resolve("src/test/scala")
 
-    def scalaFiles(root: Path): Seq[Path] =
-      Files.walk(root).iterator().asScala
+    def scalaFiles(root: Path): Seq[Path] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
         .filter(_.toString.endsWith(".scala")).toSeq
+      finally walk.close()
+    }
 
     // ---- registration + impl sites ------------------------------------
     // A `"<name>" ->` line belongs to the nearest PRECEDING map marker:
@@ -104,8 +107,15 @@ object QueryIndex {
     def specsOf(name: String, impl: String): String = {
       val fn = impl.split('.').last
       val fnRe = s"(?s).*\\b$fn\\b.*"
+      // short-id match ("s41") restricted to test/property DECLARATION
+      // lines: catches specs that exercise a query through a private
+      // delegate runner rather than the registered impl function,
+      // without sweeping in every passing comment mention
+      val idRe2 = s""".*(?:test|property)\\s*\\(\\s*".*\\b${
+        name.takeWhile(_ != '_')}\\b.*"""
       val hits = specBlocks.collect {
         case (cls, t) if t.contains(name) ||
+          t.linesIterator.exists(_.matches(idRe2)) ||
           (impl != "(inline)" && t.matches(fnRe)) => cls
       }.distinct.sorted
       if (hits.isEmpty) "—" else hits.mkString(", ")
@@ -113,7 +123,7 @@ object QueryIndex {
 
     // ---- probe verdicts from SURVEY's measured tables -----------------
     // rows look like `| d01 exact dedup | 0.5 s | 0.9 s | verdict |`;
-    // first cell may name several ids (`d12 / v10`). Later tables win.
+    // first cell may name several ids (`d12 / v10`).
     val probe = scala.collection.mutable.Map.empty[String, String]
     val surveyLines = Files.readAllLines(repo.resolve("SURVEY.md")).asScala
     val idRe = """^([a-z]\d{2})\b.*""".r

@@ -87,22 +87,12 @@ object ScaleProbe100 {
       val src = graft.Tables.events(spark, base)
       val eOff = src.agg(max(col("event_id"))).head.getLong(0) + 1L
       val uOff = src.agg(max(col("user_id"))).head.getLong(0) + 1L
-      val tmp = s"$dir/events_tmp"
-      (0 until Reps).map(i =>
-          src.withColumn("event_id", col("event_id") + lit(i * eOff))
-            .withColumn("user_id", col("user_id") + lit(i * uOff)))
-        .reduce(_ unionAll _)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .iterator()
-      val f = Iterator.continually(part).takeWhile(_.hasNext)
-        .map(_.next()).find(_.toString.endsWith(".parquet")).get
-      java.nio.file.Files.deleteIfExists(
+      graft.streaming.StreamOps.writeSingleFile(
+        (0 until Reps).map(i =>
+            src.withColumn("event_id", col("event_id") + lit(i * eOff))
+              .withColumn("user_id", col("user_id") + lit(i * uOff)))
+          .reduce(_ unionAll _),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      java.nio.file.Files.move(f,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      graft.streaming.StreamOps.deleteRecursively(
-        java.nio.file.Paths.get(tmp))
     }
     Seq("region", "nation", "customer", "supplier", "part", "orders")
       .foreach { t =>

@@ -2079,6 +2079,21 @@ class StatsDrivenJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("empty big side yields (0,0) stats and the plain join, not an NPE") {
+    import spark.implicits._
+    val empty = Tables.events(spark, sf).filter(lit(false))
+      .withColumn("hot_key", $"user_id" % 5)
+    val (maxCnt, total) = SkewJoin.keyStats(empty, $"hot_key")
+    assert(maxCnt == 0L && total == 0L)
+    assert(!SkewJoin.shouldSalt(maxCnt, total, targetParallelism = 32))
+    val dim = Tables.nation(spark, sf)
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    val joined = SkewJoin.statsDrivenJoin(empty, dim, $"hot_key", $"nk",
+      $"event_id", saltFactor = 8, targetParallelism = 32)
+    assert(joined.count() == 0)
+    assert(!planOf(joined).contains("__salt"))
+  }
+
   test("e22's declared plan still salts under the stats-driven decision") {
     val e22 = graft.operators.Events.queries("e22_skew_salted_join")(
       spark, sf)
