@@ -50,3 +50,60 @@ class CountBootstrapProcessor
     Iterator.single(cur)
   }
 }
+
+/** s44's VERSION 1 — the processor a deployment ran before the upgrade:
+  * plain per-user (count, cents) totals, cold start. */
+class CountV1Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserDelta, UserCounts] {
+
+  @transient private var totals: ValueState[UserCounts] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserCounts](
+      "totals", Encoders.product[UserCounts], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserDelta],
+      timers: TimerValues): Iterator[UserCounts] = {
+    var cur =
+      if (totals.exists()) totals.get() else UserCounts(key, 0L, 0L)
+    rows.foreach(r =>
+      cur = UserCounts(key, cur.n_events + 1L, cur.cents + r.cents))
+    totals.update(cur)
+    Iterator.single(cur)
+  }
+}
+
+/** s44's VERSION 2 state: the upgrade adds `cents_new` — revenue since
+  * the upgrade — as an Option so pre-upgrade rows read back as None
+  * (Avro schema evolution: the added field must be nullable/defaulted).
+  */
+case class UserCountsV2(user_id: Long, n_events: Long, cents: Long,
+    cents_new: Option[Long])
+
+/** s44's VERSION 2 — the SAME state store, one more field: a rolling
+  * upgrade restarts from the v1 checkpoint, v1 rows surface with
+  * cents_new = None, and the fold starts the new metric from zero
+  * while counts/cents continue uninterrupted. */
+class CountV2Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserDelta, UserCountsV2] {
+
+  @transient private var totals: ValueState[UserCountsV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserCountsV2](
+      "totals", Encoders.product[UserCountsV2], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserDelta],
+      timers: TimerValues): Iterator[UserCountsV2] = {
+    var cur = if (totals.exists()) totals.get()
+      else UserCountsV2(key, 0L, 0L, None)
+    rows.foreach { r =>
+      cur = UserCountsV2(key, cur.n_events + 1L, cur.cents + r.cents,
+        Some(cur.cents_new.getOrElse(0L) + r.cents))
+    }
+    totals.update(cur)
+    Iterator.single(cur)
+  }
+}

@@ -2238,6 +2238,94 @@ object StreamOps {
     }
   }
 
+  private val evoDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** Avro state encoding for the duration of `body` — the setting that
+    * buys transformWithState STATE SCHEMA EVOLUTION (the default
+    * UnsafeRow encoding is layout-exact and rejects any schema change
+    * across restart). */
+  private[graft] def withAvroState[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.encodingFormat"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "avro")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** s44: STATE SCHEMA EVOLUTION across a restart — the rolling-upgrade
+    * story: version 1 of a deployment accumulates per-user (count,
+    * cents) totals over the month's first half and is stopped; version
+    * 2 adds a field (`cents_new`, revenue SINCE the upgrade — an
+    * Option, so pre-upgrade state rows surface as None) and restarts
+    * from the SAME checkpoint, folding the second half. Avro state
+    * encoding makes the widened schema readable over v1 bytes; the
+    * declared result is the final store content and must hash-match an
+    * oracle that computes full-table counts/cents plus second-half-only
+    * cents_new — so a state wipe on upgrade (counts halved), a
+    * misaligned default (cents_new polluted by pre-upgrade revenue), or
+    * a failed schema check (query crashes) are all caught.
+    *
+    * Scale design: the upgrade migrates NOTHING eagerly — v1 rows are
+    * reinterpreted lazily on first read, which is the only migration
+    * strategy that works when the store holds 10⁹ keys. */
+  def streamStateEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    val centsCol = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val ckStr = cachedScratchDir(evoDirs, sfDir, "events.parquet") {
+      val in = newTempDir("graft_s44_in")
+      val ck = newTempDir("graft_ckpt_s44")
+      val ev = graft.Tables.events(spark, sfDir)
+      def half(cond: Column) = ev.filter(cond)
+        .select($"user_id", centsCol.as("cents"))
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, cents BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "changelog_*.parquet")
+        .parquet(in.toString)
+        .as[UserDelta]
+        .groupByKey(_.user_id)
+      def runLeg(out: DataFrame): Unit =
+        withShufflePartitions(spark, 8) {
+          withRocksDb(spark) {
+            withAvroState(spark) {
+              out.writeStream.format("noop").outputMode("update")
+                .option("checkpointLocation", ck.toString)
+                .trigger(
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start().awaitTermination()
+            }
+          }
+        }
+      writeChangelogFile(half($"ts" < cut), in, 0)
+      runLeg(src.transformWithState(new CountV1Processor,       // v1 era
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserCounts]).toDF())
+      writeChangelogFile(half($"ts" >= cut), in, 1)
+      runLeg(src.transformWithState(new CountV2Processor,       // upgrade
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserCountsV2]).toDF())
+      ck.toString
+    }
+    withRocksDb(spark) {
+      withAvroState(spark) {
+        spark.read.format("statestore")
+          .option("path", ckStr)
+          .option("stateVarName", "totals")
+          .load()
+          .select($"value.user_id", $"value.n_events", $"value.cents",
+            $"value.cents_new")
+          .orderBy($"user_id")
+      }
+    }
+  }
+
   private val restartDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2350,6 +2438,7 @@ object StreamOps {
     "s41_foreach_exactly_once" -> streamForeachExactlyOnce _,
     "s42_queryable_state" -> streamQueryableState _,
     "s43_state_bootstrap" -> streamStateBootstrap _,
+    "s44_state_evolution" -> streamStateEvolution _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2701,6 +2790,15 @@ object StreamOps {
     "s43_state_bootstrap" ->
       """SELECT user_id, count(*) AS n_events,
         |sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the rolling-upgrade identity: v1 state (first half) reinterpreted
+    // by the widened v2 schema + v2 increments (second half) ≡ full
+    // counts with the new metric counted from the upgrade instant only
+    "s44_state_evolution" ->
+      """SELECT user_id, count(*) AS n_events,
+        |sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+        |sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 09:30:00'
+        |  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS cents_new
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT event_id, user_id, ts, event_type

@@ -3274,6 +3274,81 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
       "some key's totals were reproducible without the restored snapshot")
   }
 
+  test("restart under a DRIFTED shuffle-partitions conf stays correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ops reality: the job that restarts a stream rarely carries the
+    // exact session conf that created the checkpoint. Spark pins the
+    // state partition count in the checkpoint (sql.shuffle.partitions
+    // is recorded in the offset log), so a drifted conf must neither
+    // fail the restart nor corrupt the answer.
+    val in = StreamOps.newTempDir("graft_s40drift_in")
+    val out = StreamOps.newTempDir("graft_s40drift_out")
+    val ck = StreamOps.newTempDir("graft_s40drift_ck")
+    val ev = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    StreamOps.writeChangelogFile(ev.filter($"ts" < cut), in, 0)
+    // leg 1 at 8 state partitions (runRestartLeg's sizing)
+    StreamOps.runRestartLeg(spark, in, out, ck)
+    StreamOps.writeChangelogFile(ev.filter($"ts" >= cut), in, 1)
+    StreamOps.writeChangelogFile(
+      ev.select($"event_type").distinct()
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+        .withColumn("value", lit(0.0))
+        .select($"ts", $"event_type", $"value"), in, 2)
+    // leg 2 under a conf that disagrees with the checkpoint
+    StreamOps.withShufflePartitions(spark, 3) {
+      StreamOps.withRocksDb(spark) {
+        val q = StreamOps.restartAggStream(spark, in).writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ck.toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the checkpoint's recorded partition count wins over the conf
+        val parts = Option(q.lastProgress).map(
+          _.stateOperators.map(_.numShufflePartitions).max)
+        assert(parts.contains(8L),
+          s"state partitions followed the drifted conf: $parts")
+      }
+    }
+    val got = spark.read.parquet(out.toString)
+    import graft.functions.Det.dsum
+    val truth = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
+    assert(got.exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(got).count() == 0)
+  }
+
+  test("s44 v1 state survives the v2 schema upgrade, new metric starts at upgrade") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = StreamOps.streamStateEvolution(spark, sf)
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    // whole-table truth (the oracle's contract)
+    val truth = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("cents"),
+        sum(when($"ts" >= cut, cents)).as("cents_new"))
+    assert(got.exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(got).count() == 0)
+    // the evolution identity, per key: the widened field counts ONLY
+    // post-upgrade revenue, so cents − cents_new == the v1-era sum —
+    // a state wipe (cents == cents_new) or a default polluted with
+    // pre-upgrade bytes both break this exactly
+    val v1Era = Tables.events(spark, sf).filter($"ts" < cut)
+      .groupBy($"user_id").agg(sum(cents).as("v1_cents"))
+    val broken = got.join(v1Era, "user_id")
+      .filter($"cents" - coalesce($"cents_new", lit(0L)) =!= $"v1_cents")
+      .count()
+    assert(broken == 0, s"$broken keys leaked pre-upgrade state into cents_new")
+  }
+
   test("s41 forces one identical duplicate batch delivery and absorbs it") {
     import spark.implicits._
     val (df, ev) = StreamOps.runForeachExactlyOnce(spark, sf)
