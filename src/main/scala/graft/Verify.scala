@@ -10,7 +10,15 @@ object Verify {
     // the driver always passes exactly (sfDir, outDir) → full run
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Invariance-sweep hook (builder-run only — the driver never sets
+    // it, so the gated run keeps exactly the declared config below):
+    // SPARK_GRAFT_CONF="k=v;k=v" adds session confs, e.g. codegen OFF
+    // (factoryMode=NO_CODEGEN), AQE OFF, or the RocksDB state-store
+    // provider, to prove the oracle hashes don't depend on them.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,7 +30,9 @@ object Verify {
       // instead of preserving parallelism (docs-recommended production
       // setting; cuts per-task overhead when data << cluster)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .getOrCreate()
+    // sweep confs LAST so they win over the declared ones on collision
+    val spark = extraConf.foldLeft(base)(
+      (b, kv) => b.config(kv._1, kv._2)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

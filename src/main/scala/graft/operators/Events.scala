@@ -1092,7 +1092,94 @@ object Events {
           round($"d" * $"d" * ($"n_a" + $"n_b") / $"den", 4)).as("z2"))
   }
 
+  /** e50: RFM segmentation — the classic behavioral-cohort table: per
+    * user Recency (whole days since their last event, vs the corpus max
+    * timestamp), Frequency (event count), Monetary (purchase revenue),
+    * each cut into quartiles, users grouped by the R-F-M quartile
+    * triple with per-segment size and revenue. Quartile 1 is "best"
+    * on every axis (most recent / most frequent / highest spend).
+    *
+    * Determinism: quartile assignment is ntile(4) over a TOTAL order
+    * (metric, then user_id) — both engines define ntile identically
+    * over a total order; monetary stays exact integer cents end to end
+    * (sums, ordering, the r4 average), so no float reaches an ORDER BY
+    * or the output.
+    *
+    * Scale design: ONE map-side-combined per-user collapse is the only
+    * event-volume shuffle; the corpus max-ts is a 1-row broadcast; the
+    * three ntile windows rank |users| rows (single-partition at
+    * fixture scale — at 10⁹ users the exact ntile becomes quartile
+    * cuts read off q27's equi-depth histogram, the same report to ±1
+    * bucket boundary); the segment aggregation is a map-side-combined
+    * hash-agg over ≤ 4³ groups. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy($"user_id").agg(
+      max(unix_micros($"ts")).as("last_us"),
+      count(lit(1)).as("freq"),
+      sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
+    val mx = ev.agg(max(unix_micros($"ts")).as("max_us"))
+    val scored = per.crossJoin(broadcast(mx))
+      .withColumn("rec_days",
+        Det.fdiv($"max_us" - $"last_us", lit(86400L * 1000000L)))
+    val wr = Window.orderBy($"rec_days", $"user_id")
+    val wf = Window.orderBy(desc("freq"), $"user_id")
+    val wm = Window.orderBy(desc("cents"), $"user_id")
+    scored
+      .withColumn("r_q", ntile(4).over(wr).cast("long"))
+      .withColumn("f_q", ntile(4).over(wf).cast("long"))
+      .withColumn("m_q", ntile(4).over(wm).cast("long"))
+      .withColumn("segment", concat_ws("-", $"r_q", $"f_q", $"m_q"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"freq").as("n_events"),
+        round(sum($"cents") / 100.0, 2).as("revenue"),
+        Det.r4(sum($"cents"), count(lit(1)) * 100L).as("avg_revenue"))
+      .orderBy($"segment")
+  }
+
+  /** e51: trailing-7-day sliding distinct users per day ("7-day MAU")
+    * plus the DAU/MAU stickiness ratio — the sliding COUNT DISTINCT
+    * that window frames cannot express (SQL forbids DISTINCT
+    * aggregates over a frame). Re-expressed scale-first: collapse to
+    * distinct (user, day), fan each pair out map-side onto the ≤ 7
+    * later days it contributes to, and count distinct users per day —
+    * no range self-join, no per-day rescans of the event table.
+    *
+    * Determinism: exact integer counts over exact date arithmetic;
+    * stickiness is the r4 exact rational.
+    *
+    * Scale design: the distinct collapse is the only event-volume
+    * shuffle; the explode is a bounded ×7 map-side fan-out of
+    * |users|·|active-days| rows; the count-distinct runs as Spark's
+    * two-phase partial aggregation. Output days are restricted to days
+    * with actual activity via a broadcast semi join against the ≤
+    * |calendar| day list, so phantom trailing days never appear. */
+  def slidingMau(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("d"))
+      .distinct()
+    val days = daily.select($"d".as("day")).distinct()
+    val dau = daily.groupBy($"d".as("day")).agg(count(lit(1)).as("dau"))
+    daily
+      .select($"user_id",
+        explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("mau7"))
+      .join(broadcast(dau), Seq("day"))
+      .withColumn("stickiness", Det.r4($"dau", $"mau7"))
+      .select($"day", $"dau", $"mau7", $"stickiness")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e50_rfm_segments" -> rfmSegments _,
+    "e51_sliding_mau" -> slidingMau _,
     "e49_ab_test" -> abTest _,
     "e48_session_paths" -> sessionPaths _,
     "e47_attribution" -> lastTouchAttribution _,
@@ -1131,6 +1218,50 @@ object Events {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // per-user RFM collapse, epoch-µs recency floor-div, ntile(4) over
+    // (metric, user_id) total orders — the same rank both engines
+    // compute; monetary is exact integer cents; CASTs keep DuckDB's
+    // HUGEINT sums off the schema
+    "e50_rfm_segments" ->
+      s"""WITH per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT max(ts) AS max_ts FROM events),
+         |s AS (SELECT user_id, freq, cents,
+         |    ${D.fdiv("epoch_us(max_ts) - epoch_us(last_ts)",
+                "86400000000")} AS rec_days
+         |  FROM per CROSS JOIN mx),
+         |q AS (SELECT user_id, freq, cents,
+         |    ntile(4) OVER (ORDER BY rec_days, user_id) AS r_q,
+         |    ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         |    ntile(4) OVER (ORDER BY cents DESC, user_id) AS m_q
+         |  FROM s)
+         |SELECT concat_ws('-', r_q, f_q, m_q) AS segment,
+         |  count(*) AS n_users,
+         |  CAST(sum(freq) AS BIGINT) AS n_events,
+         |  round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
+         |  ${D.r4("CAST(sum(cents) AS BIGINT)", "count(*) * 100")}
+         |    AS avg_revenue
+         |FROM q GROUP BY segment ORDER BY segment""".stripMargin,
+    // distinct (user, day) collapse; the trailing-7-day window is the
+    // oracle's range join (DATE + integer = DATE in DuckDB), restricted
+    // to days with actual activity
+    "e51_sliding_mau" ->
+      s"""WITH p AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+         |    user_id FROM events),
+         |days AS (SELECT DISTINCT d AS day FROM p),
+         |x AS (SELECT dd.day, p.user_id
+         |  FROM p JOIN days dd ON dd.day BETWEEN p.d AND p.d + 6),
+         |m AS (SELECT day, count(DISTINCT user_id) AS mau7 FROM x
+         |  GROUP BY day),
+         |a AS (SELECT d AS day, count(*) AS dau FROM p GROUP BY d)
+         |SELECT m.day, CAST(a.dau AS BIGINT) AS dau,
+         |  CAST(m.mau7 AS BIGINT) AS mau7,
+         |  ${D.r4("CAST(a.dau AS BIGINT)", "CAST(m.mau7 AS BIGINT)")}
+         |    AS stickiness
+         |FROM m JOIN a ON m.day = a.day ORDER BY m.day""".stripMargin,
     // per-user conversion collapse, parity split, and the SAME double
     // expression tree for z² in both engines (int64 products promoted
     // to double in the same order); CASE guards the degenerate splits

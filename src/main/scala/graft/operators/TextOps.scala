@@ -1970,7 +1970,65 @@ object TextOps {
           .otherwise("changed")))
   }
 
+  /** d50: cross-source contamination matrix — the provenance-hygiene
+    * report run before mixing crawl snapshots: for every unordered
+    * source pair, the number of distinct 3-token shingles present in
+    * BOTH sources, each side's distinct shingle count, and the overlap
+    * coefficient |A∩B| / min(|A|,|B|) — the containment-style measure
+    * that stays meaningful when source sizes differ 100× (1.0 means
+    * the smaller source's shingle set is a subset of the larger: a
+    * mirror). Complements d21 (which finds cross-source duplicate
+    * DOCUMENTS); this measures corpus-level content sharing even when
+    * no single document crosses a dedup threshold.
+    *
+    * Determinism: exact distinct counts; overlap is the r4 exact
+    * rational; (src_a, src_b) lexicographic with src_a < src_b.
+    *
+    * Shingles travel as xxhash64 int64s (the d15/d46 collision bound:
+    * a ~2⁻⁶⁵-per-pair birthday collision could merge two shingles —
+    * negligible at fixture scale, and at ~10B distinct shingles the
+    * documented widening is two independent xxhash64 seeds); the
+    * oracle states the same counts over raw shingle strings.
+    *
+    * Scale design: raw text collapses to DISTINCT (shingle-hash,
+    * source) rows in ONE map-side-combined shuffle; per-shingle source
+    * sets are ≤ |sources| = 20 by construction so the pair explode is
+    * ≤ C(20,2) per shingle — map-side, bounded — and the (src_a,
+    * src_b) hash-agg output is the bounded 20×20 triangle; per-source
+    * totals are a |sources|-row broadcast. No corpus self-join
+    * anywhere; at 10⁴ sources the per-shingle set bound grows and the
+    * explode caps at sources-sharing-a-shingle (df-style skew: a
+    * shingle in EVERY source costs C(n,2) — prune shingles above a
+    * source-df cap first, as d46 does for doc-df). */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 3)
+      .select($"source", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))"""))
+        .as("h"))
+      .distinct()
+    val totals = sh.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.groupBy($"h")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          transform(slice(srcs, i + 2, size(srcs)),
+            b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(totals.toDF("src_a", "n_a")), Seq("src_a"))
+      .join(broadcast(totals.toDF("src_b", "n_b")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_common", $"n_a", $"n_b",
+        r4($"n_common", least($"n_a", $"n_b")).as("overlap"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d50_source_overlap" -> sourceOverlap _,
     "d49_snapshot_diff" -> snapshotDiff _,
     "d46_containment"   -> containmentDups _,
     "d47_classifier_score" -> classifierScore _,
@@ -2132,6 +2190,27 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // same counts over RAW shingle strings (no xxhash64 in DuckDB —
+    // the d15 equivalence-modulo-collisions note applies); the pair
+    // table is the oracle's naive shingle self-join
+    "d50_source_overlap" ->
+      s"""WITH t AS (SELECT source, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT source,
+         |  unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+         |    for g in range(1, len(toks) - 1)])) AS s FROM t),
+         |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+         |  ${D.r4("CAST(n_common AS BIGINT)", "least(ta.n, tb.n)")}
+         |    AS overlap
+         |FROM pr JOIN tot ta ON ta.source = pr.src_a
+         |JOIN tot tb ON tb.source = pr.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     // brute-force semantics of d46's contract: candidates = pairs
     // sharing a rare (df ≤ cap) shingle; exact intersection over ALL
     // distinct shingles; cross-multiplied 5·common ≥ 4·min threshold

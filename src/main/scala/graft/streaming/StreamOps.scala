@@ -1092,6 +1092,48 @@ object StreamOps {
       .orderBy(col("w_start"))
   }
 
+  /** s45: streaming trailing-7-day sliding distinct users (e51's
+    * streaming face) — s11's chained-stateful exact distinct over
+    * SLIDING windows: `window(ts, '7 days', '1 day')` fans each event
+    * into its ≤ 7 window instances map-side, stage 1 collapses
+    * (window, user), stage 2 counts survivors per window; windows emit
+    * in append mode as the watermark (advanced by the flush sentinel)
+    * closes them. The day label is the window's last covered day
+    * (end − 1 day). Kafka Streams' hopping-window distinct needs a
+    * per-window set store; here it is the same two declarative
+    * groupBys as s11 with a slide.
+    *
+    * The window stream necessarily emits every instance CONTAINING an
+    * event (a window whose own label day is quiet still counts
+    * trailing actives); e51's contract reports only days WITH
+    * activity, so the declared result applies that restriction after
+    * the stream terminates — a ≤|calendar|-row batch semi join, the
+    * s18 post-compaction precedent.
+    *
+    * At 100 TB: stage-1 state is live (window, user) pairs — the ×7
+    * slide multiplies state, which is exactly the sliding-distinct
+    * cost a per-window set store pays in any engine; the watermark
+    * retires 1/7th of it per day. Stage 2 sees one row per pair. */
+  def streamSlidingMau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStreamWithFlush(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < flushBound)
+    val perUser = ev
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val perWindow = perUser
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("mau7"))
+      .select(date_sub(col("w.end").cast("date"), 1).as("day"),
+        col("mau7"))
+    val activeDays = graft.Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    runToMemory(perWindow, "graft_s45", "append")
+      .join(broadcast(activeDays), Seq("day"), "left_semi")
+      .orderBy(col("day"))
+  }
+
   /** Hot-key streaming aggregation via SALTING (the streaming face of
     * e22's SkewJoin): `event_type` has only 5 values, so a single-stage
     * streaming groupBy puts 20% of the stream through one state-store
@@ -2439,6 +2481,7 @@ object StreamOps {
     "s42_queryable_state" -> streamQueryableState _,
     "s43_state_bootstrap" -> streamStateBootstrap _,
     "s44_state_evolution" -> streamStateEvolution _,
+    "s45_stream_sliding_mau" -> streamSlidingMau _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2800,6 +2843,16 @@ object StreamOps {
         |sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 09:30:00'
         |  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS cents_new
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // e51's mau7 columns: trailing-7-day distinct users for each day
+    // with activity (DATE + integer = DATE in DuckDB)
+    "s45_stream_sliding_mau" ->
+      """WITH p AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM p),
+        |x AS (SELECT dd.day, p.user_id
+        |  FROM p JOIN days dd ON dd.day BETWEEN p.d AND p.d + 6)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau7
+        |FROM x GROUP BY day ORDER BY day""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT event_id, user_id, ts, event_type
         |FROM events ORDER BY event_id""".stripMargin,

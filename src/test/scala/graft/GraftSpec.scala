@@ -56,6 +56,29 @@ class GraftSpec extends AnyFunSuite {
     assert(row(0).getAs[Long]("count_order") > 0)
   }
 
+  test("e50/e51/d50 invariants: RFM partitions all users, MAU7 dominates DAU, overlap is a coefficient") {
+    import spark.implicits._
+    val seg = Events.rfmSegments(spark, sf).collect()
+    val total = Tables.events(spark, sf).select($"user_id").distinct.count()
+    assert(seg.map(_.getAs[Long]("n_users")).sum == total,
+      "every user lands in exactly one R-F-M segment")
+    val mau = Events.slidingMau(spark, sf).collect()
+    assert(mau.nonEmpty)
+    mau.foreach { r =>
+      assert(r.getAs[Long]("mau7") >= r.getAs[Long]("dau"),
+        s"trailing-7-day distinct users must dominate the day's DAU: $r")
+    }
+    val ov = TextOps.sourceOverlap(spark, sf).collect()
+    assert(ov.nonEmpty)
+    ov.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_common") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val o = r.getAs[Double]("overlap")
+      assert(o > 0.0 && o <= 1.0, s"overlap coefficient out of (0,1]: $r")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = TextOps.exactDedup(spark, sf)
     // dedup keeps one representative per norm_hash: re-grouping the
