@@ -2027,7 +2027,60 @@ object TextOps {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** d51: dedup-method agreement matrix — the methods-quality audit a
+    * pipeline owner runs before trusting a near-dup detector: for each
+    * pair of methods among MinHash-LSH (d06, estimated Jaccard ≥ 0.5),
+    * SimHash (d19, Hamming ≤ 1), and exact n-gram Jaccard (d08, ≥ 0.5
+    * — the ground truth the other two approximate), the sizes of the
+    * two detected pair sets, their intersection and union, and the
+    * pair-set Jaccard agreement. Composes the three DECLARED queries
+    * unchanged, so the audited sets are exactly what d06/d19/d08
+    * report (and their session-cached signature/pair tables are
+    * reused, not rebuilt).
+    *
+    * Determinism: exact counts; agreement is the r4 exact rational,
+    * NULL on an empty union; method names give the total order.
+    *
+    * Scale design: inputs are the c²-per-dup-group pair TABLES (tiny
+    * relative to the corpus — the d06/d08 scale notes apply to
+    * producing them); the method self-join keys on (d1, d2) where
+    * each method contributes at most one row, so fan-out is ≤ 3 per
+    * pair; the 3-row method-pair seed and per-method totals are
+    * broadcasts. */
+  def methodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all =
+      minhashLsh(spark, sfDir).select($"d1", $"d2", lit("minhash").as("m"))
+        .unionAll(simhashNearDup(spark, sfDir)
+          .select($"d1", $"d2", lit("simhash").as("m")))
+        .unionAll(ngramJaccard(spark, sfDir)
+          .select($"d1", $"d2", lit("jaccard").as("m")))
+    val totals = all.groupBy($"m").agg(count(lit(1)).as("n"))
+    val seed = Seq(("jaccard", "minhash"), ("jaccard", "simhash"),
+      ("minhash", "simhash")).toDF("method_a", "method_b")
+    val both = all.toDF("d1", "d2", "ma")
+      .join(all.toDF("d1", "d2", "mb"), Seq("d1", "d2"))
+      .filter($"ma" < $"mb")
+      .groupBy($"ma".as("method_a"), $"mb".as("method_b"))
+      .agg(count(lit(1)).as("n_both"))
+    seed
+      .join(both, Seq("method_a", "method_b"), "left_outer")
+      .join(broadcast(totals.toDF("method_a", "n_a")),
+        Seq("method_a"), "left_outer")
+      .join(broadcast(totals.toDF("method_b", "n_b")),
+        Seq("method_b"), "left_outer")
+      .withColumn("n_a", coalesce($"n_a", lit(0L)))
+      .withColumn("n_b", coalesce($"n_b", lit(0L)))
+      .withColumn("n_both", coalesce($"n_both", lit(0L)))
+      .withColumn("n_union", $"n_a" + $"n_b" - $"n_both")
+      .select($"method_a", $"method_b", $"n_a", $"n_b", $"n_both",
+        $"n_union",
+        when($"n_union" > 0L, r4($"n_both", $"n_union")).as("agreement"))
+      .orderBy($"method_a", $"method_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d51_method_agreement" -> methodAgreement _,
     "d50_source_overlap" -> sourceOverlap _,
     "d49_snapshot_diff" -> snapshotDiff _,
     "d46_containment"   -> containmentDups _,
@@ -2101,6 +2154,46 @@ object TextOps {
        |m AS (SELECT c.d1, c.d2, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d1
        |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.s = sa.s GROUP BY 1, 2)""".stripMargin
+
+  /** d19's SimHash pipeline as a CTE chain ending at
+    * `sxp(d1, d2, hamming)` (Hamming ≤ 1 applied) — shared by the d19
+    * oracle and the d51 method-agreement oracle so the pair-set
+    * definition cannot drift. Names are sx-prefixed to compose with
+    * [[mhPairsCte]] / [[jaccardPairsCte]] in one WITH. */
+  private[graft] def simhashPairsCte: String =
+    """sxtok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+      |sxbits AS (SELECT doc_id, i,
+      |  CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(t), i, 1)) > 0
+      |    THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+      |  FROM sxtok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) GROUP BY doc_id, i),
+      |sxsh AS (SELECT doc_id,
+      |  sum(CASE WHEN b = '1' THEN 1::BIGINT << (32 - i) ELSE 0 END)::BIGINT AS sig
+      |  FROM sxbits GROUP BY doc_id),
+      |sxseg AS (SELECT doc_id, s,
+      |  CASE WHEN s = 0 THEN sig // 65536 ELSE sig % 65536 END AS sg
+      |  FROM sxsh CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
+      |sxcand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sxseg a JOIN sxseg b
+      |  ON a.s = b.s AND a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sxp AS (SELECT d1, d2, bit_count(xor(ha.sig, hb.sig)) AS hamming
+      |  FROM sxcand JOIN sxsh ha ON ha.doc_id = d1 JOIN sxsh hb ON hb.doc_id = d2
+      |  WHERE bit_count(xor(ha.sig, hb.sig)) <= 1)""".stripMargin
+
+  /** d08's exact n-gram Jaccard pipeline as a CTE chain ending at
+    * `jxp(d1, d2, jaccard)` (threshold ≥ 0.5 on the unrounded ratio,
+    * rounded value carried) — shared by the d08 oracle and d51.
+    * jx-prefixed names compose with the other chains. */
+  private[graft] def jaccardPairsCte: String =
+    """jxt AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 3),
+      |jxsh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
+      |  for g in range(1, len(toks) - 1)])) AS s FROM jxt),
+      |jxsz AS (SELECT doc_id, count(*) AS n FROM jxsh GROUP BY doc_id),
+      |jxc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM jxsh a JOIN jxsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jxp AS (SELECT d1, d2,
+      |  round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
+      |  FROM jxc JOIN jxsz sa ON sa.doc_id = d1 JOIN jxsz sb ON sb.doc_id = d2
+      |  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5)""".stripMargin
 
   /** The d28 BM25 scoring pipeline as a DuckDB CTE chain ending at
     * `sc(doc_id, term, score)` — shared by the d28 oracle and the v17
@@ -2190,6 +2283,38 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // the three pair sets from their SHARED CTE definitions (the same
+    // text the d06/d19/d08 oracles run), then set algebra over them;
+    // LEFT JOINs + COALESCE keep an empty method's row at zero
+    "d51_method_agreement" ->
+      s"""WITH $mhPairsCte,
+         |mhp AS (SELECT d1, d2 FROM m WHERE nm / 16.0 >= 0.5),
+         |$simhashPairsCte,
+         |$jaccardPairsCte,
+         |allp AS (SELECT d1, d2, 'minhash' AS m FROM mhp
+         |  UNION ALL SELECT d1, d2, 'simhash' FROM sxp
+         |  UNION ALL SELECT d1, d2, 'jaccard' FROM jxp),
+         |tot AS (SELECT m AS meth, count(*) AS n FROM allp GROUP BY meth),
+         |mp AS (SELECT 'jaccard' AS method_a, 'minhash' AS method_b
+         |  UNION ALL SELECT 'jaccard', 'simhash'
+         |  UNION ALL SELECT 'minhash', 'simhash'),
+         |bo AS (SELECT a.m AS method_a, b.m AS method_b, count(*) AS n_both
+         |  FROM allp a JOIN allp b
+         |    ON a.d1 = b.d1 AND a.d2 = b.d2 AND a.m < b.m
+         |  GROUP BY 1, 2),
+         |f AS (SELECT mp.method_a, mp.method_b,
+         |    CAST(COALESCE(ta.n, 0) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(tb.n, 0) AS BIGINT) AS n_b,
+         |    CAST(COALESCE(bo.n_both, 0) AS BIGINT) AS n_both
+         |  FROM mp LEFT JOIN tot ta ON ta.meth = mp.method_a
+         |  LEFT JOIN tot tb ON tb.meth = mp.method_b
+         |  LEFT JOIN bo ON bo.method_a = mp.method_a
+         |    AND bo.method_b = mp.method_b)
+         |SELECT method_a, method_b, n_a, n_b, n_both,
+         |  n_a + n_b - n_both AS n_union,
+         |  CASE WHEN n_a + n_b - n_both > 0 THEN
+         |    ${D.r4("n_both", "(n_a + n_b - n_both)")} END AS agreement
+         |FROM f ORDER BY method_a, method_b""".stripMargin,
     // same counts over RAW shingle strings (no xxhash64 in DuckDB —
     // the d15 equivalence-modulo-collisions note applies); the pair
     // table is the oracle's naive shingle self-join
@@ -2425,23 +2550,9 @@ object TextOps {
         |  // (n_sources * n_tokens * 2)) / 10000.0 AS uniform_weight
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "d19_simhash_neardup" ->
-      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
-        |bits AS (SELECT doc_id, i,
-        |  CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(t), i, 1)) > 0
-        |    THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
-        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) GROUP BY doc_id, i),
-        |sh AS (SELECT doc_id,
-        |  sum(CASE WHEN b = '1' THEN 1::BIGINT << (32 - i) ELSE 0 END)::BIGINT AS sig
-        |  FROM bits GROUP BY doc_id),
-        |seg AS (SELECT doc_id, s,
-        |  CASE WHEN s = 0 THEN sig // 65536 ELSE sig % 65536 END AS sg
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
-        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM seg a JOIN seg b
-        |  ON a.s = b.s AND a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |h AS (SELECT d1, d2, bit_count(xor(ha.sig, hb.sig)) AS hamming
-        |  FROM cand JOIN sh ha ON ha.doc_id = d1 JOIN sh hb ON hb.doc_id = d2)
-        |SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming FROM h
-        |WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin,
+      s"""WITH $simhashPairsCte
+         |SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming FROM sxp
+         |ORDER BY d1, d2""".stripMargin,
     "d17_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -2793,16 +2904,8 @@ object TextOps {
         |WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "d08_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE len(str_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct([toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]
-        |  for g in range(1, len(toks) - 1)])) AS s FROM t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
-        |FROM c JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
-        |WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT d1, d2, jaccard FROM jxp ORDER BY d1, d2""".stripMargin,
     "d09_tfidf" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents) x
