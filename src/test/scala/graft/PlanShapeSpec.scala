@@ -88,6 +88,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cartesian crept into q18:\n$plan")
   }
 
+  test("e50/e51/d50 broadcast their small sides; no sort-merge of data volume") {
+    // e50: the corpus-max scalar rides a 1-row broadcast cross; the
+    // per-user collapse is the only event-volume exchange
+    val p50 = planOf(graft.operators.Events.rfmSegments(spark, sf))
+    assert(!p50.contains("SortMergeJoin"), s"e50 shuffled a join:\n$p50")
+    // e51: active-day semi join and the dau join are both broadcasts
+    val p51 = planOf(graft.operators.Events.slidingMau(spark, sf))
+    assert(p51.contains("BroadcastHashJoin"), s"e51 lost its BHJs:\n$p51")
+    assert(!p51.contains("SortMergeJoin"), s"e51 shuffled a join:\n$p51")
+    // d50: per-source totals are broadcast against the bounded pair
+    // table; the corpus is never self-joined
+    val pd50 = planOf(graft.operators.TextOps.sourceOverlap(spark, sf))
+    assert(pd50.contains("BroadcastHashJoin"), s"d50 lost its BHJs:\n$pd50")
+    assert(!pd50.contains("SortMergeJoin"), s"d50 shuffled a join:\n$pd50")
+  }
+
   test("kNN classify stays a bounded broadcast loop + windowed top-k") {
     val df = graft.operators.VectorOps.knnClassify(spark, sf)
     val plan = planOf(df)
