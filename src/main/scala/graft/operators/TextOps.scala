@@ -1970,6 +1970,61 @@ object TextOps {
           .otherwise("changed")))
   }
 
+  /** d52: incremental near-dup — the PRODUCTION dedup shape once a
+    * corpus is live: when a batch of new documents lands, find each
+    * new doc's near-duplicates against the EXISTING corpus and within
+    * the new batch itself, WITHOUT ever re-pairing old×old (that work
+    * was done when the old corpus was deduped; redoing it is the
+    * difference between an O(new) nightly job and an O(corpus) one).
+    * New arrivals are the d49 snapshot rules' "added" set (in NEW,
+    * not OLD — shared [[SnapOldMod]]/[[SnapNewMod]] literals, so the
+    * incremental split can never drift from the d49/s39 diff), the
+    * existing corpus is the OLD snapshot. Output: (d_new, d_match,
+    * phase ∈ {corpus, batch}, est_jaccard ≥ 0.5) — d06's MinHash
+    * pipeline restricted to pairs touching a new doc. This is the
+    * batch face of s24 (which does the same thing one micro-batch at
+    * a time against a RocksDB band index).
+    *
+    * Scale design: both candidate joins probe the SHARED band table
+    * ([[lshBands]] — same cache the full d06 run uses): new-batch
+    * band rows (≈ |new|·4) hash-join the old corpus's band index on
+    * (band, bh) — the cost is driven by the new batch and the bucket
+    * hit rate, not corpus size — and the within-batch self-join is
+    * |new|-sized. Signature verification joins only candidate ids.
+    * At 100 TB corpus + 100 GB daily batch, every shuffle here is
+    * batch-sized; the corpus contributes one build-side scan of its
+    * band index (on a cluster: a bucketed/stored index, point
+    * lookups). */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
+    val bands = lshBands(spark, sfDir)
+    val isOld = col("doc_id") % SnapOldMod =!= (SnapOldMod - 1)
+    val isNew = (col("doc_id") % SnapOldMod === (SnapOldMod - 1)) &&
+      (col("doc_id") % SnapNewMod =!= (SnapNewMod - 1))
+    val oldBands = bands.filter(isOld)
+    val newBands = bands.filter(isNew)
+    val vsCorpus = newBands.as("a").join(oldBands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"a.doc_id".as("d_new"), $"b.doc_id".as("d_match"),
+        lit("corpus").as("phase"))
+    val vsBatch = newBands.as("a").join(newBands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d_new"), $"b.doc_id".as("d_match"),
+        lit("batch").as("phase"))
+    vsCorpus.unionByName(vsBatch).distinct()
+      .join(sigs.select($"doc_id".as("d_new"), $"sig".as("sig_n")), "d_new")
+      .join(sigs.select($"doc_id".as("d_match"), $"sig".as("sig_m")),
+        "d_match")
+      .select($"d_new", $"d_match", $"phase",
+        round(expr(
+          "size(filter(zip_with(sig_n, sig_m, (x, y) -> x = y), m -> m))")
+          / lit(16.0), 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"d_new", $"d_match")
+  }
+
   /** d50: cross-source contamination matrix — the provenance-hygiene
     * report run before mixing crawl snapshots: for every unordered
     * source pair, the number of distinct 3-token shingles present in
@@ -2080,6 +2135,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d52_incremental_neardup" -> incrementalNearDup _,
     "d51_method_agreement" -> methodAgreement _,
     "d50_source_overlap" -> sourceOverlap _,
     "d49_snapshot_diff" -> snapshotDiff _,
@@ -2362,6 +2418,30 @@ object TextOps {
          |ORDER BY c.d1, c.d2""".stripMargin,
     // full-outer diff on the snapshot key; CASTs keep HUGEINT off the
     // schema
+    // the d06 band/sig chain with the d49 snapshot-split literals:
+    // candidates restricted to pairs touching a new arrival
+    "d52_incremental_neardup" ->
+      s"""WITH $mhBandsCte,
+        |oldb AS (SELECT * FROM bands
+        |  WHERE doc_id % $SnapOldMod <> ${SnapOldMod - 1}),
+        |newb AS (SELECT * FROM bands
+        |  WHERE doc_id % $SnapOldMod = ${SnapOldMod - 1}
+        |    AND doc_id % $SnapNewMod <> ${SnapNewMod - 1}),
+        |cand AS (
+        |  SELECT a.doc_id AS d_new, b.doc_id AS d_match, 'corpus' AS phase
+        |  FROM newb a JOIN oldb b ON a.band = b.band AND a.bh = b.bh
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, 'batch'
+        |  FROM newb a JOIN newb b ON a.band = b.band AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id GROUP BY 1, 2, 3),
+        |m AS (SELECT c.d_new, c.d_match, c.phase,
+        |    sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.d_new
+        |  JOIN sig sb ON sb.doc_id = c.d_match AND sb.s = sa.s
+        |  GROUP BY 1, 2, 3)
+        |SELECT d_new, d_match, phase, round(nm / 16.0, 4) AS est_jaccard
+        |FROM m WHERE nm / 16.0 >= 0.5 ORDER BY d_new, d_match""".stripMargin,
     "d49_snapshot_diff" ->
       s"""WITH d AS (SELECT doc_id AS k, text,
         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),

@@ -1073,7 +1073,45 @@ object VectorOps {
       .orderBy($"cell")
   }
 
+  /** v25: metadata-FILTERED ANN — the retrieval shape every production
+    * vector store is asked for ("nearest neighbors among docs matching
+    * a predicate"): top-10 by cosine among probed candidates whose
+    * companion document (vec_id = doc_id) has lang = 'en'. The filter
+    * is applied as a PRE-filter — candidates are restricted BEFORE
+    * scoring/ranking — not a post-filter of an unfiltered top-k, which
+    * under-fills k whenever the predicate is selective (the classic
+    * filtered-ANN bug; a post-filter of the v07 top-10 here would
+    * return only its English subset). Known trade-off, stated: with a
+    * fixed nprobe a highly selective predicate can still return fewer
+    * than k rows — production stores widen nprobe adaptively; the
+    * deterministic fixed-probe result is what's declared.
+    *
+    * Scale design: rides the SHARED [[ivfIndex]] (no second index
+    * definition to drift); the predicate lives in a different table
+    * (the metadata-store shape) and reaches the candidates as a
+    * LEFT-SEMI hash join on vec_id — on a cluster with both sides
+    * bucketed by id this is co-partitioned, and when the allowed set
+    * is small it broadcasts; either way only probed-cell candidates
+    * are ever scored, and only allowed ones ranked. */
+  def filteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, q, qCells) = ivfIndex(spark, sfDir)
+    val allowed = graft.Tables.documents(spark, sfDir)
+      .filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    assigned
+      .join(broadcast(qCells), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v25_filtered_ann"    -> filteredAnn _,
     "v24_ivf_balance"     -> ivfBalance _,
     "v23_range_search"    -> rangeSearch _,
     "v20_pca_power"       -> pcaPower _,
@@ -1376,6 +1414,16 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // the shared probe chain, pre-filtered by the metadata predicate
+    // and RE-ranked (ivfr's rn is over unfiltered candidates)
+    "v25_filtered_ann" ->
+      s"""WITH $ivfCte
+         |SELECT vec_id, cell, cos FROM (
+         |  SELECT i.vec_id, i.cell, i.cos,
+         |    row_number() OVER (ORDER BY i.cos DESC, i.vec_id) AS fr
+         |  FROM ivfr i JOIN documents d
+         |    ON d.doc_id = i.vec_id AND d.lang = 'en') x
+         |WHERE fr <= 10 ORDER BY cos DESC, vec_id""".stripMargin,
     // the shared cell assignment (cent/cv/e + assigned CTEs), counted
     // per cell; imbalance = max·k/total in the r4 exact rational
     "v24_ivf_balance" -> {
