@@ -47,6 +47,53 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("d52 = d06 restricted to pairs touching a new arrival (incrementality loses nothing)") {
+    import spark.implicits._
+    def isOld(id: Long) = id % TextOps.SnapOldMod != TextOps.SnapOldMod - 1
+    def isNew(id: Long) = !isOld(id) && id % TextOps.SnapNewMod != TextOps.SnapNewMod - 1
+    val full = TextOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Double]("est_jaccard")))
+    // d06 over the whole table, restricted to pairs with a new-arrival
+    // endpoint whose partner is in a live snapshot — re-oriented so the
+    // new doc leads, phase from the partner's side
+    val expected = full.flatMap { case (a, b, j) =>
+      if (isNew(a) && isNew(b)) Some((a, b, "batch", j))
+      else if (isNew(a) && isOld(b)) Some((a, b, "corpus", j))
+      else if (isNew(b) && isOld(a)) Some((b, a, "corpus", j))
+      else None
+    }.toSet
+    val got = TextOps.incrementalNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d_new"), r.getAs[Long]("d_match"),
+        r.getAs[String]("phase"), r.getAs[Double]("est_jaccard"))).toSet
+    assert(got == expected,
+      s"incremental pair set diverged: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("v25 pre-filters: k filled from the filtered pool, not a post-filtered top-k") {
+    import spark.implicits._
+    val v25 = VectorOps.filteredAnn(spark, sf).collect()
+    val enIds = Tables.documents(spark, sf).filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v25.forall(r => enIds(r.getAs[Long]("vec_id"))),
+      "a non-en vector leaked through the pre-filter")
+    // same scoring as the unfiltered probe: any en doc in v07's top-10
+    // must appear in v25 with the identical cosine
+    val v07 = VectorOps.ivfAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val v25Map = v25.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    val postFilter = v07.filter { case (id, _) => enIds(id) }
+    postFilter.foreach { case (id, c) =>
+      assert(v25Map.get(id).contains(c), s"en doc $id scored differently")
+    }
+    // the distinction is real on this fixture: a post-filter of the
+    // unfiltered top-10 under-fills k, the pre-filter fills it
+    assert(postFilter.length < 10 && v25.length == 10,
+      s"fixture no longer separates pre/post filter: " +
+        s"post=${postFilter.length} pre=${v25.length}")
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
