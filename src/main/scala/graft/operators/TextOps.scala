@@ -1265,14 +1265,22 @@ object TextOps {
     * the rounding grain), then summed as exact int64 — the per-doc sum
     * never depends on float summation order — and the final per-doc
     * average rounds in exact integer arithmetic like [[qualityScore]]. */
-  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+  /** One row per (doc, adjacent-token bigram) — shared by the d16
+    * self-scored LM and the d53 reference-LM filter so the bigram
+    * definition cannot drift between them. */
+  private def docBigrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val big = docsWithToks(spark, sfDir)
+    docsWithToks(spark, sfDir)
       .filter(size($"toks") >= 2)
       .select($"doc_id", explode(expr(
         """transform(sequence(0, size(toks)-2),
           g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+  }
+
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = docBigrams(spark, sfDir)
     val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
     big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -1287,6 +1295,67 @@ object TextOps {
         (call_function("div",
           $"sum_micro" * 20000L + $"n_bigrams" * 1000000L,
           $"n_bigrams" * 2000000L) / 10000.0).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** d53 keep threshold (avg reference-LM nll in nats/bigram): docs
+    * scoring above it are flagged for drop. The knob a deployment
+    * tunes against held-out data; chosen at the fixture's score median
+    * so both flag values occur at every fixture SF. (The synthetic
+    * fixture draws every "language" from one shared vocabulary, so
+    * scores cluster tightly — on a real corpus the en-reference LM
+    * separates languages by whole nats and the threshold is lax.) */
+  private[graft] val RefLmKeepNll = 3.4
+
+  /** d53: reference-LM quality filter — the CCNet-style gate: score
+    * EVERY document's bigram cross-entropy under an LM trained only on
+    * a TRUSTED REFERENCE slice (the 'en' documents — the
+    * target-language-wiki stand-in), and keep docs under
+    * [[RefLmKeepNll]] nats/bigram. Unlike d16 (each doc scored by the
+    * corpus's own statistics — no out-of-vocabulary possible), the
+    * reference LM must handle bigrams it never saw: add-one (Laplace)
+    * smoothing, p(w2|w1) = (c2+1)/(c1+V) with V = reference bigram-head
+    * vocabulary size, so an unseen continuation costs ln(c1+V) and a
+    * fully-OOV head costs ln(V) — the smoothing that makes the score a
+    * total function of the corpus.
+    *
+    * Determinism: like d16, per-bigram nll is frozen to integer
+    * micro-nats (round(ln(rational)·10⁶) — both engines' libm agree
+    * through the 6th decimal on these magnitudes, the d16 precedent),
+    * summed exactly, averaged via the integer half-up division; the
+    * keep flag compares the exact 4-decimal average to the literal.
+    *
+    * Scale design: reference counts (c2, c1, V) are REFERENCE-sized —
+    * a trusted slice is orders smaller than the corpus, so on a
+    * cluster they broadcast (here AQE does it) and scoring is map-side
+    * over one corpus-bigram exchange; the per-doc rollup rides the
+    * same doc_id key. The corpus is never self-joined; adding a
+    * document to the corpus (not the reference) changes only its own
+    * score — the incremental property a rolling curation pipeline
+    * needs. */
+  def referenceLmFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = docBigrams(spark, sfDir)
+    val refBig = big.join(
+      Tables.documents(spark, sfDir).filter($"lang" === "en")
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+    val c2 = refBig.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = refBig.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = refBig.agg(countDistinct($"w1").as("v"))
+    big.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("micro_nll",
+        round(log((coalesce($"c1", lit(0L)) + $"v") /
+          (coalesce($"c2", lit(0L)) + 1L).cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"micro_nll").as("sum_micro"))
+      .select($"doc_id", $"n_bigrams",
+        (call_function("div",
+          $"sum_micro" * 20000L + $"n_bigrams" * 1000000L,
+          $"n_bigrams" * 2000000L) / 10000.0).as("avg_nll"))
+      .withColumn("kept", $"avg_nll" <= RefLmKeepNll)
       .orderBy($"doc_id")
   }
 
@@ -2135,6 +2204,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d53_reference_lm_filter" -> referenceLmFilter _,
     "d52_incremental_neardup" -> incrementalNearDup _,
     "d51_method_agreement" -> methodAgreement _,
     "d50_source_overlap" -> sourceOverlap _,
@@ -2787,6 +2857,29 @@ object TextOps {
         |  ((n_shared * 20000 + n_ngrams) // (n_ngrams * 2)) / 10000.0
         |    AS contamination
         |FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // d16's bigram chain with counts from the 'en' reference slice
+    // only, Laplace-smoothed (c2+1)/(c1+V), left joins for OOV
+    "d53_reference_lm_filter" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, unnest([{'w1': toks[g], 'w2': toks[g+1]}
+        |  for g in range(1, len(toks))], recursive := true) FROM t),
+        |refbig AS (SELECT big.* FROM big
+        |  JOIN documents d ON d.doc_id = big.doc_id AND d.lang = 'en'),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM refbig GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM refbig GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM refbig),
+        |sc AS (SELECT doc_id,
+        |  CAST(round(ln((COALESCE(c1, 0) + v)
+        |    / CAST(COALESCE(c2, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS micro
+        |  FROM big LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  ((sum(micro) * 20000 + count(*) * 1000000)
+        |    // (count(*) * 2000000)) / 10000.0 AS avg_nll
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_nll, avg_nll <= $RefLmKeepNll AS kept
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "d16_bigram_lm" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
         |  WHERE len(str_split(text, ' ')) >= 2),
