@@ -1110,7 +1110,57 @@ object VectorOps {
       .limit(10)
   }
 
+  /** v26: the nprobe tuning curve — recall@10 of the IVF probe as a
+    * function of how many cells are probed (nprobe ∈ 1..4), against
+    * the brute-force exact ranking. v18 reports recall@k for the
+    * DEPLOYED nprobe (2); this is the curve a deployment reads to
+    * CHOOSE it — the accuracy/cost trade-off (n_returned doubles as
+    * the cost axis: candidates actually scored at each setting).
+    * Monotone in nprobe by construction (cells nest).
+    *
+    * Scale design: every probed vector is scored ONCE (the candidate
+    * table tags each with its cell's rank); the per-nprobe rankings
+    * are a ≤4× fan-out of that probe-bounded candidate set, never of
+    * the corpus — same contract as v07: the corpus-sized work is the
+    * shared [[ivfIndex]] assignment, everything after is
+    * probe-bounded. Exact top-10 comes from [[cosineTopK]]'s declared
+    * contract (one corpus scan). */
+  def nprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, q, _) = ivfIndex(spark, sfDir)
+    val ranked = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
+      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
+      .withColumn("cell_rank",
+        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
+      .filter($"cell_rank" <= 4)
+      .select($"c_label".as("probe_cell"), $"cell_rank")
+    val cand = assigned
+      .join(broadcast(ranked), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell_rank",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+    val exact = cosineTopK(spark, sfDir)
+      .withColumn("ex_rank",
+        row_number().over(Window.orderBy(desc("cos"), $"vec_id")))
+      .filter($"ex_rank" <= 10)
+      .select($"vec_id", lit(1L).as("hit"))
+    val probes = Seq(1L, 2L, 3L, 4L).toDF("nprobe")
+    cand.join(broadcast(probes), $"cell_rank" <= $"nprobe")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"nprobe").orderBy(desc("cos"), $"vec_id")))
+      .filter($"rn" <= 10)
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"nprobe", $"n_returned", $"n_hit",
+        graft.functions.Det.r4($"n_hit", lit(10L)).as("recall"))
+      .orderBy($"nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v26_nprobe_curve"    -> nprobeCurve _,
     "v25_filtered_ann"    -> filteredAnn _,
     "v24_ivf_balance"     -> ivfBalance _,
     "v23_range_search"    -> rangeSearch _,
@@ -1414,6 +1464,33 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // the shared assignment CTEs with the cell ranking opened up to 4
+    // and a per-nprobe re-rank of the once-scored candidate set
+    "v26_nprobe_curve" ->
+      s"""WITH $ivfCentCte,
+         |$ivfProbeCtes,
+         |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
+         |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
+         |      c_label) AS cell_rank
+         |  FROM cv CROSS JOIN q) z WHERE cell_rank <= 4),
+         |cand AS (SELECT a.vec_id, rc.cell_rank,
+         |    round(${cos("a.v", "qv")}, 6) AS cos
+         |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
+         |  CROSS JOIN q WHERE a.vec_id <> 0),
+         |probes AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS nprobe),
+         |pc AS (SELECT p.nprobe, c.vec_id, c.cos,
+         |    row_number() OVER (PARTITION BY p.nprobe
+         |      ORDER BY c.cos DESC, c.vec_id) AS rn
+         |  FROM probes p JOIN cand c ON c.cell_rank <= p.nprobe),
+         |ex AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY round(${cos("e.v", "q.qv")}, 6) DESC, vec_id) AS ex_rank
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0)
+         |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN ex.ex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  ((CAST(sum(CASE WHEN ex.ex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 20000 + 10) // 20) / 10000.0 AS recall
+         |FROM pc LEFT JOIN ex ON ex.vec_id = pc.vec_id
+         |WHERE pc.rn <= 10 GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     // the shared probe chain, pre-filtered by the metadata predicate
     // and RE-ranked (ivfr's rn is over unfiltered candidates)
     "v25_filtered_ann" ->

@@ -94,6 +94,24 @@ class GraftSpec extends AnyFunSuite {
         s"post=${postFilter.length} pre=${v25.length}")
   }
 
+  test("v26 curve is monotone and agrees with v18 at the deployed nprobe") {
+    import spark.implicits._
+    val curve = VectorOps.nprobeCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_returned"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(curve.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
+      s"recall not monotone in nprobe: $curve")
+    assert(curve.forall(c => c._2 <= 10 && c._3 <= c._2))
+    // the deployed probe (nprobe=2, the shared ivfIndex/qcells setting)
+    // must score identically through v18's recall@10
+    val v18at10 = VectorOps.annRecall(spark, sf).collect()
+      .find(_.getAs[Long]("k") == 10L).get.getAs[Double]("recall")
+    val v26at2 = curve.find(_._1 == 2L).get._4
+    assert(v18at10 == v26at2,
+      s"v18 recall@10 ($v18at10) != v26 nprobe=2 ($v26at2)")
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
