@@ -1177,7 +1177,59 @@ object Events {
       .orderBy($"day")
   }
 
+  /** e52: decile lift & cumulative gains — the model-evaluation
+    * readout for any propensity ranking ("if we target the top-k% by
+    * score, what share of converters do we reach?"): users ranked by
+    * engagement (view count — the stand-in scoring model), cut into
+    * deciles (1 = highest), and per decile the conversion rate
+    * (a high-value purchase, value ≥ 150 — the rare outcome; an
+    * any-purchase definition saturates on this fixture), lift vs the overall rate, and the
+    * cumulative-gains share of all converters captured through that
+    * decile. A useless score shows lift ≈ 1 everywhere and a diagonal
+    * gains curve; a useful one front-loads both.
+    *
+    * Determinism: decile is ntile(10) over the (views DESC, user_id)
+    * TOTAL order (the e50 precedent); every rate/lift/gain is the r4
+    * exact rational of exact counts — lift cross-multiplies
+    * (conv_d·users_total, users_d·conv_total) so no intermediate
+    * rate division happens. Count envelope: the cross product stays
+    * under r4's 4.6·10¹⁴ bound up to ~2·10⁷ users·converters — per
+    * e43's pattern the envelope is documented, not guarded, because
+    * the fixture sits orders below it (a deployment lifts rates to
+    * per-million integers first).
+    *
+    * Scale design: ONE map-side-combined per-user collapse is the
+    * only event-volume shuffle; the ntile ranks |users| rows (the
+    * e50 note applies: at 10⁹ users the exact decile cut reads off
+    * q27's equi-depth histogram); totals are a 1-row broadcast; the
+    * rollup output is exactly 10 rows, and the cumulative sum runs on
+    * those 10. */
+  def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, sfDir).groupBy($"user_id").agg(
+      sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n_views"),
+      max(when($"event_type" === "purchase" && $"value" >= 150.0, 1L)
+        .otherwise(0L)).as("converted"))
+    val scored = users.withColumn("decile", ntile(10)
+      .over(Window.orderBy(desc("n_views"), $"user_id")).cast("long"))
+    val tot = scored.agg(count(lit(1)).as("total_users"),
+      sum($"converted").as("total_conv"))
+    scored.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_conv", sum($"n_conv").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"decile", $"n_users", $"n_conv",
+        Det.r4($"n_conv", $"n_users").as("conv_rate"),
+        Det.r4($"n_conv" * $"total_users", $"n_users" * $"total_conv")
+          .as("lift"),
+        Det.r4($"cum_conv", $"total_conv").as("cum_gain"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e52_decile_lift" -> decileLift _,
     "e50_rfm_segments" -> rfmSegments _,
     "e51_sliding_mau" -> slidingMau _,
     "e49_ab_test" -> abTest _,
@@ -1222,6 +1274,31 @@ object Events {
     // (metric, user_id) total orders — the same rank both engines
     // compute; monetary is exact integer cents; CASTs keep DuckDB's
     // HUGEINT sums off the schema
+    // per-user collapse -> ntile(10) over the same total order ->
+    // 10-row rollup with cross-multiplied lift and running gains
+    "e52_decile_lift" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_views,
+         |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 150
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+         |  FROM events GROUP BY user_id),
+         |s AS (SELECT user_id, converted, CAST(ntile(10) OVER (
+         |    ORDER BY n_views DESC, user_id) AS BIGINT) AS decile FROM u),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total_users,
+         |    CAST(sum(converted) AS BIGINT) AS total_conv FROM s),
+         |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(converted) AS BIGINT) AS n_conv
+         |  FROM s GROUP BY decile),
+         |c AS (SELECT d.*, t.total_users, t.total_conv,
+         |    CAST(sum(n_conv) OVER (ORDER BY decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+         |  FROM d CROSS JOIN t)
+         |SELECT decile, n_users, n_conv,
+         |  ${D.r4("n_conv", "n_users")} AS conv_rate,
+         |  ${D.r4("n_conv * total_users", "n_users * total_conv")} AS lift,
+         |  ${D.r4("cum_conv", "total_conv")} AS cum_gain
+         |FROM c ORDER BY decile""".stripMargin,
     "e50_rfm_segments" ->
       s"""WITH per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
          |    CAST(sum(CASE WHEN event_type = 'purchase'

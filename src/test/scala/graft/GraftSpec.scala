@@ -112,6 +112,20 @@ class GraftSpec extends AnyFunSuite {
       s"v18 recall@10 ($v18at10) != v26 nprobe=2 ($v26at2)")
   }
 
+  test("e52 invariants: deciles partition users evenly, gains end at 1.0") {
+    import spark.implicits._
+    val rows = Events.decileLift(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val sizes = rows.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1, s"ntile imbalance: ${sizes.toSeq}")
+    val convs = rows.map(_.getAs[Long]("n_conv"))
+    assert(convs.sum > 0 && convs.sum < sizes.sum,
+      "conversion saturated or empty - the lift readout is degenerate")
+    assert(rows.last.getAs[Double]("cum_gain") == 1.0)
+    val gains = rows.map(_.getAs[Double]("cum_gain"))
+    assert(gains.sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
