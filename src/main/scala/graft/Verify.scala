@@ -35,14 +35,39 @@ object Verify {
       (b, kv) => b.config(kv._1, kv._2)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    def runOne(sess: SparkSession, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    val entries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    // Concurrency-sweep hook (builder-run only, like SPARK_GRAFT_CONF):
+    // SPARK_GRAFT_PAR=n submits the queries from n threads at once,
+    // each through its OWN spark.newSession() — shared SparkContext +
+    // catalog, isolated SQLConf/temp views/UDFs. That is the
+    // multi-tenant shape (one cluster, many analysts) AND the isolation
+    // production concurrency requires: the streaming harness sizes
+    // state-store parallelism per query via session conf
+    // (runToMemory's shuffle-partitions / noDataMicroBatches set+
+    // restore), which is session-scoped by design — tenants sharing
+    // ONE session would bleed those into each other's query planning
+    // (observed: a complete-mode query's noDataBatch=false planned a
+    // concurrent append query without its watermark-close batch,
+    // silently dropping its final windows). The driver never sets the
+    // hook → sequential on the one declared session.
+    val par = sys.env.get("SPARK_GRAFT_PAR").map(_.toInt).getOrElse(1)
+    if (par <= 1) entries.foreach { case (n, f) => runOne(spark, n, f) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try entries.map { case (n, f) =>
+        pool.submit(new Runnable {
+          def run(): Unit = runOne(spark.newSession(), n, f)
+        })
+      }.foreach(_.get())
+      finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
