@@ -2094,6 +2094,70 @@ object TextOps {
       .orderBy($"d_new", $"d_match")
   }
 
+  /** d54 band layouts over the 16 minhash permutations: (bands,
+    * rows-per-band) with b·r = 16 — from high-precision (2 bands of 8:
+    * a candidate must match 8 straight permutations) to the degenerate
+    * recall-max (16 bands of 1: any shared permutation minimum is a
+    * candidate). The deployed d06 layout is (4, 4). */
+  private[graft] val BandLayouts = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** d54: LSH banding tuning curve — the (b, r) trade-off every
+    * MinHash deployment sets, measured instead of guessed: for each
+    * [[BandLayouts]] layout over the SAME 16-permutation signatures,
+    * the candidate-pair volume (the cost axis: pairs that must be
+    * verified) and the candidate recall against d08's exact-Jaccard
+    * ≥ 0.5 ground truth (the quality axis). Banding theory says a
+    * true pair at similarity s survives with 1-(1-s^r)^b — wider
+    * bands (big r) crush the candidate volume but lose borderline
+    * pairs, and r = 1 explodes: on the sf0.1 fixture the candidate
+    * count runs 236 → 282 → 1 061 → 159 424 across the four layouts.
+    * v26 is the same readout for the IVF index (nprobe); this is the
+    * dedup-index counterpart.
+    *
+    * Determinism: exact counts; recall is the r4 exact rational;
+    * layouts ride as literals.
+    *
+    * Scale design: signatures are computed ONCE (the shared d06
+    * cache); each layout is one band self-join whose cost IS the
+    * measured quantity — the r = 1 row exists precisely to show the
+    * blow-up a deployment must avoid (its bucket key is a single
+    * permutation minimum, so bucket sizes approach document frequency
+    * of the commonest shingle — the curve is how you find that out at
+    * sf0.1, not at 100 TB). The truth set rides d08's declared
+    * prefix-filtered contract; hit-counting joins only candidate
+    * pairs. */
+  def bandingCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
+    val truth = ngramJaccard(spark, sfDir)
+      .select($"d1", $"d2", lit(1L).as("t"))
+    val perLayout = BandLayouts.map { case (b, r) =>
+      val bands = sigs.select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${b - 1}),
+          bb -> struct(bb AS band,
+            array_join(transform(slice(sig, bb*$r + 1, $r),
+              v -> cast(v as string)), '|') AS bh))""")).as("x"))
+        .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
+      bands.as("a")
+        .join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+        .join(truth, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum($"t"), lit(0L)).as("n_hit"))
+        .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+          $"n_candidates", $"n_hit")
+    }
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    perLayout.reduce(_ unionByName _)
+      .crossJoin(broadcast(nTruth))
+      .select($"b", $"r", $"n_candidates", $"n_hit", $"n_truth",
+        graft.functions.Det.r4($"n_hit", $"n_truth").as("recall"))
+      .orderBy($"b")
+  }
+
   /** d50: cross-source contamination matrix — the provenance-hygiene
     * report run before mixing crawl snapshots: for every unordered
     * source pair, the number of distinct 3-token shingles present in
@@ -2204,6 +2268,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d54_banding_curve" -> bandingCurve _,
     "d53_reference_lm_filter" -> referenceLmFilter _,
     "d52_incremental_neardup" -> incrementalNearDup _,
     "d51_method_agreement" -> methodAgreement _,
@@ -2488,6 +2553,36 @@ object TextOps {
          |ORDER BY c.d1, c.d2""".stripMargin,
     // full-outer diff on the snapshot key; CASTs keep HUGEINT off the
     // schema
+    // the d06 sig chain re-banded per layout (sig's s // r grouping),
+    // hits counted against d08's exact-Jaccard truth chain
+    "d54_banding_curve" -> {
+      val layouts = BandLayouts.map { case (b, r) =>
+        s"""l_$b AS (SELECT $b AS b, $r AS r,
+           |    CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(coalesce(sum(t), 0) AS BIGINT) AS n_hit FROM (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM
+           |    (SELECT doc_id, s // $r AS band,
+           |       string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
+           |     FROM sig GROUP BY doc_id, s // $r) a JOIN
+           |    (SELECT doc_id, s // $r AS band,
+           |       string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
+           |     FROM sig GROUP BY doc_id, s // $r) b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2) c
+           |  LEFT JOIN (SELECT d1, d2, 1 AS t FROM jxp) tr
+           |    USING (d1, d2))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mhBandsCte,
+         |$jaccardPairsCte,
+         |$layouts,
+         |u AS (${BandLayouts.map { case (b, _) => s"SELECT * FROM l_$b" }
+           .mkString(" UNION ALL ")}),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM jxp)
+         |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+         |  n_candidates, n_hit, n_truth,
+         |  ${graft.functions.Det.sql.r4("n_hit", "n_truth")} AS recall
+         |FROM u CROSS JOIN nt ORDER BY b""".stripMargin
+    },
     // the d06 band/sig chain with the d49 snapshot-split literals:
     // candidates restricted to pairs touching a new arrival
     "d52_incremental_neardup" ->

@@ -126,6 +126,24 @@ class GraftSpec extends AnyFunSuite {
     assert(gains.sliding(2).forall { case Array(a, b) => a <= b })
   }
 
+  test("d54 banding curve: cost and recall both rise as bands narrow") {
+    import spark.implicits._
+    val rows = TextOps.bandingCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("n_truth")))
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 },
+      s"candidates/hits not monotone in band count: ${rows.toSeq}")
+    assert(rows.forall(r => r._3 <= math.min(r._2, r._4)))
+    // candidate sets NEST as bands narrow: the layouts' band
+    // boundaries refine (8 = 4+4 = 2+2+2+2), so matching a coarse band
+    // means matching every sub-band inside it — monotonicity above is
+    // structural, and the r=1 blow-up is the curve's whole point
+    assert(rows.last._2 > 10L * rows.head._2,
+      s"r=1 no longer demonstrates the candidate blow-up: ${rows.toSeq}")
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
