@@ -104,6 +104,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pd50.contains("SortMergeJoin"), s"d50 shuffled a join:\n$pd50")
   }
 
+  test("v25 pre-filter rides broadcasts: semi join and probe join are BHJs") {
+    val p = planOf(graft.operators.VectorOps.filteredAnn(spark, sf))
+    assert(p.contains("LeftSemi, BuildRight"),
+      s"v25's metadata pre-filter is not a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"v25 shuffled a join:\n$p")
+  }
+
   test("kNN classify stays a bounded broadcast loop + windowed top-k") {
     val df = graft.operators.VectorOps.knnClassify(spark, sf)
     val plan = planOf(df)
