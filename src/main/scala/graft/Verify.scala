@@ -58,7 +58,8 @@ object Verify {
     // concurrent append query without its watermark-close batch,
     // silently dropping its final windows). The driver never sets the
     // hook → sequential on the one declared session.
-    val par = sys.env.get("SPARK_GRAFT_PAR").map(_.toInt).getOrElse(1)
+    val par = sys.env.get("SPARK_GRAFT_PAR")
+      .flatMap(_.trim.toIntOption).getOrElse(1)
     if (par <= 1) entries.foreach { case (n, f) => runOne(spark, n, f) }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)

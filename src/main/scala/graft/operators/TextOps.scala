@@ -1251,6 +1251,19 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** One row per (doc, adjacent-token bigram) — shared by the d16
+    * self-scored LM and the d53 reference-LM filter so the bigram
+    * definition cannot drift between them. */
+  private def docBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithToks(spark, sfDir)
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+  }
+
   /** Corpus-bigram language-model quality score — the perplexity-filter
     * shape of a training-data pipeline, with the LM trained on the
     * corpus itself: P(w2|w1) = c(w1,w2)/c(w1·) over all bigram
@@ -1265,19 +1278,6 @@ object TextOps {
     * the rounding grain), then summed as exact int64 — the per-doc sum
     * never depends on float summation order — and the final per-doc
     * average rounds in exact integer arithmetic like [[qualityScore]]. */
-  /** One row per (doc, adjacent-token bigram) — shared by the d16
-    * self-scored LM and the d53 reference-LM filter so the bigram
-    * definition cannot drift between them. */
-  private def docBigrams(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-2),
-          g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-  }
-
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val big = docBigrams(spark, sfDir)

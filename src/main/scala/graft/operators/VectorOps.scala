@@ -1114,8 +1114,9 @@ object VectorOps {
     * function of how many cells are probed (nprobe ∈ 1..4), against
     * the brute-force exact ranking. v18 reports recall@k for the
     * DEPLOYED nprobe (2); this is the curve a deployment reads to
-    * CHOOSE it — the accuracy/cost trade-off (n_returned doubles as
-    * the cost axis: candidates actually scored at each setting).
+    * CHOOSE it — the accuracy/cost trade-off: n_scored is the cost
+    * axis (candidates actually scored at that setting — the probed
+    * cells' population), n_returned the fill (min(10, n_scored)).
     * Monotone in nprobe by construction (cells nest).
     *
     * Scale design: every probed vector is scored ONCE (the candidate
@@ -1146,7 +1147,10 @@ object VectorOps {
       .filter($"ex_rank" <= 10)
       .select($"vec_id", lit(1L).as("hit"))
     val probes = Seq(1L, 2L, 3L, 4L).toDF("nprobe")
-    cand.join(broadcast(probes), $"cell_rank" <= $"nprobe")
+    val fanned = cand.join(broadcast(probes), $"cell_rank" <= $"nprobe")
+    val scored = fanned.groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_scored"))
+    fanned
       .withColumn("rn", row_number().over(
         Window.partitionBy($"nprobe").orderBy(desc("cos"), $"vec_id")))
       .filter($"rn" <= 10)
@@ -1154,7 +1158,8 @@ object VectorOps {
       .groupBy($"nprobe")
       .agg(count(lit(1)).as("n_returned"),
         sum(coalesce($"hit", lit(0L))).as("n_hit"))
-      .select($"nprobe", $"n_returned", $"n_hit",
+      .join(broadcast(scored), Seq("nprobe"))
+      .select($"nprobe", $"n_scored", $"n_returned", $"n_hit",
         graft.functions.Det.r4($"n_hit", lit(10L)).as("recall"))
       .orderBy($"nprobe")
   }
@@ -1484,13 +1489,17 @@ object VectorOps {
          |  FROM probes p JOIN cand c ON c.cell_rank <= p.nprobe),
          |ex AS (SELECT vec_id, row_number() OVER (
          |    ORDER BY round(${cos("e.v", "q.qv")}, 6) DESC, vec_id) AS ex_rank
-         |  FROM e CROSS JOIN q WHERE vec_id <> 0)
-         |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_returned,
-         |  CAST(sum(CASE WHEN ex.ex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  ((CAST(sum(CASE WHEN ex.ex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
-         |    * 20000 + 10) // 20) / 10000.0 AS recall
-         |FROM pc LEFT JOIN ex ON ex.vec_id = pc.vec_id
-         |WHERE pc.rn <= 10 GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0),
+         |ns AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM pc GROUP BY nprobe),
+         |topk AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_returned,
+         |    CAST(sum(CASE WHEN ex.ex_rank <= 10 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM pc LEFT JOIN ex ON ex.vec_id = pc.vec_id
+         |  WHERE pc.rn <= 10 GROUP BY nprobe)
+         |SELECT nprobe, n_scored, n_returned, n_hit,
+         |  ${graft.functions.Det.sql.r4("n_hit", "10")} AS recall
+         |FROM topk JOIN ns USING (nprobe) ORDER BY nprobe""".stripMargin,
     // the shared probe chain, pre-filtered by the metadata predicate
     // and RE-ranked (ivfr's rn is over unfiltered candidates)
     "v25_filtered_ann" ->

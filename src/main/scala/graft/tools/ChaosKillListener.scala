@@ -55,7 +55,11 @@ class ChaosKillListener extends SparkListener {
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
     ev.reason match {
-      case _: TaskKilled => landed.incrementAndGet()
+      // count ONLY our own kills: streaming-query stops and stage
+      // cancellations also end tasks with a TaskKilled reason, and
+      // counting those would inflate the sweep's evidence number
+      case k: TaskKilled if k.reason.startsWith("graft-chaos") =>
+        landed.incrementAndGet()
       case _ => ()
     }
 

@@ -98,11 +98,14 @@ class GraftSpec extends AnyFunSuite {
     import spark.implicits._
     val curve = VectorOps.nprobeCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_returned"),
-        r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"),
+        r.getAs[Long]("n_scored")))
     assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
-    assert(curve.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
-      s"recall not monotone in nprobe: $curve")
-    assert(curve.forall(c => c._2 <= 10 && c._3 <= c._2))
+    assert(curve.sliding(2).forall { case Array(a, b) =>
+      a._4 <= b._4 && a._5 <= b._5 },
+      s"recall/cost not monotone in nprobe: ${curve.toSeq}")
+    // the cost axis is the probed population; the fill is its cap
+    assert(curve.forall(c => c._2 == math.min(10L, c._5) && c._3 <= c._2))
     // the deployed probe (nprobe=2, the shared ivfIndex/qcells setting)
     // must score identically through v18's recall@10
     val v18at10 = VectorOps.annRecall(spark, sf).collect()
