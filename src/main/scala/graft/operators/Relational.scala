@@ -638,7 +638,54 @@ object Relational {
       .orderBy($"col")
   }
 
+  /** q29: per-brand Pearson correlation between line quantity and
+    * extended price (in cents) — the statistical-moments surface the
+    * optimizer-statistics suite (q26/q27/q28) doesn't cover: the
+    * five sufficient moments (Σx, Σy, Σxy, Σx², Σy²) plus n are
+    * enough to answer corr/variance/covariance questions without a
+    * second scan, which is how a 100 TB profiler computes them.
+    *
+    * Determinism (the e49 z² precedent): every moment is an EXACT
+    * integer — quantities are integral, prices exact cents, products
+    * summed as DECIMAL(38,0) on Spark and HUGEINT in DuckDB (Σy²
+    * reaches ~6·10²² at sf0.1, past int64 — the cast is
+    * load-bearing) — and the final r is ONE identical double
+    * expression over those exact values (num / (sqrt(vx)·sqrt(vy)),
+    * same association order both engines), NULL on zero variance.
+    *
+    * Scale design: ONE hash-agg over the fact table keyed by the
+    * broadcast brand dim; the correlation math runs on 25 rows of
+    * moments. Nothing else touches the fact table. */
+  def brandCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir).select($"l_partkey",
+      $"l_quantity".cast("long").as("x"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("y"))
+    val brands = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand")
+    l.join(broadcast(brands), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+          .as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+          .as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+          .as("syy"))
+      .select($"p_brand", $"n",
+        round(expr(
+          """CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0
+            |       AND n * syy - CAST(sy AS DECIMAL(38,0)) * sy > 0
+            |  THEN CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            |    / (sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+            |       * sqrt(CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+            |  END""".stripMargin), 4).as("corr_qty_price"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_brand_corr"         -> brandCorr _,
     "q28_column_stats"       -> columnStats _,
     "q27_equidepth_hist"     -> equidepthHistogram _,
     "q26_skew_profile"       -> skewProfile _,
@@ -674,6 +721,23 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // melt → frequency table → per-column rollup + ordered top-3;
     // int/flag columns only (VARCHAR casts agree cross-engine there)
+    // exact integer moments (HUGEINT sums ≡ Spark DECIMAL(38,0)),
+    // one identical double expression for r, NULL on zero variance
+    "q29_brand_corr" ->
+      """WITH j AS (SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS x,
+        |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM j GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |    END, 4) AS corr_qty_price
+        |FROM m ORDER BY p_brand""".stripMargin,
     "q28_column_stats" -> {
       val melt = StatsCols.map(c =>
         s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM lineitem")
