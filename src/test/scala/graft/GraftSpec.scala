@@ -147,6 +147,20 @@ class GraftSpec extends AnyFunSuite {
       s"r=1 no longer demonstrates the candidate blow-up: ${rows.toSeq}")
   }
 
+  test("q29 correlations are bounded and cover every brand") {
+    import spark.implicits._
+    val rows = Relational.brandCorr(spark, sf).collect()
+    val nBrands = Tables.part(spark, sf)
+      .select($"p_brand").distinct().count()
+    assert(rows.length == nBrands)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      // NULL only on zero variance; fixture brands all have spread
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
