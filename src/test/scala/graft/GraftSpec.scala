@@ -3574,6 +3574,21 @@ class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got < postings)
   }
 
+  test("s45 watermark retires ALL sliding-window state by termination") {
+    import spark.implicits._
+    // the opposite bound from the tests above: s45's state is live
+    // (window, user) pairs — the ×7 slide multiplies it — and the
+    // contract is that the watermark RETIRES it (1/7th per day; the
+    // flush sentinel closes the rest). A wrong watermark column or a
+    // window/watermark mismatch shows up as terminal state that never
+    // drains — the classic streaming state leak, invisible to the
+    // result hash because closed windows still emit.
+    StreamOps.streamSlidingMau(spark, sf).collect()
+    val got = stateRows("graft_s45")
+    assert(got == 0L,
+      s"s45 terminal state holds $got rows — the watermark is not retiring windows")
+  }
+
   test("s37 state rows == users with at least one click") {
     import spark.implicits._
     StreamOps.streamAttribution(spark, sf).collect()
