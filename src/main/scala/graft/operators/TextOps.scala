@@ -2337,8 +2337,8 @@ object TextOps {
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
     * (candidate pairs + matching-permutation counts) — shared verbatim
-    * by the d06 and d21 oracles so the two can never drift. */
-  private def mhPairsCte: String =
+    * by the d06, d21, and v27 oracles so they can never drift. */
+  private[graft] def mhPairsCte: String =
     s"""$mhBandsCte,
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -1164,7 +1164,45 @@ object VectorOps {
       .orderBy($"nprobe")
   }
 
+  /** v27 agreement threshold on the embedding cosine of text-dup
+    * pairs. The synthetic fixture's embeddings carry NO text signal
+    * (dup-pair cosines scatter around 0, −0.17..0.28 at sf0.01), so
+    * the threshold sits at the scatter's center to keep both flag
+    * values populated; on a real corpus text dups cluster near
+    * cos ≈ 1 and the threshold is high (~0.8) — the rare disagreeing
+    * pair is the finding. */
+  private[graft] val CrossModalTau = 0.0
+
+  /** v27: cross-modal agreement audit — d51's methods-agreement idea
+    * extended across MODALITIES: every text-level near-dup pair (the
+    * d06 MinHash contract, shared cache) scored by its EMBEDDING
+    * cosine, flagging pairs where the two modalities disagree. In a
+    * production pipeline this is the caption/image-mismatch and
+    * poisoned-pair detector: text says duplicate, the embedding
+    * model says unrelated (or vice versa via v15's semantic pairs) —
+    * either the dedup config or the embedding run is wrong for those
+    * rows, and both feed training.
+    *
+    * Scale design: the pair list is the d06 output (already
+    * candidate-bounded by banding); the embedding join is two keyed
+    * hash joins on the pair ids against the vector table — pair-count
+    * sized, never corpus×corpus; the cosine is the codegen'd
+    * expression. Nothing new shuffles at corpus scale. */
+  def crossModalCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.operators.TextOps.lshPairs(spark, sfDir)
+    val e = embDouble(spark, sfDir)
+    pairs
+      .join(e.select($"vec_id".as("d1"), $"v".as("v1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"v".as("v2")), "d2")
+      .select($"d1", $"d2", $"est_jaccard",
+        round(call_function("graft_cosine", $"v1", $"v2"), 6).as("cos"))
+      .withColumn("agree", $"cos" >= CrossModalTau)
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v27_crossmodal_check" -> crossModalCheck _,
     "v26_nprobe_curve"    -> nprobeCurve _,
     "v25_filtered_ann"    -> filteredAnn _,
     "v24_ivf_balance"     -> ivfBalance _,
@@ -1469,6 +1507,19 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // d06's shared pair chain (est_jaccard ≥ 0.5) joined to the
+    // embedding table on both pair ids, cosine per pair
+    "v27_crossmodal_check" ->
+      s"""WITH ${graft.operators.TextOps.mhPairsCte},
+         |p AS (SELECT d1, d2, round(nm / 16.0, 4) AS est_jaccard
+         |  FROM m WHERE nm / 16.0 >= 0.5),
+         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT d1, d2, est_jaccard,
+         |  round(${cos("a.v", "b.v")}, 6) AS cos,
+         |  round(${cos("a.v", "b.v")}, 6) >= $CrossModalTau AS agree
+         |FROM p JOIN ee a ON a.vec_id = p.d1
+         |JOIN ee b ON b.vec_id = p.d2
+         |ORDER BY d1, d2""".stripMargin,
     // the shared assignment CTEs with the cell ranking opened up to 4
     // and a per-nprobe re-rank of the once-scored candidate set
     "v26_nprobe_curve" ->
