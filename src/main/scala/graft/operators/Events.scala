@@ -1228,7 +1228,66 @@ object Events {
       .orderBy($"decile")
   }
 
+  /** e53: robust outlier detection per event type — median / MAD
+    * (median absolute deviation) instead of mean / stddev, the
+    * dispersion measure the outliers themselves can't poison (a burst
+    * of fat-finger values moves a stddev fence but not a MAD fence;
+    * e39's rolling z-score is exactly the fragile fence this
+    * complements). Flags event values with |x − median| > 3·MAD; the
+    * long-tailed `value` column fires the fence at every fixture SF
+    * (~11% flagged).
+    *
+    * Determinism: EVERYTHING is exact int64 — medians use e17's
+    * rank-window selection keeping the two middle elements in ×2
+    * units (m2 = lo + hi, no division), deviations are |2x − m2|,
+    * the deviation median doubles again (mad4, ×4 units), and the
+    * outlier rule 2·dev > 3·mad4 is a pure integer comparison.
+    * Dollar-valued outputs round via [[Det.r4]] (median = m2/200,
+    * MAD = mad4/400, exact 4-dp half-up).
+    *
+    * Scale design: both median passes are rank windows PARTITIONED BY
+    * event_type — the distributed per-group sort (e17's note:
+    * `percentile()` buffers whole groups in one aggregator) — riding
+    * one partitioning; the outlier count is one more pass over the
+    * same exchange. Value ties leave rank order among equals
+    * arbitrary, but the VALUE at a rank is the sorted multiset's —
+    * well-defined in both engines. */
+  def valueMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.events(spark, sfDir).select($"event_type",
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    def median2(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+      val wN = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          (max(when(col("rn") === Det.fdiv(col("n") + 1L, lit(2L)), col(v)))
+            + max(when(col("rn") === Det.fdiv(col("n"), lit(2L)) + 1L,
+              col(v)))).as(out))
+    }
+    val med = median2(j, "c", "m2")
+    val dev = j.join(med, "event_type")
+      .select($"event_type", $"n".as("n_rows"), $"m2",
+        abs($"c" * 2L - $"m2").as("dev"))
+    val mad = median2(dev.select($"event_type", $"dev"), "dev", "mad4")
+      .select($"event_type", $"mad4")
+    dev.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n_rows").as("n"), max($"m2").as("m2"),
+        max($"mad4").as("mad4"),
+        sum(when($"dev" * 2L > $"mad4" * 3L, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"n",
+        Det.r4($"m2", lit(200L)).as("median_value"),
+        Det.r4($"mad4", lit(400L)).as("mad"),
+        $"n_outliers")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e53_value_mad_outliers" -> valueMadOutliers _,
     "e52_decile_lift" -> decileLift _,
     "e50_rfm_segments" -> rfmSegments _,
     "e51_sliding_mau" -> slidingMau _,
@@ -1274,6 +1333,34 @@ object Events {
     // (metric, user_id) total orders — the same rank both engines
     // compute; monetary is exact integer cents; CASTs keep DuckDB's
     // HUGEINT sums off the schema
+    // e17-style rank-window medians in x2/x4 integer units; the
+    // outlier rule 2*dev > 3*mad4 is a pure integer comparison
+    "e53_value_mad_outliers" ->
+      s"""WITH j AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |r1 AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM j),
+        |m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+        |      + max(CASE WHEN rn = n // 2 + 1 THEN c END) AS m2
+        |  FROM r1 GROUP BY event_type),
+        |d AS (SELECT j.event_type, m.n, m.m2, abs(2*j.c - m.m2) AS dev
+        |  FROM j JOIN m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mm AS (SELECT event_type,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |      + max(CASE WHEN rn = n // 2 + 1 THEN dev END) AS mad4
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  ${D.r4("max(d.m2)", "200")} AS median_value,
+        |  ${D.r4("max(mm.mad4)", "400")} AS mad,
+        |  CAST(sum(CASE WHEN 2*d.dev > 3*mm.mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mm USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // per-user collapse -> ntile(10) over the same total order ->
     // 10-row rollup with cross-multiplied lift and running gains
     "e52_decile_lift" ->

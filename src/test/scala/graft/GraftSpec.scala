@@ -161,6 +161,21 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("e53 MAD fence fires on the value tail without flagging the majority") {
+    import spark.implicits._
+    val rows = Events.valueMadOutliers(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.foreach { r =>
+      val out = r.getAs[Long]("n_outliers")
+      // the long-tailed value column must actually exercise the fence,
+      // and a sane fence never flags the majority
+      assert(out > 0 && out < r.getAs[Long]("n") / 2,
+        s"degenerate fence: $r")
+      assert(r.getAs[Double]("mad") > 0.0)
+    }
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
