@@ -1249,9 +1249,14 @@ object Events {
     * event_type — the distributed per-group sort (e17's note:
     * `percentile()` buffers whole groups in one aggregator) — riding
     * one partitioning; the outlier count is one more pass over the
-    * same exchange. Value ties leave rank order among equals
-    * arbitrary, but the VALUE at a rank is the sorted multiset's —
-    * well-defined in both engines. */
+    * same exchange. Measured honestly at 100× (SURVEY §6): the slope
+    * is linear but parallelism is CAPPED at |groups| (5 here) — the
+    * contract-inherent cost of EXACT per-group medians. At genuinely
+    * massive groups the fence reads its median/MAD off q27's
+    * equi-depth histogram instead (±1 bucket boundary), the same
+    * substitution e50's quartile note prescribes. Value ties leave
+    * rank order among equals arbitrary, but the VALUE at a rank is
+    * the sorted multiset's — well-defined in both engines. */
   def valueMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val j = Tables.events(spark, sfDir).select($"event_type",
