@@ -1291,7 +1291,72 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** e54 bin width for the approximate median/MAD, in cents ($1). */
+  private[graft] val MadBinCents = 100L
+
+  /** e54: binned approximate median/MAD — the SCALE-PARALLEL
+    * substitute for e53's exact fences, making the substitution e53's
+    * scale note prescribes concrete as a declared query: values land
+    * in fixed $1 bins, per-(group, bin) counts are ONE map-side-
+    * combined hash-agg with full parallelism (no per-group sort —
+    * e53's measured 100× slope is parallelism-capped at |groups|;
+    * this shape isn't), the median is read off the bin cumsum with
+    * intra-bin linear interpolation floored to the cent, and a second
+    * identical pass bins |x − median| for the MAD. Accuracy contract:
+    * within one bin width of the exact answer (GraftSpec pins
+    * agreement with e53 under that bound on the fixture).
+    *
+    * Determinism: bins, cumsums, ranks, and the interpolation
+    * (edge + (target − below)·width div binCount) are pure int64;
+    * outputs round via [[Det.r4]]; the fence |x−med| > 3·MAD compares
+    * integer cents.
+    *
+    * Scale design: two hash-agg passes + per-group bin tables (≤
+    * value-range/width rows per group — broadcastable), cumsum
+    * windows run over BIN rows not events. This is the streaming-
+    * compatible shape too: bin counts are mergeable monoid state. */
+  def binnedMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.events(spark, sfDir).select($"event_type",
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    // approximate median (integer cents) per group from $1-bin counts:
+    // target rank = (n+1) div 2; med = binEdge + (target - cumBelow)
+    // * width div binCount, floored to the cent
+    def approxMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val bins = df.groupBy($"event_type",
+          Det.fdiv(col(v), lit(MadBinCents)).as("bin"))
+        .agg(count(lit(1)).as("bc"))
+      val w = Window.partitionBy($"event_type").orderBy($"bin")
+      val wN = Window.partitionBy($"event_type")
+      bins
+        .withColumn("cum", sum($"bc").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"bc").over(wN))
+        .withColumn("target", Det.fdiv($"n" + 1L, lit(2L)))
+        .filter($"cum" >= $"target" && $"cum" - $"bc" < $"target")
+        .select($"event_type", $"n",
+          ($"bin" * MadBinCents +
+            Det.fdiv(($"target" - ($"cum" - $"bc")) * MadBinCents, $"bc"))
+            .as(out))
+    }
+    val med = approxMedian(j, "c", "mc")
+    val dev = j.join(med, "event_type")
+      .select($"event_type", $"n", $"mc", abs($"c" - $"mc").as("dev"))
+    val mad = approxMedian(dev.select($"event_type", $"dev"), "dev", "madc")
+      .select($"event_type", $"madc")
+    dev.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"mc").as("mc"), max($"madc").as("madc"),
+        sum(when($"dev" > $"madc" * 3L, 1L).otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"n",
+        Det.r4($"mc", lit(100L)).as("approx_median"),
+        Det.r4($"madc", lit(100L)).as("approx_mad"),
+        $"n_outliers")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e54_binned_mad_outliers" -> binnedMadOutliers _,
     "e53_value_mad_outliers" -> valueMadOutliers _,
     "e52_decile_lift" -> decileLift _,
     "e50_rfm_segments" -> rfmSegments _,
@@ -1338,6 +1403,41 @@ object Events {
     // (metric, user_id) total orders — the same rank both engines
     // compute; monetary is exact integer cents; CASTs keep DuckDB's
     // HUGEINT sums off the schema
+    // $1-bin counts -> bin cumsum -> intra-bin interpolation floored
+    // to the cent, twice (values, then deviations); all operands
+    // non-negative so DuckDB's // agrees with Det.fdiv
+    "e54_binned_mad_outliers" ->
+      s"""WITH j AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |b1 AS (SELECT event_type, c // $MadBinCents AS bin,
+        |    CAST(count(*) AS BIGINT) AS bc FROM j GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, bin, bc,
+        |    sum(bc) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(bc) OVER (PARTITION BY event_type) AS n FROM b1),
+        |m AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    bin * $MadBinCents + ((((n+1)//2) - (cum - bc))
+        |      * $MadBinCents) // bc AS mc
+        |  FROM c1 WHERE cum >= (n+1)//2 AND cum - bc < (n+1)//2),
+        |d AS (SELECT j.event_type, m.n, m.mc, abs(j.c - m.mc) AS dev
+        |  FROM j JOIN m USING (event_type)),
+        |b2 AS (SELECT event_type, dev // $MadBinCents AS bin,
+        |    CAST(count(*) AS BIGINT) AS bc FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, bin, bc,
+        |    sum(bc) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(bc) OVER (PARTITION BY event_type) AS n FROM b2),
+        |mm AS (SELECT event_type,
+        |    bin * $MadBinCents + ((((n+1)//2) - (cum - bc))
+        |      * $MadBinCents) // bc AS madc
+        |  FROM c2 WHERE cum >= (n+1)//2 AND cum - bc < (n+1)//2)
+        |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  ${D.r4("max(d.mc)", "100")} AS approx_median,
+        |  ${D.r4("max(mm.madc)", "100")} AS approx_mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mm.madc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mm USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // e17-style rank-window medians in x2/x4 integer units; the
     // outlier rule 2*dev > 3*mad4 is a pure integer comparison
     "e53_value_mad_outliers" ->

@@ -176,6 +176,27 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("e54 binned fences agree with e53's exact ones within one bin width") {
+    import spark.implicits._
+    val exact = Events.valueMadOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("median_value"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers"), r.getAs[Long]("n"))).toMap
+    val approx = Events.binnedMadOutliers(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (med, mad, out, n) = exact(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("approx_median") - med) <= 1.0,
+        s"median off by more than the bin width: $r vs $med")
+      assert(math.abs(r.getAs[Double]("approx_mad") - mad) <= 1.0,
+        s"MAD off by more than the bin width: $r vs $mad")
+      // the fence moves by < one bin, so flip-able points are only
+      // those within a bin of the exact fence
+      assert(math.abs(r.getAs[Long]("n_outliers") - out) <= n / 50,
+        s"outlier count diverged: $r vs $out")
+    }
+  }
+
   test("pricing summary matches a hand-computed slice") {
     import spark.implicits._
     val row = Relational.pricingSummary(spark, sf)
