@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+
+/** Exact global ranking without a single-partition sort.
+  *
+  * `ntile(n) OVER (ORDER BY <total order>)` plans as ONE window
+  * partition — a single-task sort of the whole input, the scale ceiling
+  * e50/e52's scaladocs name ("at 10⁹ users…"). This helper computes the
+  * IDENTICAL bucket assignment distributively:
+  *
+  *   1. `repartitionByRange(P, order)` — the parallel cluster-wide sort
+  *      (partition i holds a contiguous slice of the total order). The
+  *      partition count is EXPLICIT, so AQE never coalesces it
+  *      (user-specified numPartitions is preserved) and the partition →
+  *      slice mapping is stable within the plan.
+  *   2. per-partition row counts → prefix-sum offsets: a ≤ P row
+  *      aggregate, cumulated by a window over that TINY table and
+  *      broadcast back. Both consumers of the range shuffle canonicalize
+  *      to the same exchange, so ReuseExchange materializes it ONCE —
+  *      required for correctness, since `spark_partition_id()` must mean
+  *      the same slice on both sides (DistRankSpec pins the
+  *      ReusedExchange in the physical plan).
+  *   3. global rank = intra-partition row_number + partition offset
+  *      (the row_number window partitions by pid — P-way parallel).
+  *   4. the SQL-standard ntile readout from (rank, N): with q = N div n
+  *      and m = N mod n, the first m buckets take q+1 rows, the rest q.
+  *
+  * Over a TOTAL order (no ties by construction) both code paths produce
+  * byte-identical buckets, so the data — not the query author — picks
+  * the physical plan (the statsDrivenJoin precedent) and the oracle
+  * cannot tell them apart. */
+object DistRank {
+
+  /** ntile(n) over `order` computed with the distributed plan above.
+    * Adds LongType column `out`; `order` must be a total order. */
+  def ntileDistributed(df: DataFrame, order: Seq[Column], n: Int,
+      out: String, parts: Int = 32): DataFrame = {
+    require(n > 0, s"ntile($n)")
+    val parted = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // prefix offsets + grand total over ≤ `parts` rows — the one place a
+    // single-partition window is CORRECT at any scale
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nt", sum(col("__cnt")).over(
+        Window.orderBy(col("__pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__nt"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val q = Det.fdiv(col("__nt"), lit(n.toLong))
+    val m = col("__nt") % n.toLong
+    val bigRows = m * (q + lit(1L)) // rows covered by the q+1-sized buckets
+    val r = col("__r")
+    parted
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__r", row_number().over(wIn).cast("long") + col("__off"))
+      // CaseWhen short-circuits per row, so the q=0 division in the
+      // otherwise-branch is never evaluated when N < n
+      .withColumn(out,
+        when(r <= bigRows, Det.fdiv(r - 1L, q + lit(1L)) + 1L)
+          .otherwise(m + Det.fdiv(r - bigRows - 1L, q) + 1L))
+      .drop("__pid", "__off", "__nt", "__r")
+  }
+
+  /** Statistics-driven global ntile: below `thresholdBytes` of estimated
+    * input (Catalyst logical stats — free, no job) the plain one-window
+    * plan is cheaper (no second exchange, no offsets pass); above it the
+    * distributed plan is the only one that finishes. Both branches are
+    * exact and bucket-identical. */
+  def globalNtile(df: DataFrame, order: Seq[Column], n: Int, out: String,
+      thresholdBytes: Long = 256L << 20, parts: Int = 32): DataFrame = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes > thresholdBytes) ntileDistributed(df, order, n, out, parts)
+    else df.withColumn(out,
+      ntile(n).over(Window.orderBy(order: _*)).cast("long"))
+  }
+}

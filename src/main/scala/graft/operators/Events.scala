@@ -22,10 +22,13 @@ import graft.functions.Det.{dec4, dsum, davg}
   */
 object Events {
 
-  /** e22's measured join-key statistics, per sfDir (see skewSaltedJoin:
+  /** e22's measured join-key statistics, keyed per sfDir and guarded by
+    * the source fixture's mtime — the cachedScratchDir invalidation
+    * discipline, so a regenerated fixture at the same path re-ANALYZEs
+    * instead of planning on stale statistics (see skewSaltedJoin:
     * ANALYZE once, plan many). */
   private val skewStatsCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, (Long, Long))]
 
   /** JSON extraction (get_json_object + from_json→MapType/map_keys) +
     * aggregation per event_type. */
@@ -469,8 +472,13 @@ object Events {
     // then-plan shape: a real planner amortizes collected stats across
     // queries, so repeated constructions (bench reps, plan dumps) must
     // not re-measure an unchanged table
-    val (maxCnt, total) = skewStatsCache.getOrElseUpdate(sfDir,
-      SkewJoin.keyStats(hot, $"hot_key"))
+    val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
+    val (maxCnt, total) = skewStatsCache.get(sfDir)
+      .collect { case (m, st) if m == srcMtime => st }
+      .getOrElse {
+        val st = SkewJoin.keyStats(hot, $"hot_key")
+        skewStatsCache.update(sfDir, (srcMtime, st)); st
+      }
     val joined =
       if (SkewJoin.shouldSalt(maxCnt, total, targetParallelism = 32))
         SkewJoin.saltedJoin(hot, dim, $"hot_key", $"nk", $"event_id", 8)
@@ -1107,10 +1115,13 @@ object Events {
     *
     * Scale design: ONE map-side-combined per-user collapse is the only
     * event-volume shuffle; the corpus max-ts is a 1-row broadcast; the
-    * three ntile windows rank |users| rows (single-partition at
-    * fixture scale — at 10⁹ users the exact ntile becomes quartile
-    * cuts read off q27's equi-depth histogram, the same report to ±1
-    * bucket boundary); the segment aggregation is a map-side-combined
+    * three ntile cuts go through [[DistRank.globalNtile]]: below the
+    * stats threshold they are plain one-window ntiles (|users| rows,
+    * single partition — cheapest at fixture scale); above it each cut
+    * is the range-repartitioned EXACT distributed rank, so at 10⁹
+    * users the sort is cluster-parallel and the answer unchanged (the
+    * statsDrivenJoin flip discipline; DistRankSpec pins both branches
+    * bucket-identical). The segment aggregation is a map-side-combined
     * hash-agg over ≤ 4³ groups. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1125,13 +1136,17 @@ object Events {
     val scored = per.crossJoin(broadcast(mx))
       .withColumn("rec_days",
         Det.fdiv($"max_us" - $"last_us", lit(86400L * 1000000L)))
-    val wr = Window.orderBy($"rec_days", $"user_id")
-    val wf = Window.orderBy(desc("freq"), $"user_id")
-    val wm = Window.orderBy(desc("cents"), $"user_id")
-    scored
-      .withColumn("r_q", ntile(4).over(wr).cast("long"))
-      .withColumn("f_q", ntile(4).over(wf).cast("long"))
-      .withColumn("m_q", ntile(4).over(wm).cast("long"))
+    // each quartile cut flips between the one-window plan and
+    // DistRank's range-partitioned plan on input statistics — exact and
+    // bucket-identical either way (DistRankSpec pins both)
+    val cut = (df: DataFrame, o: Seq[Column], out: String) =>
+      DistRank.globalNtile(df, o, 4, out)
+    val quartiled = cut(
+      cut(
+        cut(scored, Seq($"rec_days", $"user_id"), "r_q"),
+        Seq(desc("freq"), $"user_id"), "f_q"),
+      Seq(desc("cents"), $"user_id"), "m_q")
+    quartiled
       .withColumn("segment", concat_ws("-", $"r_q", $"f_q", $"m_q"))
       .groupBy($"segment")
       .agg(count(lit(1)).as("n_users"),
@@ -1199,9 +1214,11 @@ object Events {
     * per-million integers first).
     *
     * Scale design: ONE map-side-combined per-user collapse is the
-    * only event-volume shuffle; the ntile ranks |users| rows (the
-    * e50 note applies: at 10⁹ users the exact decile cut reads off
-    * q27's equi-depth histogram); totals are a 1-row broadcast; the
+    * only event-volume shuffle; the decile cut goes through
+    * [[DistRank.globalNtile]] (the e50 note applies: at 10⁹ users the
+    * flip picks the range-repartitioned exact distributed rank —
+    * cluster-parallel, bucket-identical); totals are a 1-row
+    * broadcast; the
     * rollup output is exactly 10 rows, and the cumulative sum runs on
     * those 10. */
   def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1210,8 +1227,10 @@ object Events {
       sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n_views"),
       max(when($"event_type" === "purchase" && $"value" >= 150.0, 1L)
         .otherwise(0L)).as("converted"))
-    val scored = users.withColumn("decile", ntile(10)
-      .over(Window.orderBy(desc("n_views"), $"user_id")).cast("long"))
+    // the decile cut flips to DistRank's range-partitioned plan on big
+    // inputs (exact, bucket-identical — the e50 discipline)
+    val scored = DistRank.globalNtile(users,
+      Seq(desc("n_views"), $"user_id"), 10, "decile")
     val tot = scored.agg(count(lit(1)).as("total_users"),
       sum($"converted").as("total_conv"))
     scored.groupBy($"decile")
@@ -1251,10 +1270,16 @@ object Events {
     * one partitioning; the outlier count is one more pass over the
     * same exchange. Measured honestly at 100× (SURVEY §6): the slope
     * is linear but parallelism is CAPPED at |groups| (5 here) — the
-    * contract-inherent cost of EXACT per-group medians. At genuinely
-    * massive groups the fence reads its median/MAD off q27's
-    * equi-depth histogram instead (±1 bucket boundary), the same
-    * substitution e50's quartile note prescribes. Value ties leave
+    * contract-inherent cost of EXACT per-group medians.
+    *
+    * CONTRACT (the v04 precedent, resolved round 10): e53 is the
+    * EXACT-VERIFICATION HARNESS — declared because it is correct and
+    * oracle-checkable at every fixture SF, and kept as the accuracy
+    * baseline e54 is pinned against (GraftSpec's one-bin-width bound).
+    * The 100 TB answer is [[binnedMadOutliers e54]]: its bin counts
+    * shard with full parallelism and merge as monoid state. A
+    * deployment fencing genuinely massive groups runs e54; e53 is what
+    * you run on a sampled slice to certify e54's error. Value ties leave
     * rank order among equals arbitrary, but the VALUE at a rank is
     * the sorted multiset's — well-defined in both engines. */
   def valueMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1304,7 +1329,12 @@ object Events {
     * intra-bin linear interpolation floored to the cent, and a second
     * identical pass bins |x − median| for the MAD. Accuracy contract:
     * within one bin width of the exact answer (GraftSpec pins
-    * agreement with e53 under that bound on the fixture).
+    * agreement with e53 under that bound on the fixture). Edge case:
+    * when the target rank is the bin's LAST element the interpolation
+    * offset equals the full bin width, so the readout lands on the
+    * bin's exclusive upper edge and can exceed every value in the bin
+    * — still inside the ±1-bin contract, and the oracle mirrors the
+    * identical formula, so both engines agree exactly.
     *
     * Determinism: bins, cumsums, ranks, and the interpolation
     * (edge + (target − below)·width div binCount) are pure int64;

@@ -31,7 +31,7 @@ object StreamOps {
 
   /** Any event time at/after this is a flush sentinel, not data (the
     * sentinels sit at 2100-01-01). */
-  private val flushBound = lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00.0"))
+  private val flushBound = to_timestamp(lit("2099-01-01 00:00:00"))
 
   /** The JSON serde half of the Kafka source: wire rows (binary `value`
     * as the connector emits them) → typed event columns. Factored out
@@ -174,7 +174,7 @@ object StreamOps {
             lit(4102444800000000000L)  // 2100-01-01 as ns
           case org.apache.spark.sql.types.TimestampNTZType =>
             lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))
-          case _ => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0"))
+          case _ => to_timestamp(lit("2100-01-01 00:00:00"))
         })
         .select(raw.columns.map(col): _*)
       flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -1334,7 +1334,7 @@ object StreamOps {
       val day = dayofmonth(col("ts"))
       val flush = ev.limit(1)
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+        .withColumn("ts", to_timestamp(lit("2100-01-01 00:00:00")))
         .select(ev.columns.map(col): _*)
       Seq(ev.filter(day <= 10), ev.filter(day > 10 && day <= 20),
         ev.filter(day > 20), flush)
@@ -2112,9 +2112,11 @@ object StreamOps {
     import scala.jdk.CollectionConverters._
     val listing = java.nio.file.Files.list(commits)
     val latest = try {
-      listing.iterator().asScala
-        .filter(_.getFileName.toString.forall(_.isDigit))
-        .maxBy(_.getFileName.toString.toLong)
+      val entries = listing.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit)).toSeq
+      require(entries.nonEmpty,
+        "s41: no commit-log entries after run 1 — nothing to replay")
+      entries.maxBy(_.getFileName.toString.toLong)
     } finally listing.close()
     java.nio.file.Files.delete(latest)
     java.nio.file.Files.deleteIfExists(
@@ -2165,6 +2167,20 @@ object StreamOps {
     * checkpoint's state files (one task per store partition, no
     * replay of the source), so serving-layer reads cost O(state), not
     * O(history) — the IQ promise. */
+  /** Resolve the newest committed batchId from a checkpoint's commit
+    * log, so state-source reads pin an EXPLICIT batch instead of the
+    * implicit "latest" — replay-stable (a later run appending batches
+    * cannot change what this read returns) and the serving-layer
+    * time-travel mechanism (pass an older id to read an earlier store
+    * version; StateSourceBatchIdSpec exercises that path). */
+  private[graft] def lastCommittedBatchId(ck: String): Long = {
+    val dir = new java.io.File(ck, "commits")
+    val ids = Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    require(ids.nonEmpty, s"no commit-log entries under $ck/commits")
+    ids.max
+  }
+
   def streamQueryableState(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ckStr = cachedScratchDir(iqDirs, sfDir, "events.parquet") {
@@ -2197,6 +2213,7 @@ object StreamOps {
       spark.read.format("statestore")
         .option("path", ckStr)
         .option("stateVarName", "latest")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
         .load()
         .select($"value.user_id", $"value.event_id", $"value.ts_us",
           $"value.event_type", round($"value.value", 2).as("value"))
@@ -2234,7 +2251,7 @@ object StreamOps {
     * history. */
   def streamStateBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    val cut = to_timestamp(lit("2024-01-16 09:30:00"))
     // the s31 cents discipline: double→cents in each engine's round()
     val centsCol = expr("CAST(round(value * 100, 0) AS BIGINT)")
     val ckStr = cachedScratchDir(bootstrapDirs, sfDir, "events.parquet") {
@@ -2274,6 +2291,7 @@ object StreamOps {
       spark.read.format("statestore")
         .option("path", ckStr)
         .option("stateVarName", "totals")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
         .load()
         .select($"value.user_id", $"value.n_events", $"value.cents")
         .orderBy($"user_id")
@@ -2315,7 +2333,7 @@ object StreamOps {
     * strategy that works when the store holds 10⁹ keys. */
   def streamStateEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 09:30:00.0"))
+    val cut = to_timestamp(lit("2024-01-16 09:30:00"))
     val centsCol = expr("CAST(round(value * 100, 0) AS BIGINT)")
     val ckStr = cachedScratchDir(evoDirs, sfDir, "events.parquet") {
       val in = newTempDir("graft_s44_in")
@@ -2360,6 +2378,7 @@ object StreamOps {
         spark.read.format("statestore")
           .option("path", ckStr)
           .option("stateVarName", "totals")
+          .option("batchId", lastCommittedBatchId(ckStr).toString)
           .load()
           .select($"value.user_id", $"value.n_events", $"value.cents",
             $"value.cents_new")
@@ -2447,8 +2466,8 @@ object StreamOps {
       val ck = newTempDir("graft_ckpt_s40")
       val ev = graft.Tables.events(spark, sfDir)
         .select($"ts", $"event_type", $"value")
-      val cut1 = lit(java.sql.Timestamp.valueOf("2024-01-11 07:00:00.0"))
-      val cut2 = lit(java.sql.Timestamp.valueOf("2024-01-21 13:00:00.0"))
+      val cut1 = to_timestamp(lit("2024-01-11 07:00:00"))
+      val cut2 = to_timestamp(lit("2024-01-21 13:00:00"))
       writeChangelogFile(ev.filter($"ts" < cut1), in, 0)
       writeChangelogFile(ev.filter($"ts" >= cut1 && $"ts" < cut2), in, 1)
       val firstLeg = runRestartLeg(spark, in, out, ck)   // ← the "kill"
@@ -2458,7 +2477,7 @@ object StreamOps {
       writeChangelogFile(
         ev.select($"event_type").distinct()
           .withColumn("ts",
-            lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00.0")))
+            to_timestamp(lit("2100-01-01 00:00:00")))
           .withColumn("value", lit(0.0))
           .select($"ts", $"event_type", $"value"), in, 3)
       val secondLeg = runRestartLeg(spark, in, out, ck)  // ← the restart
@@ -2832,16 +2851,16 @@ object StreamOps {
     // hash on that key
     "s43_state_bootstrap" ->
       """SELECT user_id, count(*) AS n_events,
-        |sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the rolling-upgrade identity: v1 state (first half) reinterpreted
     // by the widened v2 schema + v2 increments (second half) ≡ full
     // counts with the new metric counted from the upgrade instant only
     "s44_state_evolution" ->
       """SELECT user_id, count(*) AS n_events,
-        |sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
-        |sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 09:30:00'
-        |  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS cents_new
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 09:30:00'
+        |  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS cents_new
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // e51's mau7 columns: trailing-7-day distinct users for each day
     // with activity (DATE + integer = DATE in DuckDB)

@@ -76,6 +76,11 @@ object QueryIndex {
       errors += s"$r: registration without a SparkEntry.queries key")
     if (errors.nonEmpty) {
       errors.foreach(e => System.err.println(s"[query-index] ERROR $e"))
+      System.err.println("[query-index] note: the scanner is a line-regex " +
+        "heuristic — it assumes each file declares `val queries` before " +
+        "`val oracles`/`oracleSql`, and that a registration's name and " +
+        "`->` share one line; a reordered map or a wrapped entry line " +
+        "reads as a missing registration")
       sys.exit(1)
     }
 

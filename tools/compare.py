@@ -45,11 +45,21 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             n_fail += 1; continue
+        # dtype mismatch is a FAIL, not a WARN: the driver's hash is
+        # type-sensitive (DuckDB HUGEINT widening killed d29/d30 in r5
+        # and s43/s44 in r9 with value-identical results), so the local
+        # gate must be at least as strict. Timestamp unit spellings
+        # (datetime64[us] vs [ns]) are normalized first — parquet writers
+        # legitimately differ there and the driver compares values.
+        def norm(dt):
+            s = str(dt)
+            return "datetime64" if s.startswith("datetime64") else s
         dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
                        for c in got.columns
-                       if str(got[c].dtype) != str(exp[c].dtype)]
+                       if norm(got[c].dtype) != norm(exp[c].dtype)]
         if dt_mismatch:
-            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
         mismatch = None
