@@ -35,11 +35,13 @@ import graft.functions.Det
   * cannot tell them apart. */
 object DistRank {
 
-  /** ntile(n) over `order` computed with the distributed plan above.
-    * Adds LongType column `out`; `order` must be a total order. */
-  def ntileDistributed(df: DataFrame, order: Seq[Column], n: Int,
-      out: String, parts: Int = 32): DataFrame = {
-    require(n > 0, s"ntile($n)")
+  /** Exact global `row_number()` over `order` (a total order), computed
+    * with the distributed plan above. Adds LongType columns `out` (the
+    * 1-based global rank) and `totalOut` (the grand row count, on every
+    * row) — the (rank, N) pair every order-statistic readout consumes
+    * (ntile below, e55's percentile read-off, e56's Lorenz curve). */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+      totalOut: String, parts: Int = 32): DataFrame = {
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
@@ -49,25 +51,38 @@ object DistRank {
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__nt", sum(col("__cnt")).over(
+      .withColumn(totalOut, sum(col("__cnt")).over(
         Window.orderBy(col("__pid")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__pid"), col("__off"), col("__nt"))
+      .select(col("__pid"), col("__off"), col(totalOut))
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val q = Det.fdiv(col("__nt"), lit(n.toLong))
-    val m = col("__nt") % n.toLong
-    val bigRows = m * (q + lit(1L)) // rows covered by the q+1-sized buckets
-    val r = col("__r")
     parted
       .join(broadcast(offsets), "__pid")
-      .withColumn("__r", row_number().over(wIn).cast("long") + col("__off"))
-      // CaseWhen short-circuits per row, so the q=0 division in the
-      // otherwise-branch is never evaluated when N < n
-      .withColumn(out,
-        when(r <= bigRows, Det.fdiv(r - 1L, q + lit(1L)) + 1L)
-          .otherwise(m + Det.fdiv(r - bigRows - 1L, q) + 1L))
-      .drop("__pid", "__off", "__nt", "__r")
+      .withColumn(out, row_number().over(wIn).cast("long") + col("__off"))
+      .drop("__pid", "__off")
   }
+
+  /** The SQL-standard ntile readout as a pure Column: the bucket of
+    * 1-based rank `r` among `nTotal` rows cut into `n` buckets (the
+    * first nTotal mod n buckets take one extra row). CaseWhen
+    * short-circuits per row, so the q=0 division in the
+    * otherwise-branch is never evaluated when nTotal < n. */
+  def ntileOf(r: Column, nTotal: Column, n: Int): Column = {
+    require(n > 0, s"ntile($n)")
+    val q = Det.fdiv(nTotal, lit(n.toLong))
+    val m = nTotal % n.toLong
+    val bigRows = m * (q + lit(1L)) // rows covered by the q+1-sized buckets
+    when(r <= bigRows, Det.fdiv(r - 1L, q + lit(1L)) + 1L)
+      .otherwise(m + Det.fdiv(r - bigRows - 1L, q) + 1L)
+  }
+
+  /** ntile(n) over `order` computed from [[globalRowNumber]]'s (rank, N).
+    * Adds LongType column `out`; `order` must be a total order. */
+  def ntileDistributed(df: DataFrame, order: Seq[Column], n: Int,
+      out: String, parts: Int = 32): DataFrame =
+    globalRowNumber(df, order, "__r", "__nt", parts)
+      .withColumn(out, ntileOf(col("__r"), col("__nt"), n))
+      .drop("__nt", "__r")
 
   /** Statistics-driven global ntile: below `thresholdBytes` of estimated
     * input (Catalyst logical stats — free, no job) the plain one-window

@@ -1385,7 +1385,99 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** e55: EXACT global percentiles of the event value — the order
+    * statistic the sketches only approximate (x02's contrast), made
+    * 100 TB-feasible by [[DistRank.globalRowNumber]]: the global rank
+    * is the range-partitioned distributed row_number (never a
+    * single-task sort), and the percentile read-off is a broadcast
+    * equi-join of six target ranks against the ranked rows, so only
+    * the six matching rows survive the map side.
+    *
+    * Rank convention: target(p) = max(1, ⌈N·p/100⌉) — the inverse
+    * empirical CDF ("type-1"), so every output is an actual data value
+    * (exact cents), never an interpolation between two.
+    *
+    * Determinism: the rank order is the TOTAL order (c, event_id);
+    * ties on c leave order among equals arbitrary but the VALUE at a
+    * rank is the sorted multiset's — identical in both engines. All
+    * arithmetic is int64; dollars surface via [[Det.r4]].
+    *
+    * Scale design: one range exchange ranks the data P-way parallel;
+    * the targets derive from a 1-row count × six literals; the
+    * read-off join broadcasts six rows. Nothing global runs
+    * single-task — this is the query e53's contract note points exact
+    * global order statistics at. */
+  def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.events(spark, sfDir).select(
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"), $"event_id")
+    val ranked = DistRank.globalRowNumber(
+      j, Seq($"c", $"event_id"), "rn", "n")
+    val pcts = Seq(10L, 25L, 50L, 75L, 90L, 99L).toDF("pct")
+    val targets = j.agg(count(lit(1)).as("n0")).crossJoin(broadcast(pcts))
+      .select($"pct",
+        greatest(lit(1L), Det.fdiv($"n0" * $"pct" + 99L, lit(100L)))
+          .as("tgt"))
+    ranked.join(broadcast(targets), $"rn" === $"tgt")
+      .select($"pct", $"n", $"rn".as("rank"),
+        Det.r4($"c", lit(100L)).as("value"))
+      .orderBy($"pct")
+  }
+
+  /** e56: spend concentration — the Lorenz/Pareto readout ("what share
+    * of revenue do the top-decile spenders hold?") plus the exact Gini
+    * coefficient, the standard one-number inequality summary. Users
+    * rank by purchase cents through [[DistRank.globalRowNumber]]
+    * (ascending — the Gini convention); the DESCENDING decile (1 = top
+    * spenders) reads off the same rank as N−rank+1 through
+    * [[DistRank.ntileOf]], so ONE distributed sort serves both
+    * readouts. Per decile: users, revenue, revenue share, cumulative
+    * share; Gini = (2·Σ(i·xᵢ) − (N+1)·Σx) / (N·Σx) with i the
+    * ascending-spend rank, constant across rows.
+    *
+    * Determinism: every share/Gini is a [[Det.r4]] exact rational of
+    * int64 cross-products. Envelope (the e43/e52 discipline —
+    * documented, not guarded): Σ(i·x) < 2⁶³/20000 holds to ~10⁶ users
+    * × $10k lifetime spend; a deployment beyond it rescales cents to
+    * whole dollars first. Requires Σx > 0 (the fixture has purchases
+    * at every SF).
+    *
+    * Scale design: ONE map-side-combined per-user collapse is the only
+    * event-volume shuffle; the rank is range-partitioned; Σ(i·x), Σx,
+    * N are one hash-agg over |users| riding the rank's partitioning;
+    * the decile rollup is ≤10 groups and the cumulative sum runs on
+    * those 10 rows. */
+  def spendConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, sfDir).groupBy($"user_id").agg(
+      sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
+    val ranked = DistRank.globalRowNumber(
+      per, Seq($"cents", $"user_id"), "arank", "n")
+    val tots = ranked.agg(max($"n").as("nu"),
+      sum($"cents").as("tc"), sum($"arank" * $"cents").as("ic"))
+    ranked
+      .withColumn("decile",
+        DistRank.ntileOf($"n" - $"arank" + 1L, $"n", 10))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("dcents"))
+      .crossJoin(broadcast(tots))
+      .withColumn("cum", sum($"dcents").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"decile", $"n_users",
+        round($"dcents" / 100.0, 2).as("revenue"),
+        Det.r4($"dcents", $"tc").as("share"),
+        Det.r4($"cum", $"tc").as("cum_share"),
+        Det.r4($"ic" * 2L - ($"nu" + 1L) * $"tc", $"nu" * $"tc")
+          .as("gini"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e55_exact_percentiles" -> exactPercentiles _,
+    "e56_spend_concentration" -> spendConcentration _,
     "e54_binned_mad_outliers" -> binnedMadOutliers _,
     "e53_value_mad_outliers" -> valueMadOutliers _,
     "e52_decile_lift" -> decileLift _,
@@ -1436,6 +1528,49 @@ object Events {
     // $1-bin counts -> bin cumsum -> intra-bin interpolation floored
     // to the cent, twice (values, then deviations); all operands
     // non-negative so DuckDB's // agrees with Det.fdiv
+    // type-1 inverse-CDF read-off at rank max(1, ceil(N*p/100)); the
+    // Spark side computes the identical rank distributively (DistRank)
+    "e55_exact_percentiles" ->
+      s"""WITH j AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         |    event_id FROM events),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM j),
+         |p(pct) AS (VALUES (10), (25), (50), (75), (90), (99)),
+         |t AS (SELECT CAST(pct AS BIGINT) AS pct,
+         |    GREATEST(1, ${D.fdiv("n0 * pct + 99", "100")}) AS tgt
+         |  FROM p CROSS JOIN cnt),
+         |s AS (SELECT c, row_number() OVER (ORDER BY c, event_id) AS rn,
+         |    CAST(count(*) OVER () AS BIGINT) AS n FROM j)
+         |SELECT t.pct, s.n, CAST(s.rn AS BIGINT) AS rank,
+         |  ${D.r4("s.c", "100")} AS value
+         |FROM s JOIN t ON s.rn = t.tgt ORDER BY t.pct""".stripMargin,
+    // ascending-rank Gini + descending-decile Lorenz off ONE ranking;
+    // the ntile readout mirrors DistRank.ntileOf's integer formula
+    "e56_spend_concentration" ->
+      s"""WITH per AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY user_id),
+         |rk AS (SELECT user_id, cents,
+         |    row_number() OVER (ORDER BY cents, user_id) AS arank,
+         |    CAST(count(*) OVER () AS BIGINT) AS n FROM per),
+         |dx AS (SELECT *, n - arank + 1 AS r,
+         |    ${D.fdiv("n", "10")} AS q, n % 10 AS m FROM rk),
+         |dd AS (SELECT *, CASE WHEN r <= m * (q + 1)
+         |      THEN ${D.fdiv("r - 1", "q + 1")} + 1
+         |      ELSE m + ${D.fdiv("r - m * (q + 1) - 1", "q")} + 1 END
+         |    AS decile FROM dx),
+         |t AS (SELECT max(n) AS nu, CAST(sum(cents) AS BIGINT) AS tc,
+         |    CAST(sum(arank * cents) AS BIGINT) AS ic FROM rk),
+         |g AS (SELECT decile, count(*) AS n_users,
+         |    CAST(sum(cents) AS BIGINT) AS dcents FROM dd GROUP BY decile),
+         |c AS (SELECT *, CAST(sum(dcents) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g)
+         |SELECT decile, n_users, round(dcents / 100.0, 2) AS revenue,
+         |  ${D.r4("dcents", "tc")} AS share,
+         |  ${D.r4("cum", "tc")} AS cum_share,
+         |  ${D.r4("ic * 2 - (nu + 1) * tc", "nu * tc")} AS gini
+         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
     "e54_binned_mad_outliers" ->
       s"""WITH j AS (SELECT event_type,
         |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),

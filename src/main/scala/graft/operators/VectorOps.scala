@@ -1110,6 +1110,52 @@ object VectorOps {
       .limit(10)
   }
 
+  /** v28's per-cell result cap and probe width. The cap×probe product
+    * must exceed k=10 or the diversity rule starves the fill (4 cells
+    * × 3 per cell = 12 candidates for a top-10). */
+  private[graft] val DivCap = 3
+  private[graft] val DivProbe = 4
+
+  /** v28: DIVERSIFIED top-k — the cluster-capped variant of v07's
+    * probe: the query's [[DivProbe]] nearest cells are searched (v26's
+    * widened probe), at most [[DivCap]] results come from any one
+    * cell, and the global top-10 by cosine is taken from the capped
+    * set. Bucket-capping is the cheap deterministic diversity rule
+    * retrieval layers reach for when MMR (v16's greedy re-rank) is too
+    * serial — MMR's k steps each depend on the previous pick, while
+    * the cap is ONE window over the probed candidates, fully parallel,
+    * and guarantees representation from ≥ ⌈k/cap⌉ distinct cells
+    * whenever that many probed cells have members.
+    *
+    * Scale design: rides the shared [[ivfIndex]] assignment (the
+    * corpus-sized work); candidates are the probed cells' population,
+    * never corpus²; the cap is one window partitioned BY CELL
+    * (parallel over cells); the final top-10 is a TakeOrdered over the
+    * capped set. */
+  def diversifiedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, q, _) = ivfIndex(spark, sfDir)
+    val probes = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
+      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
+      .withColumn("cr",
+        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
+      .filter($"cr" <= DivProbe)
+      .select($"c_label".as("probe_cell"))
+    assigned
+      .join(broadcast(probes), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"cell").orderBy(desc("cos"), $"vec_id"))
+        .cast("long"))
+      .filter($"cell_rank" <= DivCap)
+      .orderBy(desc("cos"), $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"cell", $"cell_rank", $"cos")
+  }
+
   /** v26: the nprobe tuning curve — recall@10 of the IVF probe as a
     * function of how many cells are probed (nprobe ∈ 1..4), against
     * the brute-force exact ranking. v18 reports recall@k for the
@@ -1203,6 +1249,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v27_crossmodal_check" -> crossModalCheck _,
+    "v28_diversified_topk" -> diversifiedTopK _,
     "v26_nprobe_curve"    -> nprobeCurve _,
     "v25_filtered_ann"    -> filteredAnn _,
     "v24_ivf_balance"     -> ivfBalance _,
@@ -1507,6 +1554,27 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // the shared assignment with v26's widened probe (4 cells) and a
+    // per-cell cap before the global top-10 — the bucket-diversity
+    // rule (contrast v16's greedy MMR)
+    "v28_diversified_topk" ->
+      s"""WITH $ivfCentCte,
+         |$ivfProbeCtes,
+         |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
+         |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
+         |      c_label) AS cr
+         |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe),
+         |cand AS (SELECT a.vec_id, a.cell,
+         |    round(${cos("a.v", "qv")}, 6) AS cos
+         |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
+         |  CROSS JOIN q WHERE a.vec_id <> 0),
+         |capped AS (SELECT vec_id, cell, cos,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY cos DESC, vec_id) AS cell_rank
+         |  FROM cand)
+         |SELECT vec_id, cell, cell_rank, cos FROM capped
+         |WHERE cell_rank <= $DivCap
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // d06's shared pair chain (est_jaccard ≥ 0.5) joined to the
     // embedding table on both pair ids, cosine per pair
     "v27_crossmodal_check" ->

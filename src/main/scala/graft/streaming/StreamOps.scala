@@ -2387,6 +2387,92 @@ object StreamOps {
     }
   }
 
+  private val binMedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s46: STREAMING APPROX MEDIAN — e54's "bin counts are mergeable
+    * monoid state" claim made real. Three %3-interleaved micro-batches
+    * fold per-(event_type, $1-bin) counts into [[BinCountProcessor]]'s
+    * ValueState; the store — read out-of-band at an explicit batchId,
+    * the s42/s43 serving discipline — IS the product, and e54's cumsum
+    * read-off computes the approx median from the bins alone. The
+    * result must hash-match the batch e54 median formula exactly: a
+    * lost batch, a double-fold, or a bin drifting one slot flips it.
+    *
+    * Scale design: state per key is the BIN TABLE (≤ value-range/width
+    * entries — bounded, unlike a value log), each batch touches only
+    * arriving keys, the store read is partition-parallel over the
+    * checkpoint, and the read-off windows run over bins, never events.
+    * This is the 100 TB streaming-median shape: e53's exact per-group
+    * rank-sorts cannot stream; monoid bins can. */
+  def streamBinnedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val B = graft.operators.Events.MadBinCents
+    val ckStr = cachedScratchDir(binMedDirs, sfDir, "events.parquet") {
+      val in = newTempDir("graft_s46_in")
+      val ck = newTempDir("graft_ckpt_s46")
+      val ev = graft.Tables.events(spark, sfDir)
+        .select($"event_type", $"event_id",
+          graft.functions.Det.fdiv(
+            expr("CAST(round(value * 100, 0) AS BIGINT)"), lit(B))
+            .as("bin"))
+      def third(i: Int) = ev.filter(pmod($"event_id", lit(3L)) === i)
+        .select($"event_type", $"bin")
+      (0 to 2).foreach(i => writeChangelogFile(third(i), in, i))
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "event_type STRING, bin BIGINT"))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "changelog_*.parquet")
+            .parquet(in.toString)
+            .as[BinDelta]
+            .groupByKey(_.event_type)
+            .transformWithState(new BinCountProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[BinDelta])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    // the serving read: bins out of the store (the flattened MapState
+    // layout — one row per (grouping key, map key)), e54's read-off on
+    // top
+    val bins = withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "bins")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
+        .load()
+        .select($"key.value".as("event_type"),
+          $"user_map_key.value".as("bin"),
+          $"user_map_value.value".as("bc"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+    val wCum = w.partitionBy($"event_type").orderBy($"bin")
+    val wN = w.partitionBy($"event_type")
+    import graft.functions.Det
+    bins
+      .withColumn("cum", sum($"bc").over(wCum.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("n", sum($"bc").over(wN))
+      .withColumn("target", Det.fdiv($"n" + 1L, lit(2L)))
+      .filter($"cum" >= $"target" && $"cum" - $"bc" < $"target")
+      .select($"event_type", $"n",
+        Det.r4($"bin" * B +
+            Det.fdiv(($"target" - ($"cum" - $"bc")) * B, $"bc"),
+          lit(100L)).as("approx_median"))
+      .orderBy($"event_type")
+  }
+
   private val restartDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2501,6 +2587,7 @@ object StreamOps {
     "s43_state_bootstrap" -> streamStateBootstrap _,
     "s44_state_evolution" -> streamStateEvolution _,
     "s45_stream_sliding_mau" -> streamSlidingMau _,
+    "s46_stream_binned_median" -> streamBinnedMedian _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2862,6 +2949,27 @@ object StreamOps {
         |CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 09:30:00'
         |  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS cents_new
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // e54's median half verbatim (bins → cumsum → type-1 read-off with
+    // intra-bin interpolation): the streamed monoid bins must reproduce
+    // the batch formula exactly
+    "s46_stream_binned_median" ->
+      s"""WITH j AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |b1 AS (SELECT event_type,
+        |    c // ${graft.operators.Events.MadBinCents} AS bin,
+        |    CAST(count(*) AS BIGINT) AS bc FROM j GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, bin, bc,
+        |    sum(bc) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(bc) OVER (PARTITION BY event_type) AS n FROM b1),
+        |m AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    bin * ${graft.operators.Events.MadBinCents}
+        |      + ((((n+1)//2) - (cum - bc))
+        |      * ${graft.operators.Events.MadBinCents}) // bc AS mc
+        |  FROM c1 WHERE cum >= (n+1)//2 AND cum - bc < (n+1)//2)
+        |SELECT event_type, n,
+        |  ${graft.functions.Det.sql.r4("mc", "100")} AS approx_median
+        |FROM m ORDER BY event_type""".stripMargin,
     // e51's mau7 columns: trailing-7-day distinct users for each day
     // with activity (DATE + integer = DATE in DuckDB)
     "s45_stream_sliding_mau" ->
