@@ -84,13 +84,13 @@ object DistRank {
       .withColumn(out, ntileOf(col("__r"), col("__nt"), n))
       .drop("__nt", "__r")
 
-  /** Statistics-driven global ntile: below `thresholdBytes` of estimated
+  /** Statistics-driven global ntile: below `thresholdBytes` (default 64 MiB — calibrated so the 100x probe fixtures, ~100 MB estimated, take the distributed branch while all base fixtures stay on the one-window plan) of estimated
     * input (Catalyst logical stats — free, no job) the plain one-window
     * plan is cheaper (no second exchange, no offsets pass); above it the
     * distributed plan is the only one that finishes. Both branches are
     * exact and bucket-identical. */
   def globalNtile(df: DataFrame, order: Seq[Column], n: Int, out: String,
-      thresholdBytes: Long = 256L << 20, parts: Int = 32): DataFrame = {
+      thresholdBytes: Long = 64L << 20, parts: Int = 32): DataFrame = {
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes > thresholdBytes) ntileDistributed(df, order, n, out, parts)
     else df.withColumn(out,
