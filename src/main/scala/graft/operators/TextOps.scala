@@ -2267,7 +2267,58 @@ object TextOps {
       .orderBy($"method_a", $"method_b")
   }
 
+  /** d55 bin width (chars). */
+  private[graft] val LenBinChars = 100L
+
+  /** d55: per-source document-length quantiles (p25/p50/p75/p95) via
+    * binned read-off — the corpus-composition statistic a data-mixing
+    * pipeline reads before setting source weights (short-doc sources
+    * behave differently under d17's packing and d27's curation; d03
+    * reports per-LANG means, this is the distribution per SOURCE).
+    * e54's binned shape generalized from the median to arbitrary
+    * ranks: per-(source, 100-char-bin) counts are ONE map-side-
+    * combined hash-agg, and the four type-1 targets
+    * (max(1, ⌈n·p/100⌉), e55's convention) read off the bin cumsum
+    * with intra-bin interpolation floored to the char — within one bin
+    * width of the exact per-group quantile, at full parallelism (the
+    * exact per-group rank sort this avoids is the e53-class shape,
+    * parallelism-capped at |sources| = 20).
+    *
+    * Determinism: pure int64 throughout; (source, pct) is a total
+    * output order.
+    *
+    * Scale design: one hash-agg shuffle of |docs| rows; the cumsum
+    * windows run over BIN rows (≤ length-range/width per source); the
+    * ×4 percentile fan-out replicates bins, never documents. Bin
+    * counts are monoid state — the s46 streaming shape applies
+    * unchanged. */
+  def sourceLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars".cast("long").as("len"))
+    val bins = j.groupBy($"source",
+        Det.fdiv($"len", lit(LenBinChars)).as("bin"))
+      .agg(count(lit(1)).as("bc"))
+    val w = Window.partitionBy($"source").orderBy($"bin")
+    val wN = Window.partitionBy($"source")
+    val pcts = Seq(25L, 50L, 75L, 95L).toDF("pct")
+    bins
+      .withColumn("cum", sum($"bc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"bc").over(wN))
+      .crossJoin(broadcast(pcts))
+      .withColumn("tgt",
+        greatest(lit(1L), Det.fdiv($"n" * $"pct" + 99L, lit(100L))))
+      .filter($"cum" >= $"tgt" && $"cum" - $"bc" < $"tgt")
+      .select($"source", $"pct", $"n",
+        ($"bin" * LenBinChars +
+          Det.fdiv(($"tgt" - ($"cum" - $"bc")) * LenBinChars, $"bc"))
+          .as("chars"))
+      .orderBy($"source", $"pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d55_source_len_quantiles" -> sourceLengthQuantiles _,
     "d54_banding_curve" -> bandingCurve _,
     "d53_reference_lm_filter" -> referenceLmFilter _,
     "d52_incremental_neardup" -> incrementalNearDup _,
@@ -2474,6 +2525,27 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    // e54's binned read-off generalized to four type-1 targets; the
+    // interpolated char value is CAST back to BIGINT (window-sum
+    // arithmetic types as HUGEINT in DuckDB)
+    "d55_source_len_quantiles" ->
+      s"""WITH j AS (SELECT source, CAST(n_chars AS BIGINT) AS len
+         |  FROM documents),
+         |b AS (SELECT source, len // $LenBinChars AS bin,
+         |    CAST(count(*) AS BIGINT) AS bc FROM j GROUP BY 1, 2),
+         |c AS (SELECT source, bin, bc,
+         |    sum(bc) OVER (PARTITION BY source ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(bc) OVER (PARTITION BY source) AS n FROM b),
+         |p(pct) AS (VALUES (25), (50), (75), (95)),
+         |t AS (SELECT c.*, CAST(p.pct AS BIGINT) AS pct,
+         |    GREATEST(1, (c.n * p.pct + 99) // 100) AS tgt
+         |  FROM c CROSS JOIN p)
+         |SELECT source, pct, CAST(n AS BIGINT) AS n,
+         |  CAST(bin * $LenBinChars
+         |    + ((tgt - (cum - bc)) * $LenBinChars) // bc AS BIGINT) AS chars
+         |FROM t WHERE cum >= tgt AND cum - bc < tgt
+         |ORDER BY source, pct""".stripMargin,
     // the three pair sets from their SHARED CTE definitions (the same
     // text the d06/d19/d08 oracles run), then set algebra over them;
     // LEFT JOINs + COALESCE keep an empty method's row at zero

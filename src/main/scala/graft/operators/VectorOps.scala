@@ -1156,6 +1156,69 @@ object VectorOps {
       .select($"vec_id", $"cell", $"cell_rank", $"cos")
   }
 
+  /** v30: the RETRIEVAL-SERVING CAPSTONE — the full RAG serving path
+    * as ONE composed Catalyst plan, every stage an operator already
+    * declared elsewhere in the suite (the d40 capstone discipline
+    * applied to the retrieval side): (1) metadata PRE-filter
+    * (lang = 'en', v25's filtered-search semantics — the allowed set
+    * restricts candidates BEFORE ranking, never a post-filter), (2)
+    * the widened [[DivProbe]]-cell IVF probe (v26/v28), (3) the
+    * per-cell diversity cap ≤ [[DivCap]] (v28), (4) near-duplicate
+    * suppression among the surviving candidates — a candidate drops
+    * if its cosine to ANY higher-ranked candidate ≥ [[ServeTau]]
+    * (v15's dominated-by-any convention — deterministic and one join;
+    * the sequential-survivor variant needs recursion for no
+    * fixture-visible difference). ServeTau = 0.25 is deliberately
+    * stricter than v15's curation τ = 0.4: result-set dedup suppresses
+    * merely-redundant answers, not just near-copies — and on this
+    * fixture's near-isotropic embeddings it is the threshold that
+    * actually FIRES (2/2/4 suppressed pairs at sf0.001/0.01/0.1, all
+    * pair cosines ≥ 0.012 away from the boundary, so no cross-engine
+    * ulp hazard), keeping stage 4 load-bearing under the oracle gate.
+    * (5) final top-5. The oracle embeds every stage's SQL with the
+    * same constants.
+    *
+    * Scale design: the corpus-sized work is the shared [[ivfIndex]]
+    * assignment; the en-filter is a broadcast semi-join applied to
+    * probed candidates; stages 3–5 operate on ≤ DivProbe·DivCap = 12
+    * rows — bounded by CONFIG, not data — so the pairwise suppression
+    * matrix is ≤ 66 pairs and the final windows rank ≤ 12 rows. */
+  private[graft] val ServeTau = 0.25
+
+  def retrievalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, q, _) = ivfIndex(spark, sfDir)
+    val allowed = graft.Tables.documents(spark, sfDir)
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val probes = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
+      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
+      .withColumn("cr",
+        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
+      .filter($"cr" <= DivProbe)
+      .select($"c_label".as("probe_cell"))
+    val cand = assigned
+      .join(broadcast(probes), $"cell" === $"probe_cell")
+      .filter($"vec_id" =!= 0)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"cell", $"v",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+    val ranked = cand
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"cell").orderBy(desc("cos"), $"vec_id")))
+      .filter($"cell_rank" <= DivCap)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("cos"), $"vec_id")).cast("long"))
+    val sup = ranked.as("a").join(ranked.as("b"), col("a.r") < col("b.r"))
+      .filter(call_function("graft_cosine", col("a.v"), col("b.v"))
+        >= ServeTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ranked.join(sup, Seq("vec_id"), "left_anti")
+      .orderBy($"r")
+      .limit(5)
+      .select($"vec_id", $"cell", $"cos")
+  }
+
   /** v26: the nprobe tuning curve — recall@10 of the IVF probe as a
     * function of how many cells are probed (nprobe ∈ 1..4), against
     * the brute-force exact ranking. v18 reports recall@k for the
@@ -1249,6 +1312,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v27_crossmodal_check" -> crossModalCheck _,
+    "v30_retrieval_pipeline" -> retrievalPipeline _,
     "v28_diversified_topk" -> diversifiedTopK _,
     "v26_nprobe_curve"    -> nprobeCurve _,
     "v25_filtered_ann"    -> filteredAnn _,
@@ -1554,6 +1618,30 @@ object VectorOps {
       s"""WITH $ivfCte
          |SELECT vec_id, cell, cos FROM ivfr WHERE rn <= 10
          |ORDER BY cos DESC, vec_id""".stripMargin,
+    // every stage's SQL with the same constants: en pre-filter (v25),
+    // 4-cell probe (v26/v28), per-cell cap (v28), dominated-by-any
+    // ServeTau suppression (v15's convention, serving-strict τ), top-5
+    "v30_retrieval_pipeline" ->
+      s"""WITH $ivfCentCte,
+         |$ivfProbeCtes,
+         |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
+         |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
+         |      c_label) AS cr
+         |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe),
+         |cand AS (SELECT a.vec_id, a.cell, a.v,
+         |    round(${cos("a.v", "qv")}, 6) AS cos
+         |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
+         |  JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'
+         |  CROSS JOIN q WHERE a.vec_id <> 0),
+         |capped AS (SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY cos DESC, vec_id) AS cell_rank FROM cand),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id)
+         |    AS r FROM capped WHERE cell_rank <= $DivCap),
+         |sup AS (SELECT DISTINCT b.vec_id FROM rk a JOIN rk b
+         |  ON a.r < b.r AND ${cos("a.v", "b.v")} >= $ServeTau)
+         |SELECT vec_id, cell, cos FROM rk
+         |WHERE vec_id NOT IN (SELECT vec_id FROM sup)
+         |ORDER BY r LIMIT 5""".stripMargin,
     // the shared assignment with v26's widened probe (4 cells) and a
     // per-cell cap before the global top-10 — the bucket-diversity
     // rule (contrast v16's greedy MMR)
