@@ -20,10 +20,12 @@ import graft.functions.Det
   *   2. per-partition row counts → prefix-sum offsets: a ≤ P row
   *      aggregate, cumulated by a window over that TINY table and
   *      broadcast back. Both consumers of the range shuffle canonicalize
-  *      to the same exchange, so ReuseExchange materializes it ONCE —
-  *      required for correctness, since `spark_partition_id()` must mean
-  *      the same slice on both sides (DistRankSpec pins the
-  *      ReusedExchange in the physical plan).
+  *      to the same exchange, so ReuseExchange materializes it ONCE and
+  *      `spark_partition_id()` means the same slice on both sides
+  *      (DistRankSpec pins the ReusedExchange in the physical plan);
+  *      should reuse ever be disabled or defeated, a per-pid count
+  *      cross-check welded into the rank expression raises at runtime
+  *      instead of mis-ranking (see [[globalRowNumber]]).
   *   3. global rank = intra-partition row_number + partition offset
   *      (the row_number window partitions by pid — P-way parallel).
   *   4. the SQL-standard ntile readout from (rank, N): with q = N div n
@@ -54,12 +56,29 @@ object DistRank {
       .withColumn(totalOut, sum(col("__cnt")).over(
         Window.orderBy(col("__pid")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__pid"), col("__off"), col(totalOut))
+      .select(col("__pid"), col("__off"), col("__cnt"), col(totalOut))
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    // RUNTIME GUARD against the one silent-wrong-answer mode: if the
+    // counts subtree and the rank subtree ever materialized the range
+    // exchange separately (exchange reuse disabled or defeated), their
+    // sampled boundaries could differ and __pid would mean different
+    // slices on each side. Cross-check the broadcast count against a
+    // count window riding the SAME sort as row_number (no extra
+    // exchange): under a TOTAL order, per-pid counts matching on every
+    // pid forces identical split POSITIONS in the sorted multiset —
+    // equal counts ⇒ equal slices ⇒ correct ranks — so any divergence
+    // raises instead of mis-ranking. The guard lives INSIDE the rank
+    // expression so the optimizer cannot prune it.
+    val guarded = when(count(lit(1)).over(Window.partitionBy(col("__pid")))
+        === col("__cnt"), lit(0L))
+      .otherwise(raise_error(lit("DistRank: range-exchange boundaries " +
+        "diverged between the counts and rank subtrees (exchange reuse " +
+        "defeated) — ranks would be wrong")).cast("long"))
     parted
       .join(broadcast(offsets), "__pid")
-      .withColumn(out, row_number().over(wIn).cast("long") + col("__off"))
-      .drop("__pid", "__off")
+      .withColumn(out,
+        row_number().over(wIn).cast("long") + col("__off") + guarded)
+      .drop("__pid", "__off", "__cnt")
   }
 
   /** The SQL-standard ntile readout as a pure Column: the bucket of

@@ -473,12 +473,11 @@ object Events {
     // queries, so repeated constructions (bench reps, plan dumps) must
     // not re-measure an unchanged table
     val srcMtime = new java.io.File(s"$sfDir/events.parquet").lastModified()
-    val (maxCnt, total) = skewStatsCache.get(sfDir)
-      .collect { case (m, st) if m == srcMtime => st }
-      .getOrElse {
-        val st = SkewJoin.keyStats(hot, $"hot_key")
-        skewStatsCache.update(sfDir, (srcMtime, st)); st
-      }
+    // atomic per-key update (cachedScratchDir's updateWith discipline)
+    val (_, (maxCnt, total)) = skewStatsCache.updateWith(sfDir) {
+      case Some((m, st)) if m == srcMtime => Some((m, st))
+      case _ => Some((srcMtime, SkewJoin.keyStats(hot, $"hot_key")))
+    }.get
     val joined =
       if (SkewJoin.shouldSalt(maxCnt, total, targetParallelism = 32))
         SkewJoin.saltedJoin(hot, dim, $"hot_key", $"nk", $"event_id", 8)
@@ -1389,9 +1388,9 @@ object Events {
     * statistic the sketches only approximate (x02's contrast), made
     * 100 TB-feasible by [[DistRank.globalRowNumber]]: the global rank
     * is the range-partitioned distributed row_number (never a
-    * single-task sort), and the percentile read-off is a broadcast
-    * equi-join of six target ranks against the ranked rows, so only
-    * the six matching rows survive the map side.
+    * single-task sort), and the percentile read-off crosses each
+    * ranked row with six broadcast percentile literals and keeps only
+    * rank == target — map-side, so only six rows survive.
     *
     * Rank convention: target(p) = max(1, ⌈N·p/100⌉) — the inverse
     * empirical CDF ("type-1"), so every output is an actual data value
@@ -1403,8 +1402,8 @@ object Events {
     * arithmetic is int64; dollars surface via [[Det.r4]].
     *
     * Scale design: one range exchange ranks the data P-way parallel;
-    * the targets derive from a 1-row count × six literals; the
-    * read-off join broadcasts six rows. Nothing global runs
+    * the targets derive from the rank side's own total (no second
+    * scan), against six broadcast literals. Nothing global runs
     * single-task — this is the query e53's contract note points exact
     * global order statistics at. */
   def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1414,11 +1413,11 @@ object Events {
     val ranked = DistRank.globalRowNumber(
       j, Seq($"c", $"event_id"), "rn", "n")
     val pcts = Seq(10L, 25L, 50L, 75L, 90L, 99L).toDF("pct")
-    val targets = j.agg(count(lit(1)).as("n0")).crossJoin(broadcast(pcts))
-      .select($"pct",
-        greatest(lit(1L), Det.fdiv($"n0" * $"pct" + 99L, lit(100L)))
-          .as("tgt"))
-    ranked.join(broadcast(targets), $"rn" === $"tgt")
+    // targets derive from the rank side's own total `n` (d55's
+    // pattern) — a separate count would rescan the events table
+    ranked.crossJoin(broadcast(pcts))
+      .filter($"rn" ===
+        greatest(lit(1L), Det.fdiv($"n" * $"pct" + 99L, lit(100L))))
       .select($"pct", $"n", $"rn".as("rank"),
         Det.r4($"c", lit(100L)).as("value"))
       .orderBy($"pct")
@@ -1437,10 +1436,14 @@ object Events {
     *
     * Determinism: every share/Gini is a [[Det.r4]] exact rational of
     * int64 cross-products. Envelope (the e43/e52 discipline —
-    * documented, not guarded): Σ(i·x) < 2⁶³/20000 holds to ~10⁶ users
-    * × $10k lifetime spend; a deployment beyond it rescales cents to
-    * whole dollars first. Requires Σx > 0 (the fixture has purchases
-    * at every SF).
+    * documented, not guarded): the Gini numerator rides r4, so
+    * Σ(arank·cents) must stay under 2⁶³/20000 ≈ 4.6·10¹⁴ — and rank
+    * enters QUADRATICALLY (Σ(i·x) ≈ x̄·N²/2), so at $100 average
+    * lifetime spend the bound holds only to ~3·10⁵ users. Beyond
+    * that, rescale cents→dollars (×100 headroom → ~3·10⁶ users) or
+    * compute the Gini from the ≤10 decile aggregates instead of
+    * per-user ranks (the trapezoid Lorenz approximation). Requires
+    * Σx > 0 (the fixture has purchases at every SF).
     *
     * Scale design: ONE map-side-combined per-user collapse is the only
     * event-volume shuffle; the rank is range-partitioned; Σ(i·x), Σx,

@@ -1116,6 +1116,22 @@ object VectorOps {
   private[graft] val DivCap = 3
   private[graft] val DivProbe = 4
 
+  /** The query's `n` nearest coarse cells, ranked — the probe-selection
+    * block shared by v26/v28/v30 (the ivfIndex factoring discipline:
+    * one definition, so the cell ranking cannot drift between the
+    * tuning curve, the capped probe, and the capstone). Returns
+    * (probe_cell, cell_rank ≤ n); `q` is ivfIndex's 1-row query side. */
+  private def probeCells(spark: SparkSession, sfDir: String, n: Int,
+      q: DataFrame): DataFrame = {
+    import spark.implicits._
+    labelCentroids(spark, sfDir).crossJoin(broadcast(q))
+      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
+      .withColumn("cell_rank",
+        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
+      .filter($"cell_rank" <= n)
+      .select($"c_label".as("probe_cell"), $"cell_rank")
+  }
+
   /** v28: DIVERSIFIED top-k — the cluster-capped variant of v07's
     * probe: the query's [[DivProbe]] nearest cells are searched (v26's
     * widened probe), at most [[DivCap]] results come from any one
@@ -1135,12 +1151,8 @@ object VectorOps {
   def diversifiedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (assigned, q, _) = ivfIndex(spark, sfDir)
-    val probes = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
-      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
-      .withColumn("cr",
-        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
-      .filter($"cr" <= DivProbe)
-      .select($"c_label".as("probe_cell"))
+    val probes = probeCells(spark, sfDir, DivProbe, q)
+      .select($"probe_cell")
     assigned
       .join(broadcast(probes), $"cell" === $"probe_cell")
       .filter($"vec_id" =!= 0)
@@ -1186,16 +1198,27 @@ object VectorOps {
   private[graft] val ServeTau = 0.25
 
   def retrievalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ranked, sup) = retrievalStages(spark, sfDir)
+    import spark.implicits._
+    ranked.join(sup, Seq("vec_id"), "left_anti")
+      .orderBy($"r")
+      .limit(5)
+      .select($"vec_id", $"cell", $"cos")
+  }
+
+  /** v30's staged internals, exposed for RetrievalPipelineSpec so the
+    * suppression stage can be pinned LOAD-BEARING directly (sup
+    * non-empty, sup ∩ output = ∅) rather than inferred from output
+    * diffs a different stage could explain. Returns (ranked candidates
+    * after the en-filter + cap with global rank `r`, suppressed ids). */
+  private[graft] def retrievalStages(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val (assigned, q, _) = ivfIndex(spark, sfDir)
     val allowed = graft.Tables.documents(spark, sfDir)
       .filter($"lang" === "en").select($"doc_id".as("vec_id"))
-    val probes = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
-      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
-      .withColumn("cr",
-        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
-      .filter($"cr" <= DivProbe)
-      .select($"c_label".as("probe_cell"))
+    val probes = probeCells(spark, sfDir, DivProbe, q)
+      .select($"probe_cell")
     val cand = assigned
       .join(broadcast(probes), $"cell" === $"probe_cell")
       .filter($"vec_id" =!= 0)
@@ -1213,10 +1236,7 @@ object VectorOps {
       .filter(call_function("graft_cosine", col("a.v"), col("b.v"))
         >= ServeTau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    ranked.join(sup, Seq("vec_id"), "left_anti")
-      .orderBy($"r")
-      .limit(5)
-      .select($"vec_id", $"cell", $"cos")
+    (ranked, sup)
   }
 
   /** v26: the nprobe tuning curve — recall@10 of the IVF probe as a
@@ -1238,12 +1258,7 @@ object VectorOps {
   def nprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (assigned, q, _) = ivfIndex(spark, sfDir)
-    val ranked = labelCentroids(spark, sfDir).crossJoin(broadcast(q))
-      .withColumn("qcos", call_function("graft_cosine", $"cv", $"qv"))
-      .withColumn("cell_rank",
-        row_number().over(Window.orderBy(desc("qcos"), $"c_label")))
-      .filter($"cell_rank" <= 4)
-      .select($"c_label".as("probe_cell"), $"cell_rank")
+    val ranked = probeCells(spark, sfDir, 4, q)
     val cand = assigned
       .join(broadcast(ranked), $"cell" === $"probe_cell")
       .filter($"vec_id" =!= 0)

@@ -2109,15 +2109,11 @@ object StreamOps {
     // keeps a `.N.crc` sidecar per log entry; it must go with the
     // entry or the replayed commit write collides on the CRC rename.
     val commits = ck.resolve("commits")
-    import scala.jdk.CollectionConverters._
-    val listing = java.nio.file.Files.list(commits)
-    val latest = try {
-      val entries = listing.iterator().asScala
-        .filter(_.getFileName.toString.forall(_.isDigit)).toSeq
-      require(entries.nonEmpty,
-        "s41: no commit-log entries after run 1 — nothing to replay")
-      entries.maxBy(_.getFileName.toString.toLong)
-    } finally listing.close()
+    // one definition of "newest committed batch" (the shared
+    // commit-log reader); its require is the empty-log diagnostic —
+    // an empty log after run 1 means there is nothing to replay
+    val latest =
+      commits.resolve(lastCommittedBatchId(ck.toString).toString)
     java.nio.file.Files.delete(latest)
     java.nio.file.Files.deleteIfExists(
       commits.resolve(s".${latest.getFileName}.crc"))

@@ -30,8 +30,11 @@ class OracleLintSpec extends AnyFunSuite {
   }
 
   test("every declared oracle DESCRIBEs to Spark-representable types") {
-    val probe = Process(Seq("python3", "-c", "import duckdb")).!(
-      ProcessLogger(_ => ()))
+    // Try: a host with no python3 binary at all makes Process.! throw
+    // IOException before any exit code exists — that must cancel too
+    val probe = scala.util.Try(
+      Process(Seq("python3", "-c", "import duckdb")).!(
+        ProcessLogger(_ => ()))).getOrElse(-1)
     assume(probe == 0, "python3+duckdb unavailable — driver-side lint " +
       "skipped on this host")
     val json = Verify.oracleJson(SparkEntry.oracleSql)

@@ -9,7 +9,7 @@ fixture tables registered as views, sort columns by name, and compare
 schemas/row-order values exactly (doubles compared exactly — the
 engine is expected to make them deterministic).
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
 
 def main(sf_dir, out_dir):
@@ -52,8 +52,15 @@ def main(sf_dir, out_dir):
         # (datetime64[us] vs [ns]) are normalized first — parquet writers
         # legitimately differ there and the driver compares values.
         def norm(dt):
+            # normalize the storage UNIT only (datetime64[us] ==
+            # datetime64[ns]); a timezone suffix stays significant —
+            # tz-aware vs naive is a real mismatch (and would TypeError
+            # in the value loop below if let through)
             s = str(dt)
-            return "datetime64" if s.startswith("datetime64") else s
+            m = re.match(r"datetime64\[\w+(?:, *(.+))?\]$", s)
+            if m:
+                return "datetime64[%s]" % (m.group(1) or "")
+            return s
         dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
                        for c in got.columns
                        if norm(got[c].dtype) != norm(exp[c].dtype)]
