@@ -19,13 +19,16 @@ import graft.functions.Det
   *      slice mapping is stable within the plan.
   *   2. per-partition row counts → prefix-sum offsets: a ≤ P row
   *      aggregate, cumulated by a window over that TINY table and
-  *      broadcast back. Both consumers of the range shuffle canonicalize
-  *      to the same exchange, so ReuseExchange materializes it ONCE and
-  *      `spark_partition_id()` means the same slice on both sides
-  *      (DistRankSpec pins the ReusedExchange in the physical plan);
-  *      should reuse ever be disabled or defeated, a per-pid count
-  *      cross-check welded into the rank expression raises at runtime
-  *      instead of mis-ranking (see [[globalRowNumber]]).
+  *      broadcast back. The partitioned data is PERSISTED so every
+  *      consumer reads ONE materialization and `spark_partition_id()`
+  *      means the same slice on all sides (DistRankSpec pins the
+  *      cache scan in the physical plan) — ReuseExchange alone is not
+  *      enough: a plan embedding the ranked subtree twice (e52's
+  *      totals branch) defeated it at the 100× probe and two
+  *      materializations sampled different boundaries. Should the
+  *      invariant ever break anyway, a per-pid count cross-check
+  *      welded into the rank expression raises at runtime instead of
+  *      mis-ranking (see [[globalRowNumber]]).
   *   3. global rank = intra-partition row_number + partition offset
   *      (the row_number window partitions by pid — P-way parallel).
   *   4. the SQL-standard ntile readout from (rank, N): with q = N div n
@@ -44,8 +47,18 @@ object DistRank {
     * (ntile below, e55's percentile read-off, e56's Lorenz curve). */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
       totalOut: String, parts: Int = 32): DataFrame = {
+    // PERSIST the partitioned data: `spark_partition_id()` is only
+    // meaningful if the range exchange materializes ONCE for every
+    // consumer. ReuseExchange usually guarantees that, but a plan that
+    // embeds the ranked subtree twice (e52's totals branch) defeated
+    // it at the 100× probe — two materializations sampled different
+    // boundaries and the runtime guard below fired. The cache pins one
+    // materialization for all consumers; eviction is safe (a recomputed
+    // partition re-fetches the SAME map outputs — boundaries are fixed
+    // when the partitioner is built, before the map stage runs).
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // prefix offsets + grand total over ≤ `parts` rows — the one place a
     // single-partition window is CORRECT at any scale

@@ -83,12 +83,14 @@ class DistRankSpec extends AnyFunSuite {
     val distPlan = dist.queryExecution.executedPlan.toString
     assert(distPlan.contains("rangepartitioning"),
       s"forced distributed branch lost its range exchange:\n$distPlan")
-    // the range shuffle must be materialized once and REUSED by the
-    // counts subtree — two independent materializations could sample
-    // different range boundaries and mis-join the offsets
-    assert(distPlan.contains("ReusedExchange") ||
-        distPlan.contains("ReusedQueryStage") ||
-        distPlan.contains("reuses"),
-      s"range exchange not reused between rank and counts subtrees:\n$distPlan")
+    // the partitioned data must be materialized ONCE and read from
+    // cache by every consumer — two independent materializations could
+    // sample different range boundaries and mis-join the offsets
+    // (exchange reuse alone was defeated by e52's shape at 100×, hence
+    // the persist; the in-plan per-pid guard backstops it)
+    assert(distPlan.contains("InMemoryTableScan") ||
+        distPlan.contains("TableCacheQueryStage") ||
+        distPlan.contains("InMemoryRelation"),
+      s"partitioned data not pinned to one materialization:\n$distPlan")
   }
 }
