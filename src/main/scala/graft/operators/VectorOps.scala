@@ -1232,7 +1232,11 @@ object VectorOps {
       .filter($"cell_rank" <= DivCap)
       .withColumn("r", row_number().over(
         Window.orderBy(desc("cos"), $"vec_id")).cast("long"))
-    val sup = ranked.as("a").join(ranked.as("b"), col("a.r") < col("b.r"))
+    // the pair matrix is ≤ (DivProbe·DivCap)² config-bounded rows;
+    // broadcast the right side so the non-equi join plans as a
+    // broadcast-fed NL join, never a CartesianProduct (PlanAuditSpec)
+    val sup = ranked.as("a")
+      .join(broadcast(ranked.as("b")), col("a.r") < col("b.r"))
       .filter(call_function("graft_cosine", col("a.v"), col("b.v"))
         >= ServeTau)
       .select(col("b.vec_id").as("vec_id")).distinct()
