@@ -367,11 +367,18 @@ object VectorOps {
     val e = embDouble(spark, sfDir)
     val cent = labelCentroids(spark, sfDir)
     val wAssign = Window.partitionBy($"vec_id").orderBy(desc("cos"), $"c_label")
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"c_label".as("cell"))
+    // the assignment IS the index — a materialized artifact by design
+    // ("build once, probe many"): session-cache it so every probe-side
+    // consumer (v07/v22/v23/v25/v26/v28/v30, s34's batch face) reads
+    // one materialization instead of re-deriving the corpus×centroid
+    // argmax per query
+    val assigned = TextOps.cached(spark, sfDir, "ivf_assigned") {
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos", call_function("graft_cosine", $"v", $"cv"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"c_label".as("cell"))
+    }
     val q = assigned.filter($"vec_id" === 0)
       .select($"v".as("qv"))
     // the query's 2 nearest cells
