@@ -56,6 +56,17 @@ object DistRank {
     // materialization for all consumers; eviction is safe (a recomputed
     // partition re-fetches the SAME map outputs — boundaries are fixed
     // when the partitioner is built, before the map stage runs).
+    //
+    // RETENTION (r10 ADVICE, intentional): the cache is NOT explicitly
+    // unpersisted — the returned DataFrame is lazy, so there is no
+    // "after the action" point inside this helper, and an eager
+    // unpersist would re-open the double-materialization hazard for a
+    // caller that consumes the result twice (e52's totals branch).
+    // Cleanup is Spark's own: MEMORY_AND_DISK blocks are LRU-evicted
+    // under pressure (safe per the note above), and the ContextCleaner
+    // drops the entry once the plan is no longer referenced. A
+    // long-lived session ranking many distinct subtrees pays bounded
+    // storage, never correctness.
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -82,13 +93,28 @@ object DistRank {
     // equal counts ⇒ equal slices ⇒ correct ranks — so any divergence
     // raises instead of mis-ranking. The guard lives INSIDE the rank
     // expression so the optimizer cannot prune it.
-    val guarded = when(count(lit(1)).over(Window.partitionBy(col("__pid")))
+    //
+    // The offsets join is LEFT OUTER (r10 ADVICE): an inner join would
+    // silently DROP rank-side rows whose __pid the counts side left
+    // empty — precisely a boundary divergence — before the count
+    // cross-check could see them. With the left join such rows arrive
+    // with __cnt null and the first branch raises. Completeness: both
+    // materializations hold all N rows, so if every rank-side pid is
+    // matched (no null) AND per-pid counts agree, the counts side's
+    // total over those pids is already its grand total — it cannot
+    // hide an extra non-empty pid — hence no separate grand-total
+    // check is needed.
+    val guarded = when(col("__cnt").isNull,
+        raise_error(lit("DistRank: rank-side rows landed in a partition " +
+          "the counts subtree left empty (range-exchange boundaries " +
+          "diverged) — ranks would be wrong")).cast("long"))
+      .when(count(lit(1)).over(Window.partitionBy(col("__pid")))
         === col("__cnt"), lit(0L))
       .otherwise(raise_error(lit("DistRank: range-exchange boundaries " +
         "diverged between the counts and rank subtrees (exchange reuse " +
         "defeated) — ranks would be wrong")).cast("long"))
     parted
-      .join(broadcast(offsets), "__pid")
+      .join(broadcast(offsets), Seq("__pid"), "left")
       .withColumn(out,
         row_number().over(wIn).cast("long") + col("__off") + guarded)
       .drop("__pid", "__off", "__cnt")

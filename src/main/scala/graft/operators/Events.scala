@@ -1271,20 +1271,58 @@ object Events {
     * is linear but parallelism is CAPPED at |groups| (5 here) — the
     * contract-inherent cost of EXACT per-group medians.
     *
-    * CONTRACT (the v04 precedent, resolved round 10): e53 is the
-    * EXACT-VERIFICATION HARNESS — declared because it is correct and
-    * oracle-checkable at every fixture SF, and kept as the accuracy
-    * baseline e54 is pinned against (GraftSpec's one-bin-width bound).
-    * The 100 TB answer is [[binnedMadOutliers e54]]: its bin counts
-    * shard with full parallelism and merge as monoid state. A
+    * CONTRACT (the v04 precedent, resolved round 10; GUARDED round 11):
+    * e53 is the EXACT-VERIFICATION HARNESS — declared because it is
+    * correct and oracle-checkable at every fixture SF, and kept as the
+    * accuracy baseline e54 is pinned against (GraftSpec's one-bin-width
+    * bound). The 100 TB answer is [[binnedMadOutliers e54]]: its bin
+    * counts shard with full parallelism and merge as monoid state. A
     * deployment fencing genuinely massive groups runs e54; e53 is what
-    * you run on a sampled slice to certify e54's error. Value ties leave
-    * rank order among equals arbitrary, but the VALUE at a rank is
-    * the sorted multiset's — well-defined in both engines. */
+    * you run on a sampled slice to certify e54's error.
+    *
+    * The "sampled slice" contract is now ENFORCED, not hoped (the
+    * DistRank guard-by-construction discipline, r10 verdict item 5),
+    * at two layers:
+    *   - PLAN TIME: if the input's Catalyst size estimate exceeds
+    *     [[E53MaxInputBytes]] (the globalNtile 64 MiB calibration — the
+    *     base fixtures sit far below, the 100× probe fixture above),
+    *     construction raises immediately, before any sort runs.
+    *   - RUNTIME, welded into the output expression so the optimizer
+    *     cannot prune it: if any group's actual row count exceeds
+    *     [[E53MaxGroupRows]] (stats can underestimate), the query
+    *     raises instead of returning a result whose per-group
+    *     single-task sorts are the named scale-killer.
+    * Both raises point at e54 as the at-scale substitute. GraftSpec
+    * pins the runtime raise on a synthetic over-envelope group.
+    *
+    * Value ties leave rank order among equals arbitrary, but the VALUE
+    * at a rank is the sorted multiset's — well-defined in both
+    * engines. */
   def valueMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val j = Tables.events(spark, sfDir).select($"event_type",
       expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    val est = j.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > E53MaxInputBytes)
+      throw new IllegalStateException(
+        s"e53: estimated input $est B exceeds the exact per-group-sort " +
+          s"envelope ($E53MaxInputBytes B) — e53 is the sampled-slice " +
+          "verification harness; run e54_binned_mad_outliers (binned, " +
+          "fully parallel, mergeable state) at this scale")
+    valueMadOutliersOf(j)
+  }
+
+  /** e53's exact-sort envelope: plan-time ceiling on the Catalyst input
+    * size estimate (the [[DistRank.globalNtile]] 64 MiB calibration)
+    * and runtime ceiling on actual per-group rows. */
+  private[graft] val E53MaxInputBytes = 64L << 20
+  private[graft] val E53MaxGroupRows = 1000000L
+
+  /** The e53 plan over an explicit `(event_type, c)` cents frame —
+    * split out so GraftSpec can drive the runtime group-size guard
+    * with a synthetic over-envelope group. */
+  private[graft] def valueMadOutliersOf(j: DataFrame): DataFrame = {
+    import j.sparkSession.implicits._
     def median2(df: DataFrame, v: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("event_type")).orderBy(col(v))
       val wN = Window.partitionBy(col("event_type"))
@@ -1308,8 +1346,17 @@ object Events {
         max($"mad4").as("mad4"),
         sum(when($"dev" * 2L > $"mad4" * 3L, 1L).otherwise(0L))
           .as("n_outliers"))
+      // runtime backstop for stats underestimates, welded into the
+      // median expression so it cannot be pruned (per-group cost only)
       .select($"event_type", $"n",
-        Det.r4($"m2", lit(200L)).as("median_value"),
+        Det.r4(when($"n" <= E53MaxGroupRows, $"m2")
+            .otherwise(raise_error(concat(
+              lit("e53: group "), $"event_type", lit(" has "),
+              $"n".cast("string"),
+              lit(s" rows > $E53MaxGroupRows — exact per-group-sort " +
+                "envelope exceeded; run e54_binned_mad_outliers at " +
+                "this scale"))).cast("long")),
+          lit(200L)).as("median_value"),
         Det.r4($"mad4", lit(400L)).as("mad"),
         $"n_outliers")
       .orderBy($"event_type")
@@ -1435,15 +1482,23 @@ object Events {
     * ascending-spend rank, constant across rows.
     *
     * Determinism: every share/Gini is a [[Det.r4]] exact rational of
-    * int64 cross-products. Envelope (the e43/e52 discipline —
-    * documented, not guarded): the Gini numerator rides r4, so
-    * Σ(arank·cents) must stay under 2⁶³/20000 ≈ 4.6·10¹⁴ — and rank
-    * enters QUADRATICALLY (Σ(i·x) ≈ x̄·N²/2), so at $100 average
-    * lifetime spend the bound holds only to ~3·10⁵ users. Beyond
-    * that, rescale cents→dollars (×100 headroom → ~3·10⁶ users) or
-    * compute the Gini from the ≤10 decile aggregates instead of
-    * per-user ranks (the trapezoid Lorenz approximation). Requires
-    * Σx > 0 (the fixture has purchases at every SF).
+    * int64 cross-products. Envelope (GUARDED via [[Det.guarded]], the
+    * e41/e43 discipline — r10 made this the tightest envelope in the
+    * suite and scaladoc-only, r11 wires the guard): the Gini numerator
+    * rides r4, so Σ(arank·cents) must stay under 2⁶³/20000 ≈ 4.6·10¹⁴ —
+    * and rank enters QUADRATICALLY (Σ(i·x) ≈ x̄·N²/2), so at $100
+    * average lifetime spend the bound holds only to ~3·10⁵ users. The
+    * a-priori bound 3·N²·max(cents) (computed in DOUBLE from N and
+    * max cents, so the check itself cannot wrap) dominates every
+    * intermediate — each product arank·cents ≤ N·max, the running sum
+    * ≤ N²·max, |2·ic − (N+1)·tc| ≤ 2·N²·max, 2·den = 2·N·tc ≤
+    * 2·N²·max — so bound < [[Det.r4NumBound]] implies the whole
+    * computation stays exact; beyond it the query RAISES with the
+    * remediation (rescale cents→dollars for ×100 headroom, or compute
+    * the Gini from the ≤10 decile aggregates — the trapezoid Lorenz
+    * approximation) instead of silently wrapping. Requires Σx > 0
+    * (the fixture has purchases at every SF). GiniGuardSpec pins the
+    * raise on a synthetic envelope breach.
     *
     * Scale design: ONE map-side-combined per-user collapse is the only
     * event-volume shuffle; the rank is range-partitioned; Σ(i·x), Σx,
@@ -1452,14 +1507,23 @@ object Events {
     * those 10 rows. */
   def spendConcentration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val per = Tables.events(spark, sfDir).groupBy($"user_id").agg(
-      sum(when($"event_type" === "purchase",
-        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
-        .as("cents"))
+    spendConcentrationOf(
+      Tables.events(spark, sfDir).groupBy($"user_id").agg(
+        sum(when($"event_type" === "purchase",
+          expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+          .as("cents")))
+  }
+
+  /** The e56 plan over an explicit per-user `(user_id, cents)` frame —
+    * split out so GiniGuardSpec can drive the [[Det.guarded]] envelope
+    * with a synthetic breach the fixtures cannot produce. */
+  private[graft] def spendConcentrationOf(per: DataFrame): DataFrame = {
+    import per.sparkSession.implicits._
     val ranked = DistRank.globalRowNumber(
       per, Seq($"cents", $"user_id"), "arank", "n")
     val tots = ranked.agg(max($"n").as("nu"),
-      sum($"cents").as("tc"), sum($"arank" * $"cents").as("ic"))
+      sum($"cents").as("tc"), sum($"arank" * $"cents").as("ic"),
+      max($"cents").cast("double").as("mxc"))
     ranked
       .withColumn("decile",
         DistRank.ntileOf($"n" - $"arank" + 1L, $"n", 10))
@@ -1473,8 +1537,10 @@ object Events {
         round($"dcents" / 100.0, 2).as("revenue"),
         Det.r4($"dcents", $"tc").as("share"),
         Det.r4($"cum", $"tc").as("cum_share"),
-        Det.r4($"ic" * 2L - ($"nu" + 1L) * $"tc", $"nu" * $"tc")
-          .as("gini"))
+        Det.r4(Det.guarded($"ic" * 2L - ($"nu" + 1L) * $"tc",
+            lit(3.0) * $"nu".cast("double") * $"nu".cast("double") * $"mxc",
+            Det.r4NumBound, "e56_gini"),
+          $"nu" * $"tc").as("gini"))
       .orderBy($"decile")
   }
 

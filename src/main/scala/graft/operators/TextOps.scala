@@ -289,20 +289,38 @@ object TextOps {
   // access, so a long-lived JVM hosting many sessions can't pin dead
   // sessions' checkpoint blocks.
   private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), (SparkSession, Any)]
+    .empty[(Int, String, String), (SparkSession, Long, Any)]
+
+  /** Combined mtime stamp of the corpus fixtures an entry may derive
+    * from (documents / embeddings / events under sfDir) — the
+    * skewStatsCache/cachedScratchDir invalidation discipline applied
+    * to the whole dfCache (r10 ADVICE: ivf_assigned had no fixture
+    * guard): a regenerated fixture at the same path changes the stamp,
+    * so the stale entry is rebuilt instead of served. Missing files
+    * stamp as 0, which still changes when the file appears. */
+  private def fixtureStamp(sfDir: String): Long =
+    Seq("documents", "embeddings", "events").foldLeft(0L) { (acc, t) =>
+      acc * 1000003L +
+        new java.io.File(s"$sfDir/$t.parquet").lastModified()
+    }
 
   /** The session-keyed cache discipline, generic in the value (one
     * definition — DataFrames go through [[cached]] which adds the
     * localCheckpoint; non-DF artifacts like the BPE run pair use this
-    * directly). */
+    * directly). Entries are guarded by [[fixtureStamp]]: a stale stamp
+    * rebuilds in place (the put overwrites, so at most one entry per
+    * key ever lives). */
   private[operators] def sessionCached[A](spark: SparkSession, sfDir: String,
       what: String)(build: => A): A = {
-    dfCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    dfCache.filterInPlace { case (_, (s, _, _)) => !s.sparkContext.isStopped }
+    val stamp = fixtureStamp(sfDir)
     val key = (System.identityHashCode(spark), sfDir, what)
-    dfCache.get(key).filter(_._1 eq spark).map(_._2.asInstanceOf[A])
+    dfCache.get(key)
+      .filter { case (s, st, _) => (s eq spark) && st == stamp }
+      .map(_._3.asInstanceOf[A])
       .getOrElse {
         val v = build
-        dfCache.put(key, (spark, v))
+        dfCache.put(key, (spark, stamp, v))
         v
       }
   }

@@ -448,16 +448,24 @@ object VectorOps {
   // its identity hash — colliding hashes of two live sessions would
   // perpetually evict each other's entry
   private val kmCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Seq[(Long, Array[Double])])]
+    .empty[(SparkSession, String),
+      (Long, (DataFrame, Seq[(Long, Array[Double])]))]
 
   /** The Lloyd loop shared by v09 (centroid report) and v19
     * (silhouette): returns the final assignment frame and the final
     * 6-dp-rounded centroids, cached per session so the two queries
-    * train once. */
+    * train once. Guarded by the embeddings fixture's mtime (the
+    * dfCache/skewStatsCache invalidation discipline): a regenerated
+    * fixture at the same path retrains instead of serving a stale
+    * model. */
   private def kmeansCore(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[(Long, Array[Double])]) = {
     kmCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    kmCache.getOrElseUpdate((spark, sfDir), kmeansTrain(spark, sfDir))
+    val stamp = new java.io.File(s"$sfDir/embeddings.parquet").lastModified()
+    kmCache.updateWith((spark, sfDir)) {
+      case Some((st, v)) if st == stamp => Some((st, v))
+      case _ => Some((stamp, kmeansTrain(spark, sfDir)))
+    }.get._2
   }
 
   private def kmeansTrain(spark: SparkSession, sfDir: String)

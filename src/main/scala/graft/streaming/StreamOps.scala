@@ -2389,7 +2389,8 @@ object StreamOps {
   /** s46: STREAMING APPROX MEDIAN — e54's "bin counts are mergeable
     * monoid state" claim made real. Three %3-interleaved micro-batches
     * fold per-(event_type, $1-bin) counts into [[BinCountProcessor]]'s
-    * ValueState; the store — read out-of-band at an explicit batchId,
+    * MapState (bin → count; see its scaladoc for why ValueState would
+    * be wrong); the store — read out-of-band at an explicit batchId,
     * the s42/s43 serving discipline — IS the product, and e54's cumsum
     * read-off computes the approx median from the bins alone. The
     * result must hash-match the batch e54 median formula exactly: a
