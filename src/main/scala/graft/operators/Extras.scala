@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -9,13 +9,24 @@ import graft.functions.Det.{dec4, dsum}
 
 /** Remaining SURVEY §2 breadth: CUBE, the SQL entry surface with a
   * correlated subquery (Catalyst decorrelates it into a join), time-range
-  * window frames, and the approximate sketches (HLL++ distinct,
-  * approx quantiles) that back per-key cardinality at 100 TB — exact
-  * `countDistinct` needs a full shuffle of the distinct pairs, while
-  * HLL++ merges constant-size sketches map-side. The approx queries are
-  * declared without oracle SQL (sketch results are engine-specific) and
-  * take the driver's rows-only check; the exact counterparts are the
-  * oracle-verified e09/q-series. */
+  * window frames, and the approximate sketches (HLL distinct, binned
+  * quantiles, frequent items) that back per-key cardinality at 100 TB —
+  * exact `countDistinct` needs a full shuffle of the distinct pairs,
+  * while HLL merges constant-size register tables map-side.
+  *
+  * ORACLE CLOSURE (r10 verdict item 1): through round 10 the four
+  * sketch queries (x01–x04) rode engine-specific built-ins
+  * (`approx_count_distinct`, `percentile_approx`, Datasketches HLL, a
+  * Misra–Gries UDAF) whose outputs no other engine can replay, so they
+  * took the driver's weaker rows-only check. Round 11 re-expresses each
+  * as a DETERMINISTIC sketch over a fixed base hash (the d06 md5
+  * seed-constant discipline): the register build, the merge, and the
+  * estimate are explicit relational algebra + shared literal formulas,
+  * so DuckDB replays the identical sketch verbatim and the full
+  * rows+schema+hash gate closes over them. Same sketch THEORY, same
+  * asymptotics, same merge-at-scale story — the only thing surrendered
+  * is the black-box implementation. The engine-specific built-ins
+  * remain pinned in SketchBoundsSpec as accuracy baselines. */
 object Extras {
 
   /** CUBE over (priority, status): all grouping-set combinations. */
@@ -56,64 +67,209 @@ object Extras {
       .orderBy($"event_id")
   }
 
-  /** HLL++ approximate distinct per event_type (rows-only check; the
-    * exact version is e09). */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+  // ---- deterministic HLL (x01/x03): m = 256 registers over a fixed
+  // md5-derived 32-bit hash -------------------------------------------
+  //
+  // hash    h   = first 8 hex chars of md5(user_id as string) — the d06
+  //               base-hash discipline; 32 bits, identical text in both
+  //               engines
+  // bucket      = h div 2²⁴ (top 8 bits → 256 registers)
+  // rho         = leading-zero count of the low 24 bits + 1
+  //             = 25 − bitlength(rem), via length(bin(rem)) — bin() is
+  //               the no-leading-zeros binary string in BOTH engines,
+  //               so the formula is engine-portable integer/text ops
+  // register    = max(rho) per bucket — the HLL monoid (mergeable,
+  //               map-side-combinable, constant 256·1 B per key)
+  // estimate    = αₘ·m² / Z with Z = Σ 2^(−rho_j). Determinism: Z is
+  //               computed as an INTEGER sum S = Σ 2^(25−rho) (empty
+  //               registers contribute 2²⁵) divided ONCE by 2²⁵ — sum
+  //               order cannot perturb an integer — and αₘ·m² is ONE
+  //               shared literal, so the raw estimate is a single
+  //               IEEE division with identical operands in both
+  //               engines. Small-range (linear-counting) branch when
+  //               eRaw ≤ 2.5m and empty registers exist: m·ln(m/V) —
+  //               ln may differ in the last ulp across libms, so the
+  //               surfaced estimate is ROUNDED TO AN INTEGER (a flip
+  //               needs the true value within ~1e-13 of .5; verified
+  //               stable at every fixture SF).
+
+  private val HllM = 256L
+  private val HllW = 1L << 24
+  /** αₘ·m² for m = 256, emitted as ONE literal into both engines via
+    * toString (shortest round-trip repr; both parse back the identical
+    * IEEE double). */
+  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  /** Spark-side register build from `(event_type[, day], h)`:
+    * bucket/rem split + rho. */
+  private def hllRho: Column =
+    when(col("rem") === 0L, lit(25L))
+      .otherwise(lit(25L) - length(bin(col("rem"))).cast("long"))
+
+  private def hllHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id").as("approx_users"),
-        approx_count_distinct($"user_id", 0.005).as("approx_users_precise"))
+      .select($"event_type",
+        Det.fdiv(expr("unix_micros(ts)"), lit(86400000000L)).as("day"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+      .select($"event_type", $"day",
+        Det.fdiv($"h", lit(HllW)).as("bucket"), ($"h" % HllW).as("rem"))
+  }
+
+  /** The estimate readout from (occupied-register count, integer
+    * register sum S = Σ 2^(25−rho) over occupied registers). */
+  private def hllEst(nb: Column, s: Column): Column = {
+    val z = (s + (lit(HllM) - nb) * lit(HllW)) / lit(HllW.toDouble)
+    val eRaw = lit(HllAlphaM2) / z
+    when(eRaw <= 640.0 && nb < HllM,
+      round(lit(256.0) * log(lit(256.0) / (lit(HllM) - nb).cast("double"))))
+      .otherwise(round(eRaw))
+      .cast("long")
+  }
+
+  /** DuckDB mirrors of the above, shared by the x01/x03 oracle texts so
+    * the two cannot drift. */
+  private val hllRhoSql =
+    "CASE WHEN rem = 0 THEN 25 ELSE 25 - length(bin(rem)) END"
+  private val hllHashCte =
+    s"""hh AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM events),
+       |hb AS (SELECT event_type, day, h // $HllW AS bucket,
+       |  h % $HllW AS rem FROM hh)""".stripMargin
+  private def hllEstSql(nb: String, s: String): String = {
+    val raw = s"($HllAlphaM2 / ((($s) + (256 - ($nb)) * $HllW) / $HllW.0))"
+    s"""CAST(round(CASE WHEN $raw <= 640.0 AND ($nb) < 256
+       |  THEN 256.0 * ln(256.0 / (256 - ($nb))) ELSE $raw END) AS BIGINT)"""
+      .stripMargin
+  }
+
+  /** x01: HLL approximate distinct users per event_type — the
+    * deterministic register sketch above, built as ONE map-side-
+    * combined hash-agg over (type, bucket) (≤ 256 rows per key ever
+    * shuffle — the whole point vs e09's exact distinct, which must
+    * shuffle every distinct (type, user) pair) plus a ≤ 256-row
+    * readout. At 100 TB the register table IS the state: constant
+    * 256 bytes per key, mergeable across partitions/days/clusters
+    * (x03 demonstrates the merge). Oracle: DuckDB replays the
+    * identical registers and estimate (hash-gated since r11). */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val regs = hllHash(spark, sfDir)
+      .groupBy($"event_type", $"bucket")
+      .agg(max(hllRho).as("rho"))
+    regs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+          .as("s"))
+      .select($"event_type", $"n_buckets",
+        hllEst($"n_buckets", $"s").as("est_users"))
       .orderBy($"event_type")
   }
 
-  /** Approximate quantiles of line item prices (rows-only check). */
+  /** x02: binned approximate quantiles of lineitem extended price per
+    * return flag — e54's fixed-width-bin discipline generalized to
+    * arbitrary percentiles (p50/p90/p99): values land in $100 bins,
+    * per-(flag, bin) counts are one map-side-combined hash-agg, the
+    * cumsum window runs over BIN rows (≤ ~1100 per flag), and the
+    * type-1 read-off target ⌈n·p/100⌉ interpolates inside the landing
+    * bin exactly as e54's median does. Accuracy contract: within one
+    * bin width of e17's exact interpolated percentiles
+    * (SketchBoundsSpec pins it). All arithmetic is pure int64 until
+    * the final cents→dollars [[Det.r4]]; the oracle replays the
+    * identical formula (hash-gated since r11).
+    *
+    * Scale: this is the quantile shape that survives 100 TB — bin
+    * counts are mergeable monoid state (s46 streams the same bins),
+    * no per-group value sort ever happens, parallelism is bounded by
+    * data not |groups|. */
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
-      .agg(percentile_approx($"l_extendedprice",
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+    val BinC = 10000L // $100 bins, integer cents
+    val bins = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag",
-        $"pcts"(0).as("p50"), $"pcts"(1).as("p90"), $"pcts"(2).as("p99"))
+        Det.fdiv(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+          lit(BinC)).as("bin"))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("bc"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"bin")
+    val wN = Window.partitionBy($"l_returnflag")
+    val cum = bins
+      .withColumn("cum", sum($"bc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"bc").over(wN))
+    def centsAt(k: Int): Column = {
+      val target = Det.fdiv($"n" * k + 99L, lit(100L)) // ceil(n·k/100)
+      max(when($"cum" >= target && $"cum" - $"bc" < target,
+        $"bin" * BinC +
+          Det.fdiv((target - ($"cum" - $"bc")) * BinC, $"bc")))
+    }
+    cum.groupBy($"l_returnflag")
+      .agg(max($"n").as("n"), centsAt(50).as("c50"), centsAt(90).as("c90"),
+        centsAt(99).as("c99"))
+      .select($"l_returnflag", $"n",
+        Det.r4($"c50", lit(100L)).as("p50"),
+        Det.r4($"c90", lit(100L)).as("p90"),
+        Det.r4($"c99", lit(100L)).as("p99"))
       .orderBy($"l_returnflag")
   }
 
-  /** HLL sketch MERGEABILITY (Datasketches `hll_sketch_agg` /
-    * `hll_union_agg`): build one sketch per (event_type, day), then
-    * union the daily sketches into a per-type total estimate WITHOUT
-    * rescanning rows — the pre-aggregated sketch-table pattern that
-    * makes distinct counts cheap at 100 TB (a nightly job maintains
-    * small per-partition sketches; any rollup is a union over them).
-    * Rows-only driver check; the estimate-vs-exact bound is pinned in
-    * `SketchBoundsSpec`. */
+  /** x03: HLL MERGEABILITY — the pre-aggregated sketch-table pattern
+    * that makes distinct counts cheap at 100 TB: build one register
+    * table per (event_type, day) (a nightly job maintains small
+    * per-partition sketches), then union per-type by register-wise max
+    * WITHOUT rescanning rows. max is the HLL monoid, so the merged
+    * registers equal the direct x01 registers EXACTLY — which is
+    * precisely the mergeability property, and what lets the oracle
+    * replay the same daily-build + merge verbatim (hash-gated since
+    * r11). */
   def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, sfDir)
-      .groupBy($"event_type", window($"ts", "1 day").as("w"))
-      .agg(hll_sketch_agg($"user_id").as("sk"))
-    daily.groupBy($"event_type")
-      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
-        count(lit(1)).as("n_days"))
+    val daily = hllHash(spark, sfDir)
+      .groupBy($"event_type", $"day", $"bucket")
+      .agg(max(hllRho).as("rho"))
+    val nDays = daily.groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"))
+    val merged = daily.groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("rho"))
+    merged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+          .as("s"))
+      .join(broadcast(nDays), "event_type")
+      .select($"event_type", $"n_days",
+        hllEst($"n_buckets", $"s").as("est_users"))
       .orderBy($"event_type")
   }
 
-  /** Misra–Gries heavy hitters per event_type (k=8) via the typed
-    * [[graft.functions.HeavyHittersAggregator]]: bounded-state top
-    * users — the frequent-items sketch a high-load consumer keeps when
-    * exact per-key counts no longer fit. Rows-only driver check
-    * (counter values are merge-order-dependent); the order-independent
-    * MG guarantee is pinned in `SketchBoundsSpec`. */
+  /** x04: EXACT support-threshold heavy hitters per event_type — the
+    * contract the Misra–Gries sketch approximates, declared exactly
+    * (r10 verdict item 1's prescription: MG counter values are
+    * merge-order-dependent, so the GATED query is the exact frequent-
+    * items readout; the MG UDAF itself stays pinned in
+    * SketchBoundsSpec, including its recall guarantee against THIS
+    * query's output). Support threshold: count > 1.5× the mean
+    * per-user count of the type (the fixture's activity is
+    * near-uniform, so an absolute N/k support is degenerate at every
+    * SF — the threshold is a contract parameter; the plan shape is
+    * identical for any τ).
+    *
+    * Scale: one map-side-combined hash-agg over (type, user) — the
+    * same shuffle e09 already pays — then a ≤ |types|-row totals
+    * aggregate broadcast back; no sort, no window over data-sized
+    * partitions. */
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val mg = udaf(new graft.functions.HeavyHittersAggregator(8),
-      org.apache.spark.sql.Encoders.scalaLong)
-    Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(mg($"user_id").as("hh"))
-      .select($"event_type", explode($"hh").as("h"))
-      .select($"event_type", $"h.id".as("user_id"), $"h.min_count")
-      .orderBy($"event_type", desc("min_count"), $"user_id")
+    val c = Tables.events(spark, sfDir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val s = c.groupBy($"event_type")
+      .agg(sum($"n_events").as("tot"), count(lit(1)).as("nu"))
+    c.join(broadcast(s), "event_type")
+      .filter($"n_events" * 2L * $"nu" > $"tot" * 3L)
+      .select($"event_type", $"user_id", $"n_events")
+      .orderBy($"event_type", desc("n_events"), $"user_id")
   }
 
   /** Pivot → unpivot round trip: wide per-user activity profile melted
@@ -260,6 +416,8 @@ object Extras {
     "e13_asof_signup"     -> asofSignupState _,
   )
 
+  private val D = Det.sql
+
   val oracles: Map[String, String] = Map(
     "e37_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey AS k, p_name AS name,
@@ -326,7 +484,64 @@ object Extras {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
-    // x01/x02 deliberately omitted: sketch outputs are engine-specific
+    // x01–x04 gated since r11: deterministic fixed-hash sketches whose
+    // register build / merge / estimate DuckDB replays verbatim (the
+    // shared hllHashCte/hllRhoSql/hllEstSql fragments mirror the Spark
+    // helpers one-for-one)
+    "x01_approx_distinct" ->
+      s"""WITH $hllHashCte,
+         |hr AS (SELECT event_type, bucket, max($hllRhoSql) AS rho
+         |  FROM hb GROUP BY 1, 2),
+         |ha AS (SELECT event_type, count(*) AS n_buckets,
+         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
+         |  FROM hr GROUP BY 1)
+         |SELECT event_type, n_buckets,
+         |${hllEstSql("n_buckets", "s")} AS est_users
+         |FROM ha ORDER BY event_type""".stripMargin,
+    "x03_hll_union" ->
+      s"""WITH $hllHashCte,
+         |hd AS (SELECT event_type, day, bucket, max($hllRhoSql) AS rho
+         |  FROM hb GROUP BY 1, 2, 3),
+         |nd AS (SELECT event_type, count(DISTINCT day) AS n_days
+         |  FROM hd GROUP BY 1),
+         |hm AS (SELECT event_type, bucket, max(rho) AS rho
+         |  FROM hd GROUP BY 1, 2),
+         |ha AS (SELECT event_type, count(*) AS n_buckets,
+         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
+         |  FROM hm GROUP BY 1)
+         |SELECT ha.event_type, nd.n_days,
+         |${hllEstSql("n_buckets", "s")} AS est_users
+         |FROM ha JOIN nd ON ha.event_type = nd.event_type
+         |ORDER BY ha.event_type""".stripMargin,
+    // binned type-1 quantiles, e54's formula at p50/p90/p99; every
+    // operand non-negative so bare // is safe (the d-series precedent)
+    "x02_approx_quantiles" -> {
+      def centsAt(k: Int) =
+        s"""max(CASE WHEN cum >= (n*$k+99)//100 AND cum - bc < (n*$k+99)//100
+           |  THEN bin*10000 + ((n*$k+99)//100 - (cum - bc)) * 10000 // bc
+           |  END) AS c$k""".stripMargin
+      s"""WITH b AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 10000 AS bin,
+         |    count(*) AS bc FROM lineitem GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, bin, bc,
+         |    sum(bc) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         |    sum(bc) OVER (PARTITION BY l_returnflag) AS n FROM b),
+         |a AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+         |    ${centsAt(50)}, ${centsAt(90)}, ${centsAt(99)}
+         |  FROM c GROUP BY 1)
+         |SELECT l_returnflag, n, ${D.r4("c50", "100")} AS p50,
+         |  ${D.r4("c90", "100")} AS p90, ${D.r4("c99", "100")} AS p99
+         |FROM a ORDER BY l_returnflag""".stripMargin
+    },
+    "x04_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, sum(n_events) AS tot, count(*) AS nu
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.user_id, c.n_events
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |WHERE c.n_events * 2 * s.nu > s.tot * 3
+        |ORDER BY c.event_type, c.n_events DESC, c.user_id""".stripMargin,
     "e12_user_unpivot" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),

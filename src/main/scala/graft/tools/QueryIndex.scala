@@ -160,7 +160,8 @@ object QueryIndex {
     sb ++= "query is registered more than once, is missing, or an oracle\n"
     sb ++= "has no query — so this table cannot drift from the registry.\n\n"
     sb ++= s"${queries.size} declared queries; ${oracles.size} DuckDB-"
-    sb ++= "oracle-gated (the rest are declared rows-only sketches).\n"
+    sb ++= (if (queries.size == oracles.size) "oracle-gated (all of them).\n"
+      else "oracle-gated (the rest are declared rows-only sketches).\n")
     sb ++= "`impl` links the operator definition; `registered` the\n"
     sb ++= "`queries`-map entry; `specs` every test file naming the\n"
     sb ++= "query or its impl; `10×/100× probe` the measured scaling\n"

@@ -236,15 +236,15 @@ class GraftSpec extends AnyFunSuite {
     assert(once.groupBy("norm_hash").count().filter("count > 1").count() == 0)
   }
 
-  test("approx_count_distinct tracks exact counts within 5%") {
+  test("x01's deterministic HLL tracks exact counts within its rsd bound") {
     import spark.implicits._
     val exact = operators.Events.distinctUsers(spark, sf)
       .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
     val approx = operators.Extras.approxDistinct(spark, sf)
-      .select($"event_type", $"approx_users_precise").as[(String, Long)]
+      .select($"event_type", $"est_users").as[(String, Long)]
       .collect().toMap
     exact.foreach { case (t, n) =>
-      assert(math.abs(approx(t) - n) <= math.max(1, n * 0.05),
+      assert(math.abs(approx(t) - n) <= math.max(1, n * 0.20),
         s"$t: approx ${approx(t)} vs exact $n")
     }
   }
@@ -2704,41 +2704,66 @@ class LshRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
-/** Error-bound checks for the two approximate sketches (the driver's
-  * oracle records them rows-only — no DuckDB analogue — so the accuracy
-  * contract is pinned here against the exact queries instead). */
+/** Accuracy-bound checks for the sketch queries. Since r11 the x01–x04
+  * sketches are DETERMINISTIC and oracle-gated (DuckDB replays the
+  * registers/bins/threshold verbatim), so the hash gate proves
+  * cross-engine agreement; what it cannot prove is that the sketch
+  * approximates the EXACT answer well — that accuracy contract is
+  * pinned here, against the exact queries and the engine built-ins. */
 class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
 
-  test("x01 HLL++ estimates within the configured relative error") {
+  test("x01 deterministic-HLL estimates within 3 sigma of exact") {
     import spark.implicits._
     val exact = graft.operators.Events.distinctUsers(spark, sf)
       .select($"event_type", $"n_users")
       .as[(String, Long)].collect().toMap
     val approx = graft.operators.Extras.approxDistinct(spark, sf)
       .as[(String, Long, Long)].collect()
-    approx.foreach { case (tpe, est, estPrecise) =>
+    assert(approx.nonEmpty)
+    approx.foreach { case (tpe, nBuckets, est) =>
       val n = exact(tpe).toDouble
-      // default rsd 0.05, precise variant 0.005; allow 4 sigma
+      assert(nBuckets >= 1L && nBuckets <= 256L)
+      // m = 256 registers → rsd = 1.04/√256 = 6.5%; allow 3 sigma
       assert(math.abs(est - n) / n <= 0.20, s"$tpe: $est vs $n")
-      assert(math.abs(estPrecise - n) / n <= 0.02,
-        s"$tpe precise: $estPrecise vs $n")
     }
   }
 
-  test("x03 unioned daily HLL sketches estimate the exact per-type counts") {
+  test("x01 tracks the engine's HLL++ baseline (approx_count_distinct)") {
     import spark.implicits._
-    val exact = graft.operators.Events.distinctUsers(spark, sf)
-      .select($"event_type", $"n_users")
+    import org.apache.spark.sql.functions._
+    // the built-in sketch the deterministic x01 replaced for oracle
+    // gating — kept as the accuracy baseline: both must agree with
+    // exact within their stated rsd, hence with each other within the
+    // bound sum
+    val builtin = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.005).as("b"))
+      .as[(String, Long)].collect().toMap
+    graft.operators.Extras.approxDistinct(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .foreach { case (tpe, _, est) =>
+        val b = builtin(tpe).toDouble
+        assert(math.abs(est - b) / b <= 0.21,
+          s"$tpe: graft-HLL $est vs builtin $b")
+      }
+  }
+
+  test("x03 daily-merged registers give EXACTLY the direct x01 estimate") {
+    import spark.implicits._
+    // max is the HLL monoid: merging per-day register tables must
+    // reproduce the direct registers bit-for-bit — the mergeability
+    // property itself, pinned as exact equality (not a tolerance)
+    val direct = graft.operators.Extras.approxDistinct(spark, sf)
+      .select($"event_type", $"est_users")
       .as[(String, Long)].collect().toMap
     val merged = graft.operators.Extras.hllUnion(spark, sf)
       .as[(String, Long, Long)].collect()
-    merged.foreach { case (tpe, est, nDays) =>
-      val n = exact(tpe).toDouble
+    assert(merged.nonEmpty)
+    merged.foreach { case (tpe, nDays, est) =>
       assert(nDays > 1, s"$tpe: mergeability untested with $nDays sketch")
-      // default lgConfigK=12 → rsd ≈ 1.6%; allow 4 sigma
-      assert(math.abs(est - n) / n <= 0.07, s"$tpe: $est vs $n")
+      assert(est == direct(tpe), s"$tpe: merged $est != direct ${direct(tpe)}")
     }
   }
 
@@ -2768,33 +2793,73 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("x02 approx percentiles bracket the exact interpolated values") {
+  test("x02 binned quantiles within one bin width of the exact type-1 values") {
     import spark.implicits._
-    val exact = graft.operators.Extras.exactPercentiles(spark, sf)
-      .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    import org.apache.spark.sql.functions.{col, round => fround}
+    // exact TYPE-1 percentile (value at rank ⌈n·p/100⌉ — x02's own rank
+    // convention; e17 interpolates between ranks, a different
+    // convention whose value can sit in the next bin at sparse tails)
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        fround(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("c"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactT1(cs: Array[Long], k: Int): Double = {
+      val n = cs.length.toLong
+      cs((((n * k + 99) / 100) - 1).toInt) / 100.0
+    }
     val approx = graft.operators.Extras.approxQuantiles(spark, sf)
-      .as[(String, Double, Double, Double)].collect()
-    approx.foreach { case (flag, p50, p90, p99) =>
-      val (e50, e90, e99) = exact(flag)
-      // percentile_approx picks an OBSERVED value near the target rank;
-      // with accuracy 10000 on fixture-sized groups the rank error is
-      // tiny — 1% of the exact value comfortably bounds the value gap
-      assert(math.abs(p50 - e50) / e50 <= 0.01, s"$flag p50: $p50 vs $e50")
-      assert(math.abs(p90 - e90) / e90 <= 0.01, s"$flag p90: $p90 vs $e90")
-      assert(math.abs(p99 - e99) / e99 <= 0.01, s"$flag p99: $p99 vs $e99")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, n, p50, p90, p99) =>
+      val cs = byFlag(flag)
+      assert(n == cs.length.toLong)
+      // the target rank's value lies IN the landing bin (cumBelow <
+      // target ≤ cum) and the read-off never leaves that bin's closed
+      // upper edge → within one $100 bin width, the e54 contract
+      for ((k, got) <- Seq(50 -> p50, 90 -> p90, 99 -> p99)) {
+        val want = exactT1(cs, k)
+        assert(math.abs(got - want) <= 100.0, s"$flag p$k: $got vs $want")
+      }
     }
   }
 
-  test("x04 Misra-Gries keeps every true heavy hitter with bounded error") {
+  test("x04 exact heavy hitters match a local recomputation of the threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    val trueCounts = Tables.events(spark, sf)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    val expected = trueCounts.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val tot = rows.map(_._3).sum
+      val nu = rows.length.toLong
+      rows.collect { case (_, u, n) if 2 * n * nu > 3 * tot => (tpe, u, n) }
+    }.toSet
+    val got = graft.operators.Extras.heavyHitters(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "degenerate: no heavy hitters at this SF")
+    assert(got == expected)
+  }
+
+  test("x04's MG sketch keeps every true heavy hitter with bounded error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the bounded-state sketch face of x04 (merge-order-dependent
+    // counters → spec-layer, not oracle-gated; the GATED x04 is the
+    // exact support-threshold readout above)
     val k = 8
     val trueCounts = Tables.events(spark, sf)
       .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
       .as[(String, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
-    val sketch = graft.operators.Extras.heavyHitters(spark, sf)
+    val mg = udaf(new graft.functions.HeavyHittersAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(mg($"user_id").as("hh"))
+      .select($"event_type", explode($"hh").as("h"))
+      .select($"event_type", $"h.id".as("user_id"), $"h.min_count")
       .as[(String, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
     trueCounts.foreach { case (tpe, byUser) =>
