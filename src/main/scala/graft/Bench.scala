@@ -44,6 +44,27 @@ object Bench {
     // single-run spikes that never reproduced). The driver sets no env
     // → reps=1 → timing behavior and output format are unchanged.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // Dev-only accumulation profiling (r10 verdict item 2: the driver's
+    // reps=1 full-session total ran ~1.5× the builder's clean readings
+    // for three rounds; name the mechanism): SPARK_GRAFT_PROFILE=1
+    // emits one stderr line per timed query with the session-cumulative
+    // counters whose DELTAS localize what accumulates — total GC time,
+    // codegen compilations, storage memory in use (localCheckpoint /
+    // persist blocks), and heap occupancy. Stderr only: the driver's
+    // stdout tail contract is untouched.
+    val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storageMb: Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (mx, rem) => mx - rem }.sum >> 20
+    def heapMb: Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    def cgCount: Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -55,7 +76,12 @@ object Bench {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val (gc0, cg0) = if (profile) (gcMs, cgCount) else (0L, 0L)
       val ts = Seq.fill(reps)(once())
+      if (profile)
+        System.err.println(s"""{"prof":"$name","t":${ts.min},""" +
+          s""""gc_ms":${gcMs - gc0},"cg":${cgCount - cg0},""" +
+          s""""store_mb":$storageMb,"heap_mb":$heapMb}""")
       // true median: average the two middle elements for even reps
       // (upper-middle alone would record the max of a 2-rep run)
       val sorted = ts.sorted

@@ -42,7 +42,7 @@ object VectorOps {
     while (i < a.length) { s += a(i) * b(i); i += 1 }; s
   }
 
-  private def embDouble(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def embDouble(spark: SparkSession, sfDir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -234,14 +234,22 @@ object VectorOps {
     // costs nothing
     lshPairs(spark, sfDir).orderBy("d1", "d2")
 
+  /** One codegen'd pass → 8 long band codes per vector (the v08 LSH
+    * index rows). Shared by the batch near-dup (v08/v10) and the s47
+    * streaming ingest face so the two index definitions cannot
+    * drift. */
+  private[graft] def bandCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embDouble(spark, sfDir)
+      .select($"vec_id",
+        posexplode(call_function("graft_lsh_bands", $"v")).as(Seq("band", "code")))
+  }
+
   private def lshNearDupUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    // one codegen'd pass → 8 long band codes per vector; the self-join
-    // key is a primitive (band, code) pair
-    val bands = e
-      .select($"vec_id",
-        posexplode(call_function("graft_lsh_bands", $"v")).as(Seq("band", "code")))
+    // the self-join key is a primitive (band, code) pair
+    val bands = bandCodes(spark, sfDir)
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.code" === $"b.code" &&
@@ -1136,7 +1144,7 @@ object VectorOps {
     * one definition, so the cell ranking cannot drift between the
     * tuning curve, the capped probe, and the capstone). Returns
     * (probe_cell, cell_rank ≤ n); `q` is ivfIndex's 1-row query side. */
-  private def probeCells(spark: SparkSession, sfDir: String, n: Int,
+  private[graft] def probeCells(spark: SparkSession, sfDir: String, n: Int,
       q: DataFrame): DataFrame = {
     import spark.implicits._
     labelCentroids(spark, sfDir).crossJoin(broadcast(q))
@@ -1211,6 +1219,14 @@ object VectorOps {
     * rows — bounded by CONFIG, not data — so the pairwise suppression
     * matrix is ≤ 66 pairs and the final windows rank ≤ 12 rows. */
   private[graft] val ServeTau = 0.25
+
+  /** The 1-row query-vector frame (vec 0's raw doubles) — identical to
+    * ivfIndex's `q` but buildable without touching the assignment, for
+    * consumers (s48's serving read) that only probe. */
+  private[graft] def queryVecDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embDouble(spark, sfDir).filter($"vec_id" === 0).select($"v".as("qv"))
+  }
 
   def retrievalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val (ranked, sup) = retrievalStages(spark, sfDir)
@@ -1416,8 +1432,31 @@ object VectorOps {
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
-  private def cos(a: String, b: String): String =
+  private[graft] def cos(a: String, b: String): String =
     cosSql.format(a, b, a, a, b, b)
+
+  /** The v08 sign-LSH band table as a DuckDB CTE chain ending at
+    * `bands(vec_id, b, code)` + `e(vec_id, v)` — ONE text shared by the
+    * v08 oracle and the s47 streaming-ingest oracle
+    * ([[graft.streaming.StreamOps]]) so the index definition cannot
+    * drift between the batch and ingest paths. Same md5-parity
+    * hyperplanes as the Spark side ([[org.apache.spark.sql.graft
+    * .VectorExpressions]] `LshBandCodes`): plane j = b*8 + k, sign =
+    * parity of md5('g:j')'s first hex digit; band code = Σ_k 2^k·bit_k,
+    * matching LshBandCodes bit order. */
+  private[graft] val lshBandsCteSql: String = {
+    val bitExpr =
+      """CASE WHEN list_dot_product(v, [CASE WHEN substr(md5(g::VARCHAR ||
+        |  ':' || (b*8 + k)::VARCHAR), 1, 1) IN
+        |  ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+        |  for g in range(0, 64)]) >= 0 THEN (1::BIGINT << k) ELSE 0 END""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
+       |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
+       |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
+       |bands AS (SELECT vec_id, b, SUM(bit) AS code
+       |  FROM bits GROUP BY vec_id, b)""".stripMargin
+  }
 
   /** The v07 index definition (cent/cv/e) as a CTE prefix — ONE text
     * shared by the v07/v18 oracles and the s34 streaming-assignment
@@ -1518,6 +1557,33 @@ object VectorOps {
          |  FROM w$i, n$i)""".stripMargin
     }.mkString(",\n")
   }
+
+  /** v30's FULL oracle text — every serving stage with its constants.
+    * Shared VERBATIM with s48 (the streaming serving capstone,
+    * [[graft.streaming.StreamOps]]): the streamed-ingest index's served
+    * top-5 must hash-match the batch truth, so the two queries declare
+    * literally the same oracle. */
+  private[graft] def retrievalPipelineSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfProbeCtes,
+       |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
+       |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
+       |      c_label) AS cr
+       |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe),
+       |cand AS (SELECT a.vec_id, a.cell, a.v,
+       |    round(${cos("a.v", "qv")}, 6) AS cos
+       |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
+       |  JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'
+       |  CROSS JOIN q WHERE a.vec_id <> 0),
+       |capped AS (SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY cos DESC, vec_id) AS cell_rank FROM cand),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id)
+       |    AS r FROM capped WHERE cell_rank <= $DivCap),
+       |sup AS (SELECT DISTINCT b.vec_id FROM rk a JOIN rk b
+       |  ON a.r < b.r AND ${cos("a.v", "b.v")} >= $ServeTau)
+       |SELECT vec_id, cell, cos FROM rk
+       |WHERE vec_id NOT IN (SELECT vec_id FROM sup)
+       |ORDER BY r LIMIT 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // integer power iteration: every CTE stays HUGEINT-exact mid-chain
@@ -1655,27 +1721,7 @@ object VectorOps {
     // every stage's SQL with the same constants: en pre-filter (v25),
     // 4-cell probe (v26/v28), per-cell cap (v28), dominated-by-any
     // ServeTau suppression (v15's convention, serving-strict τ), top-5
-    "v30_retrieval_pipeline" ->
-      s"""WITH $ivfCentCte,
-         |$ivfProbeCtes,
-         |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
-         |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
-         |      c_label) AS cr
-         |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe),
-         |cand AS (SELECT a.vec_id, a.cell, a.v,
-         |    round(${cos("a.v", "qv")}, 6) AS cos
-         |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
-         |  JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'
-         |  CROSS JOIN q WHERE a.vec_id <> 0),
-         |capped AS (SELECT *, row_number() OVER (PARTITION BY cell
-         |    ORDER BY cos DESC, vec_id) AS cell_rank FROM cand),
-         |rk AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id)
-         |    AS r FROM capped WHERE cell_rank <= $DivCap),
-         |sup AS (SELECT DISTINCT b.vec_id FROM rk a JOIN rk b
-         |  ON a.r < b.r AND ${cos("a.v", "b.v")} >= $ServeTau)
-         |SELECT vec_id, cell, cos FROM rk
-         |WHERE vec_id NOT IN (SELECT vec_id FROM sup)
-         |ORDER BY r LIMIT 5""".stripMargin,
+    "v30_retrieval_pipeline" -> retrievalPipelineSql,
     // the shared assignment with v26's widened probe (4 cells) and a
     // per-cell cap before the global top-10 — the bucket-diversity
     // rule (contrast v16's greedy MMR)
@@ -1808,29 +1854,15 @@ object VectorOps {
          |FROM ks JOIN ex ON ex.ex_rank <= k
          |LEFT JOIN ivfr ON ivfr.vec_id = ex.vec_id
          |GROUP BY k ORDER BY k""".stripMargin,
-    "v08_lsh_neardup" -> {
-      // same md5-parity hyperplanes as the Spark side: plane
-      // j = b*8 + k, sign = parity of md5('g:j')'s first hex digit;
-      // band code = Σ_k 2^k·bit_k, matching LshBandCodes bit order
-      val bitExpr =
-        """CASE WHEN list_dot_product(v, [CASE WHEN substr(md5(g::VARCHAR ||
-          |  ':' || (b*8 + k)::VARCHAR), 1, 1) IN
-          |  ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
-          |  for g in range(0, 64)]) >= 0 THEN (1::BIGINT << k) ELSE 0 END""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
-         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
-         |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
-         |bands AS (SELECT vec_id, b, SUM(bit) AS code
-         |  FROM bits GROUP BY vec_id, b),
+    "v08_lsh_neardup" ->
+      s"""WITH $lshBandsCteSql,
          |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
          |  FROM bands a JOIN bands c ON a.b = c.b AND a.code = c.code
          |  AND a.vec_id < c.vec_id)
          |SELECT d1, d2, round(${cos("ea.v", "eb.v")}, 6) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
          |WHERE ${cos("ea.v", "eb.v")} >= 0.4
-         |ORDER BY d1, d2""".stripMargin
-    },
+         |ORDER BY d1, d2""".stripMargin,
     // same md5 split membership as the d15 oracle; same rounded-cosine
     // + id tiebreak argmax as the v-series rankings
     "d32_semantic_decontaminate" ->

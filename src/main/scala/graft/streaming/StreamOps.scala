@@ -1417,6 +1417,215 @@ object StreamOps {
       .orderBy(col("new_doc"))
   }
 
+  private val embNearDupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** s47: INCREMENTAL EMBEDDING near-dup ingest — the streaming face of
+    * v08's sign-LSH (r10 verdict item 3: the one streaming seam left
+    * unpaired — text near-dup has s24, media m08, embeddings had no
+    * ingest face). Two mtime-ordered micro-batches over the SAME
+    * `graft_lsh_bands` index definition as v08 (8 bands × 8 md5-parity
+    * hyperplanes, the codegen'd LshBandCodes pass):
+    *   batch 0 — the "existing corpus" (even vec_ids): each corpus
+    *     vector's 8 (band, code) buckets fold into per-bucket state;
+    *   batch 1 — the "incoming embeddings" (odd vec_ids): each new
+    *     vector probes its own 8 buckets with point lookups.
+    * Candidates — (per-bucket min corpus vec, incoming vec), the s24
+    * bounded-state contract — are then EXACT-COSINE verified (the LSH
+    * collision is a hint; the declared match is cos ≥ 0.4, v08's
+    * threshold) in one batch enrichment join over the emitted pairs.
+    * The oracle shares v08's band CTE text verbatim
+    * ([[graft.operators.VectorOps.lshBandsCteSql]]) and replays the
+    * probe as odd-against-even SQL, so the hash verifies the
+    * incremental contract itself: state must hold exactly the corpus
+    * batch, probes must not see other incoming vectors, and the
+    * verify must not drop or invent candidates.
+    *
+    * Scale design: the 100 TB corpus is never rescanned — it exists
+    * only as ONE Long per occupied band bucket (≤ 8 rows per corpus
+    * vector, RocksDB; StateBoundSpec pins the bound), each incoming
+    * vector costs 8 point lookups, and the cosine verify touches only
+    * emitted candidates (≤ 8 per incoming vector before distinct) —
+    * probe-bounded end to end, the same reason v08 itself never
+    * nested-loops. */
+  def streamEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirStr = orderedBatchDir(embNearDupDirs, sfDir, "embeddings.parquet",
+        "graft_embneardup") {
+      val bands = graft.operators.VectorOps.bandCodes(spark, sfDir)
+        .select(concat_ws(":", col("band"), col("code")).as("bucket"),
+          col("vec_id"))
+      def side(tag: String) = lit(tag).as("side")
+      Seq(
+        bands.filter(col("vec_id") % 2 === 0)
+          .select(col("bucket"), side("O"), col("vec_id").as("doc_id")),
+        bands.filter(col("vec_id") % 2 === 1)
+          .select(col("bucket"), side("N"), col("vec_id").as("doc_id")))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "bucket STRING, side STRING, doc_id BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "changelog_*.parquet")
+      .parquet(dirStr)
+      .as[BandEvent]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[BandMatch])
+      .toDF()
+    val cand = withRocksDb(spark) {
+      runToMemory(stream, "graft_s47", "update", Some(8),
+        noDataBatch = false)
+    }
+      .select(col("dup_of").as("d1"), col("new_doc").as("d2"))
+      .distinct()
+    // exact-cosine verify — batch enrichment over the streamed
+    // candidates only (both joins are candidate-sized, never corpus²)
+    val e = graft.operators.VectorOps.embDouble(spark, sfDir)
+    cand
+      .join(e.select(col("vec_id").as("d1"), col("v").as("v1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("v").as("v2")), "d2")
+      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+      .filter($"cos" >= 0.4)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .orderBy($"d1", $"d2")
+  }
+
+  private val serveDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The s48 serving checkpoint for `sfDir`, if built this session —
+    * exposed so StateBoundSpec can read the index store out-of-band. */
+  private[graft] def serveCheckpoint(sfDir: String): Option[String] =
+    serveDirs.get(sfDir).map(_._2)
+
+  /** s48: the STREAMING SERVING capstone — v30's ingest face (r10
+    * verdict item 7). The production retrieval loop is ingest → index
+    * update → serve; v30 serves a STATIC index. This query closes the
+    * loop as two phases over the same corpus:
+    *
+    * PHASE 1 (ingest/index update): the embeddings arrive as two
+    * mtime-ordered micro-batches. In-stream, each vector is (a)
+    * en-PRE-filtered against the documents table (v25's
+    * filter-before-rank discipline, a stream-static join), (b)
+    * assigned its IVF cell by argmax against the broadcast
+    * 6-dp-rounded centroid model — s34's streaming-assignment shape —
+    * and (c) scored against the query vector (same `graft_cosine`,
+    * same round-6 as v30's candidate stage). Per cell, a
+    * [[TopNProcessor]] (s18's bounded leaderboard, n = DivCap) folds
+    * the scored vectors into ValueState: the state IS the serving
+    * index — per-cell top-DivCap, updated as batches land, never a
+    * corpus log (StateBoundSpec pins rows == occupied cells).
+    *
+    * PHASE 2 (serve): the store is read OUT-OF-BAND at the last
+    * committed batchId (the s42/s43 interactive-query discipline — no
+    * streaming query running), the query's DivProbe nearest cells
+    * select which per-cell buffers serve, and v30's stages 4–5 run on
+    * the ≤ DivProbe·DivCap surviving rows: ServeTau near-dup
+    * suppression (broadcast-fed NL over a config-bounded pair matrix)
+    * and the final top-5.
+    *
+    * The oracle IS v30's oracle — [[graft.operators.VectorOps
+    * .retrievalPipelineSql]], shared verbatim — so the hash asserts
+    * the full loop: a lost batch, a mis-assigned cell, a buffer that
+    * evicted the wrong candidate, a stale-batchId read, or a drifted
+    * suppression all surface as the served top-5 diverging from the
+    * batch truth.
+    *
+    * Scale design: per-batch work is one pass over ARRIVING vectors
+    * (codegen'd argmax over k broadcast centroids + one bounded fold);
+    * state is cells × DivCap rows — config-bounded, not corpus-bounded;
+    * the serve path touches DivProbe buffers and a ≤ 12-row tail. The
+    * corpus is never rescanned after ingest. */
+  def streamServeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DivCap = graft.operators.VectorOps.DivCap
+    val DivProbe = graft.operators.VectorOps.DivProbe
+    val ServeTau = graft.operators.VectorOps.ServeTau
+    val e = graft.operators.VectorOps.embDouble(spark, sfDir)
+    val ckStr = cachedScratchDir(serveDirs, sfDir, "embeddings.parquet") {
+      val in = newTempDir("graft_s48_in")
+      val ck = newTempDir("graft_ckpt_s48")
+      // bounded model artifacts broadcast into the stream plan: the
+      // k×64 rounded centroids (s34) and the 64-double query vector
+      val cents = graft.operators.VectorOps.labelCentroidsRounded(spark, sfDir)
+      val qv = e.filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0).toArray
+      val allowed = graft.Tables.documents(spark, sfDir)
+        .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+      val src = e.select($"vec_id", $"v")
+      def half(i: Int) = src.filter(pmod($"vec_id", lit(2L)) === i)
+      (0 to 1).foreach(i => writeChangelogFile(half(i), in, i))
+      val scored = cents.map { case (cl, c) =>
+        struct(call_function("graft_cosine", $"v", typedlit(c)).as("c"),
+          lit(-cl).as("nl"))
+      }
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, v ARRAY<DOUBLE>"))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "changelog_*.parquet")
+            .parquet(in.toString)
+            .filter($"vec_id" =!= 0)
+            .join(broadcast(allowed), "vec_id") // stream-static PRE-filter
+            .withColumn("m", array_max(array(scored: _*)))
+            .select((-$"m.nl").cast("string").as("event_type"),
+              $"vec_id".as("event_id"),
+              round(call_function("graft_cosine", $"v", typedlit(qv)), 6)
+                .as("value"))
+            .as[TopNEvent]
+            .groupByKey(_.event_type)
+            .transformWithState(new TopNProcessor(DivCap),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[TopNRow])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    // the serving read: per-cell buffers out of the store at an
+    // explicit committed batchId, probe-cell selection, then v30's
+    // suppression + top-5 over the config-bounded tail
+    val buffers = withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "topn")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
+        .load()
+        .select($"key.value".cast("int").as("cell"),
+          $"value.ids".as("ids"), $"value.vals".as("vals"))
+        .select($"cell", posexplode(arrays_zip($"ids", $"vals")))
+        .select($"cell", $"col.ids".as("vec_id"), $"col.vals".as("cos"))
+    }
+    val probes = graft.operators.VectorOps.probeCells(spark, sfDir,
+        DivProbe, graft.operators.VectorOps.queryVecDf(spark, sfDir))
+      .select($"probe_cell")
+    val ranked = buffers
+      .join(broadcast(probes), $"cell" === $"probe_cell")
+      .join(e.select($"vec_id", $"v"), "vec_id")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cos"), $"vec_id")).cast("long"))
+    val sup = ranked.as("a")
+      .join(broadcast(ranked.as("b")), col("a.r") < col("b.r"))
+      .filter(call_function("graft_cosine", col("a.v"), col("b.v"))
+        >= ServeTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ranked.join(sup, Seq("vec_id"), "left_anti")
+      .orderBy($"r")
+      .limit(5)
+      .select($"vec_id", $"cell", $"cos")
+  }
+
   private val asOfDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2585,6 +2794,8 @@ object StreamOps {
     "s44_state_evolution" -> streamStateEvolution _,
     "s45_stream_sliding_mau" -> streamSlidingMau _,
     "s46_stream_binned_median" -> streamBinnedMedian _,
+    "s47_stream_embed_neardup" -> streamEmbedNearDup _,
+    "s48_stream_serve_topk" -> streamServeTopK _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -2814,6 +3025,25 @@ object StreamOps {
          |SELECT doc_id AS new_doc, min(min_old) AS dup_of,
          |  count(*) AS matched_bands
          |FROM nw GROUP BY doc_id ORDER BY new_doc""".stripMargin,
+    // v30's oracle VERBATIM: the streamed-ingest index must serve the
+    // batch truth (see streamServeTopK's scaladoc)
+    "s48_stream_serve_topk" ->
+      graft.operators.VectorOps.retrievalPipelineSql,
+    // v08's band CTE (shared text), odd vecs probing even-vec buckets;
+    // candidates are the per-bucket min corpus vec (the s24 contract),
+    // then exact-cosine verified at v08's threshold
+    "s47_stream_embed_neardup" ->
+      s"""WITH ${graft.operators.VectorOps.lshBandsCteSql},
+         |old AS (SELECT b, code, min(vec_id) AS min_old FROM bands
+         |  WHERE vec_id % 2 = 0 GROUP BY b, code),
+         |cand AS (SELECT DISTINCT o.min_old AS d1, nb.vec_id AS d2
+         |  FROM bands nb JOIN old o ON nb.b = o.b AND nb.code = o.code
+         |  WHERE nb.vec_id % 2 = 1)
+         |SELECT d1, d2,
+         |  round(${graft.operators.VectorOps.cos("ea.v", "eb.v")}, 6) AS cos
+         |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
+         |WHERE ${graft.operators.VectorOps.cos("ea.v", "eb.v")} >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
     // parquet side contributes every row, JSON side all non-corrupt rows
     "s20_stream_merge" ->
       """SELECT event_type,

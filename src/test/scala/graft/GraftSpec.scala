@@ -3641,6 +3641,49 @@ class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got <= 4 * corpusDocs)
   }
 
+  test("s47 state rows == occupied corpus-side sign-LSH band buckets") {
+    import spark.implicits._
+    StreamOps.streamEmbedNearDup(spark, sf).collect()
+    val got = stateRows("graft_s47")
+    val corpus = graft.operators.VectorOps.bandCodes(spark, sf)
+      .filter($"vec_id" % 2 === 0)
+    val corpusBuckets = corpus.select($"band", $"code").distinct().count()
+    val corpusVecs = corpus.select($"vec_id").distinct().count()
+    assert(got == corpusBuckets,
+      s"s47 state $got != occupied corpus buckets $corpusBuckets")
+    // the scaladoc contract: ≤ 8 band rows per corpus vector, and the
+    // probing (incoming) side must leave NO state behind
+    assert(got <= 8 * corpusVecs)
+  }
+
+  test("s48 serving-index state rows == occupied cells (config-bounded)") {
+    import spark.implicits._
+    StreamOps.streamServeTopK(spark, sf).collect()
+    // the index state is ONE ValueState row per occupied cell (each a
+    // ≤ DivCap buffer), never a corpus log: recompute the occupied-cell
+    // count batch-side with the same rounded model + en-filter
+    val cents = graft.operators.VectorOps.labelCentroidsRounded(spark, sf)
+    val e = graft.operators.VectorOps.embDouble(spark, sf)
+    val allowed = Tables.documents(spark, sf)
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val scored = cents.map { case (cl, c) =>
+      struct(call_function("graft_cosine", $"v", typedlit(c)).as("c"),
+        lit(-cl).as("nl"))
+    }
+    val occupied = e.filter($"vec_id" =!= 0).join(allowed, "vec_id")
+      .withColumn("m", array_max(array(scored: _*)))
+      .select((-$"m.nl").as("cell")).distinct().count()
+    val ck = StreamOps.serveCheckpoint(sf)
+      .getOrElse(fail("no s48 checkpoint recorded"))
+    val got = spark.read.format("statestore")
+      .option("path", ck).option("stateVarName", "topn")
+      .option("batchId", StreamOps.lastCommittedBatchId(ck).toString)
+      .load().count()
+    assert(got == occupied,
+      s"s48 state $got rows != occupied cells $occupied")
+    assert(got <= cents.length.toLong)
+  }
+
   test("s25 state rows == non-empty quote buckets + one pointer per user") {
     import spark.implicits._
     StreamOps.streamAsOfJoin(spark, sf).collect()
