@@ -243,6 +243,88 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** x05: COUNT-MIN sketch point estimates (r11 — the frequency sketch
+    * next to x01's cardinality sketch, same deterministic fixed-hash
+    * discipline): d = 4 rows × w = 256 counters over row-salted md5
+    * buckets (hash_r(u) = first 8 hex chars of md5("r:u") mod w — the
+    * d06 seed-constant idiom, so DuckDB replays the identical
+    * counters), built as ONE map-side-combined hash-agg over the ≤ d·w
+    * cell table. Readout: for the top-10 users by exact count (the
+    * bounded verification set — count desc, user_id tiebreak), the CMS
+    * estimate = min over rows of the user's counter. The CMS guarantee
+    * — never an underestimate, over by ≤ εN with ε = e/w — is pinned
+    * in SketchBoundsSpec against the exact counts.
+    *
+    * Scale: the sketch is the 100 TB shape for per-key frequencies
+    * when exact per-key counts no longer fit — constant d·w ints of
+    * state, mergeable by cell-wise addition, one explode(d) pass over
+    * events with full map-side combine; the probe is d point lookups
+    * per queried key. */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = 256L
+    val D = 4
+    def bucket(r: Int): Column =
+      expr(s"CAST(conv(substr(md5(concat('$r:', CAST(user_id AS STRING))), " +
+        s"1, 8), 16, 10) AS BIGINT) % $W")
+    val ev = Tables.events(spark, sfDir).select($"user_id")
+    val cells = ev
+      .select(posexplode(array((0 until D).map(bucket): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    val probes = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), $"user_id").limit(10)
+    probes
+      .select($"user_id", $"n_exact",
+        posexplode(array((0 until D).map(bucket): _*)).as(Seq("r", "b")))
+      .join(cells, Seq("r", "b"))
+      .groupBy($"user_id")
+      .agg(max($"n_exact").as("n_exact"), min($"c").as("n_cms"))
+      .orderBy($"user_id")
+  }
+
+  /** x06: HLL SET ALGEBRA (r11 — the payoff of x01/x03's register
+    * discipline): distinct-user overlap between every event-type pair
+    * WITHOUT rescanning rows — per-type register tables (x01's build)
+    * merge by per-bucket max into the pair's UNION registers, and the
+    * intersection estimate is inclusion–exclusion over the three
+    * estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B). The subtraction
+    * runs over the already-ROUNDED integer estimates, so both engines
+    * do identical int64 arithmetic — no new float surface.
+    *
+    * Scale: this is why sketch tables exist at 100 TB — any of the
+    * k·(k−1)/2 pairwise overlaps costs a 256-row register merge
+    * instead of a distinct-pair shuffle over the raw events; the
+    * nightly register table (x03) answers every such rollup. */
+  def hllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val regs = hllHash(spark, sfDir)
+      .groupBy($"event_type", $"bucket")
+      .agg(max(hllRho).as("rho"))
+    def estOf(r: DataFrame, keys: Seq[Column], out: String): DataFrame =
+      r.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+            .as("s"))
+        .withColumn(out, hllEst($"n_buckets", $"s"))
+        .drop("n_buckets", "s")
+    val perType = estOf(regs, Seq($"event_type"), "est")
+    val types = regs.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("t1"))
+      .join(types.select($"event_type".as("t2")), $"t1" < $"t2")
+    val uniRegs = pairs.join(regs, $"t1" === $"event_type")
+      .select($"t1", $"t2", $"bucket", $"rho")
+      .union(pairs.join(regs, $"t2" === $"event_type")
+        .select($"t1", $"t2", $"bucket", $"rho"))
+      .groupBy($"t1", $"t2", $"bucket").agg(max($"rho").as("rho"))
+    estOf(uniRegs, Seq($"t1", $"t2"), "est_union")
+      .join(perType.select($"event_type".as("t1"), $"est".as("est_a")), "t1")
+      .join(perType.select($"event_type".as("t2"), $"est".as("est_b")), "t2")
+      .select($"t1".as("type_a"), $"t2".as("type_b"), $"est_a", $"est_b",
+        $"est_union",
+        ($"est_a" + $"est_b" - $"est_union").as("est_intersect"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** x04: EXACT support-threshold heavy hitters per event_type — the
     * contract the Misra–Gries sketch approximates, declared exactly
     * (r10 verdict item 1's prescription: MG counter values are
@@ -412,6 +494,8 @@ object Extras {
     "x02_approx_quantiles" -> approxQuantiles _,
     "x03_hll_union"       -> hllUnion _,
     "x04_heavy_hitters"   -> heavyHitters _,
+    "x05_count_min"       -> countMin _,
+    "x06_hll_setops"      -> hllSetOps _,
     "e12_user_unpivot"    -> userUnpivot _,
     "e13_asof_signup"     -> asofSignupState _,
   )
@@ -533,6 +617,58 @@ object Extras {
          |  ${D.r4("c90", "100")} AS p90, ${D.r4("c99", "100")} AS p99
          |FROM a ORDER BY l_returnflag""".stripMargin
     },
+    // row-salted md5 counters (d=4 × w=256), min over rows at the
+    // probe — the identical cell table both engines build
+    "x05_count_min" -> {
+      def bucket(pfx: String) =
+        s"('0x' || substr(md5(r.r::VARCHAR || ':' || " +
+          s"CAST(${pfx}user_id AS VARCHAR)), 1, 8))::BIGINT % 256"
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |rr AS (SELECT unnest(range(4)) AS r),
+         |cells AS (SELECT r.r AS r, ${bucket("ev.")} AS b, count(*) AS c
+         |  FROM ev CROSS JOIN rr r GROUP BY 1, 2),
+         |probes AS (SELECT user_id, count(*) AS n_exact FROM ev
+         |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10),
+         |pe AS (SELECT p.user_id, p.n_exact, r.r AS r, ${bucket("p.")} AS b
+         |  FROM probes p CROSS JOIN rr r)
+         |SELECT pe.user_id, CAST(max(pe.n_exact) AS BIGINT) AS n_exact,
+         |  CAST(min(c.c) AS BIGINT) AS n_cms
+         |FROM pe JOIN cells c ON c.r = pe.r AND c.b = pe.b
+         |GROUP BY 1 ORDER BY pe.user_id""".stripMargin
+    },
+    // per-type registers (x01's hr CTE), pairwise max-merged union
+    // registers, inclusion-exclusion over the ROUNDED integer estimates
+    "x06_hll_setops" ->
+      s"""WITH $hllHashCte,
+         |hr AS (SELECT event_type, bucket, max($hllRhoSql) AS rho
+         |  FROM hb GROUP BY 1, 2),
+         |ha AS (SELECT event_type, count(*) AS n_buckets,
+         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
+         |  FROM hr GROUP BY 1),
+         |et AS (SELECT event_type,
+         |  ${hllEstSql("n_buckets", "s")} AS est FROM ha),
+         |pr AS (SELECT a.event_type AS t1, b.event_type AS t2
+         |  FROM (SELECT DISTINCT event_type FROM hr) a
+         |  JOIN (SELECT DISTINCT event_type FROM hr) b
+         |  ON a.event_type < b.event_type),
+         |ur AS (SELECT t1, t2, bucket, max(rho) AS rho FROM (
+         |    SELECT pr.t1, pr.t2, hr.bucket, hr.rho FROM pr
+         |      JOIN hr ON hr.event_type = pr.t1
+         |    UNION ALL
+         |    SELECT pr.t1, pr.t2, hr.bucket, hr.rho FROM pr
+         |      JOIN hr ON hr.event_type = pr.t2) z
+         |  GROUP BY 1, 2, 3),
+         |ua AS (SELECT t1, t2, count(*) AS n_buckets,
+         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
+         |  FROM ur GROUP BY 1, 2),
+         |ue AS (SELECT t1, t2,
+         |  ${hllEstSql("n_buckets", "s")} AS est_union FROM ua)
+         |SELECT ue.t1 AS type_a, ue.t2 AS type_b, ea.est AS est_a,
+         |  eb.est AS est_b, ue.est_union,
+         |  ea.est + eb.est - ue.est_union AS est_intersect
+         |FROM ue JOIN et ea ON ea.event_type = ue.t1
+         |JOIN et eb ON eb.event_type = ue.t2
+         |ORDER BY type_a, type_b""".stripMargin,
     "x04_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n_events
         |  FROM events GROUP BY 1, 2),

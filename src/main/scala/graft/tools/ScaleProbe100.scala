@@ -107,21 +107,35 @@ object ScaleProbe100 {
       // lets Catalyst prune row-wise work — windows, projections — and
       // measure only the surviving aggregate); cold = first touch of
       // the sfDir (includes one-time session caches / derived scratch),
-      // warm = min of two steady-state reruns.
-      def time(sf: String): (Double, Double) = {
+      // warm = min of two steady-state reruns. A query that RAISES (a
+      // scale guard firing — e53's exact-sort envelope by design at
+      // 100×) is reported as such, not crashed on: the raise IS the
+      // measured at-scale behavior.
+      def time(sf: String): Either[String, (Double, Double)] = {
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sf).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }
-        val cold = once()
-        (cold, math.min(once(), once()))
+        try { val cold = once(); Right((cold, math.min(once(), once()))) }
+        catch { case e: Throwable =>
+          val root = Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).toSeq.last
+          Left(s"${root.getClass.getSimpleName}: ${root.getMessage}")
+        }
       }
-      val (bc, bw) = time(base)
-      val (xc, xw) = time(dir)
-      println(f"[probe100] $n%-24s sf0.1=$bw%7.2fs (cold $bc%7.2f)  " +
-        f"100x=$xw%8.2fs (cold $xc%8.2f)  warm-ratio=${xw / bw}%6.1f  " +
-        f"cold-ratio=${xc / bc}%6.1f")
+      (time(base), time(dir)) match {
+        case (Right((bc, bw)), Right((xc, xw))) =>
+          println(f"[probe100] $n%-24s sf0.1=$bw%7.2fs (cold $bc%7.2f)  " +
+            f"100x=$xw%8.2fs (cold $xc%8.2f)  warm-ratio=${xw / bw}%6.1f  " +
+            f"cold-ratio=${xc / bc}%6.1f")
+        case (b, x) =>
+          def s(r: Either[String, (Double, Double)]) = r match {
+            case Right((_, w)) => f"$w%7.2fs"
+            case Left(msg) => s"RAISED[${msg.take(120)}]"
+          }
+          println(s"[probe100] $n  sf0.1=${s(b)}  100x=${s(x)}")
+      }
     }
     spark.stop()
   }

@@ -2825,6 +2825,43 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("x05 count-min estimates never undercount, over by at most eN/w") {
+    import spark.implicits._
+    val rows = graft.operators.Extras.countMin(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    val n = Tables.events(spark, sf).count()
+    val bound = math.ceil(math.E * n / 256.0).toLong
+    rows.foreach { case (u, exact, cms) =>
+      // the CMS guarantee: a counter only ever ADDS colliding keys
+      assert(cms >= exact, s"user $u: cms $cms < exact $exact")
+      assert(cms - exact <= bound,
+        s"user $u: overcount ${cms - exact} beyond eN/w = $bound")
+    }
+  }
+
+  test("x06 sketch intersection tracks the exact pairwise overlap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.operators.Extras.hllSetOps(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.length == byType.size * (byType.size - 1) / 2)
+    rows.foreach { case (a, b, _, _, estU, estI) =>
+      val exU = (byType(a) | byType(b)).size.toDouble
+      val exI = (byType(a) & byType(b)).size.toDouble
+      // union rides one merged HLL (rsd 6.5%, 3 sigma); the
+      // inclusion-exclusion intersection compounds three estimates —
+      // allow the summed bound (|A|+|B|+|A∪B| ≤ 3·|A∪B| at 20% each)
+      assert(math.abs(estU - exU) / exU <= 0.20, s"($a,$b) union: $estU vs $exU")
+      assert(math.abs(estI - exI) <= 0.60 * exU,
+        s"($a,$b) intersect: $estI vs $exI (union $exU)")
+    }
+  }
+
   test("x04 exact heavy hitters match a local recomputation of the threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
