@@ -1292,7 +1292,7 @@ object Events {
     *     [[E53MaxGroupRows]] (stats can underestimate), the query
     *     raises instead of returning a result whose per-group
     *     single-task sorts are the named scale-killer.
-    * Both raises point at e54 as the at-scale substitute. GraftSpec
+    * Both raises point at e54 as the at-scale substitute. EnvelopeGuardSpec
     * pins the runtime raise on a synthetic over-envelope group.
     *
     * Value ties leave rank order among equals arbitrary, but the VALUE
@@ -1319,7 +1319,7 @@ object Events {
   private[graft] val E53MaxGroupRows = 1000000L
 
   /** The e53 plan over an explicit `(event_type, c)` cents frame —
-    * split out so GraftSpec can drive the runtime group-size guard
+    * split out so EnvelopeGuardSpec can drive the runtime group-size guard
     * with a synthetic over-envelope group. */
   private[graft] def valueMadOutliersOf(j: DataFrame): DataFrame = {
     import j.sparkSession.implicits._
@@ -1497,7 +1497,7 @@ object Events {
     * remediation (rescale cents→dollars for ×100 headroom, or compute
     * the Gini from the ≤10 decile aggregates — the trapezoid Lorenz
     * approximation) instead of silently wrapping. Requires Σx > 0
-    * (the fixture has purchases at every SF). GiniGuardSpec pins the
+    * (the fixture has purchases at every SF). EnvelopeGuardSpec pins the
     * raise on a synthetic envelope breach.
     *
     * Scale design: ONE map-side-combined per-user collapse is the only
@@ -1515,7 +1515,7 @@ object Events {
   }
 
   /** The e56 plan over an explicit per-user `(user_id, cents)` frame —
-    * split out so GiniGuardSpec can drive the [[Det.guarded]] envelope
+    * split out so EnvelopeGuardSpec can drive the [[Det.guarded]] envelope
     * with a synthetic breach the fixtures cannot produce. */
   private[graft] def spendConcentrationOf(per: DataFrame): DataFrame = {
     import per.sparkSession.implicits._

@@ -95,6 +95,16 @@ object Extras {
 
   private val HllM = 256L
   private val HllW = 1L << 24
+  /** The INTEGER scale of the Z sum: S = Σ 2^(25−rho) means one unit of
+    * Z is 2²⁵ (rho ranges 1..25, so 2^(25−rho) ∈ [1, 2²⁴] for occupied
+    * registers and an EMPTY register's 2^(−0) = 1 contributes a full
+    * 2²⁵). Distinct from [[HllW]] (the 24-bit rem space) — r11's code
+    * review caught exactly this conflation: dividing by 2²⁴
+    * double-weights occupied registers and halves the raw-branch
+    * estimate (−50% at sf0.1), invisible to the oracle gate because
+    * the SQL mirrored the same constant. SketchBoundsSpec now pins the
+    * raw branch on a synthetic 5000-key input. */
+  private val HllZ = 1L << 25
   /** αₘ·m² for m = 256, emitted as ONE literal into both engines via
     * toString (shortest round-trip repr; both parse back the identical
     * IEEE double). */
@@ -106,27 +116,55 @@ object Extras {
     when(col("rem") === 0L, lit(25L))
       .otherwise(lit(25L) - length(bin(col("rem"))).cast("long"))
 
+  private val hllHashExpr =
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
   private def hllHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .select($"event_type",
         Det.fdiv(expr("unix_micros(ts)"), lit(86400000000L)).as("day"),
-        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-          .as("h"))
+        expr(hllHashExpr).as("h"))
       .select($"event_type", $"day",
         Det.fdiv($"h", lit(HllW)).as("bucket"), ($"h" % HllW).as("rem"))
+  }
+
+  /** Global HLL estimate over an arbitrary `user_id` frame — exposed
+    * for SketchBoundsSpec's RAW-branch accuracy pin: the fixture SF
+    * (sf0.001, 15 distinct users) only ever exercises the
+    * linear-counting branch, which is exactly how the r11 Z-scale bug
+    * (HllW for HllZ, −50% raw estimates) survived every fixture
+    * test. */
+  private[graft] def hllEstimateOf(ids: DataFrame): Long = {
+    import ids.sparkSession.implicits._
+    val regs = ids.select(expr(hllHashExpr).as("h"))
+      .select(Det.fdiv($"h", lit(HllW)).as("bucket"), ($"h" % HllW).as("rem"))
+      .groupBy($"bucket").agg(max(hllRho).as("rho"))
+    hllReadout(regs, Nil, "est").select($"est").head().getLong(0)
   }
 
   /** The estimate readout from (occupied-register count, integer
     * register sum S = Σ 2^(25−rho) over occupied registers). */
   private def hllEst(nb: Column, s: Column): Column = {
-    val z = (s + (lit(HllM) - nb) * lit(HllW)) / lit(HllW.toDouble)
+    val z = (s + (lit(HllM) - nb) * lit(HllZ)) / lit(HllZ.toDouble)
     val eRaw = lit(HllAlphaM2) / z
     when(eRaw <= 640.0 && nb < HllM,
       round(lit(256.0) * log(lit(256.0) / (lit(HllM) - nb).cast("double"))))
       .otherwise(round(eRaw))
       .cast("long")
   }
+
+  /** The register-table → (keys, n_buckets, S, estimate) readout — ONE
+    * Spark definition shared by x01/x03/x06 (the r11 review's
+    * drift-surface finding: the agg pair was inlined three times). The
+    * input must have a `rho` column. */
+  private def hllReadout(regs: DataFrame, keys: Seq[Column],
+      out: String): DataFrame =
+    regs.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+          .as("s"))
+      .withColumn(out, hllEst(col("n_buckets"), col("s")))
 
   /** DuckDB mirrors of the above, shared by the x01/x03 oracle texts so
     * the two cannot drift. */
@@ -139,10 +177,20 @@ object Extras {
        |hb AS (SELECT event_type, day, h // $HllW AS bucket,
        |  h % $HllW AS rem FROM hh)""".stripMargin
   private def hllEstSql(nb: String, s: String): String = {
-    val raw = s"($HllAlphaM2 / ((($s) + (256 - ($nb)) * $HllW) / $HllW.0))"
+    val raw = s"($HllAlphaM2 / ((($s) + (256 - ($nb)) * $HllZ) / $HllZ.0))"
     s"""CAST(round(CASE WHEN $raw <= 640.0 AND ($nb) < 256
        |  THEN 256.0 * ln(256.0 / (256 - ($nb))) ELSE $raw END) AS BIGINT)"""
       .stripMargin
+  }
+
+  /** The register-table → readout CTE — the SQL face of [[hllReadout]],
+    * shared by the x01/x03/x06 oracle texts. */
+  private def hllReadoutCte(out: String, src: String,
+      keys: Seq[String]): String = {
+    val pos = (1 to keys.size).mkString(", ")
+    s"""$out AS (SELECT ${keys.mkString(", ")}, count(*) AS n_buckets,
+       |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
+       |  FROM $src GROUP BY $pos)""".stripMargin
   }
 
   /** x01: HLL approximate distinct users per event_type — the
@@ -159,12 +207,8 @@ object Extras {
     val regs = hllHash(spark, sfDir)
       .groupBy($"event_type", $"bucket")
       .agg(max(hllRho).as("rho"))
-    regs.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_buckets"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-          .as("s"))
-      .select($"event_type", $"n_buckets",
-        hllEst($"n_buckets", $"s").as("est_users"))
+    hllReadout(regs, Seq($"event_type"), "est_users")
+      .select($"event_type", $"n_buckets", $"est_users")
       .orderBy($"event_type")
   }
 
@@ -233,13 +277,9 @@ object Extras {
       .agg(countDistinct($"day").as("n_days"))
     val merged = daily.groupBy($"event_type", $"bucket")
       .agg(max($"rho").as("rho"))
-    merged.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_buckets"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-          .as("s"))
+    hllReadout(merged, Seq($"event_type"), "est_users")
       .join(broadcast(nDays), "event_type")
-      .select($"event_type", $"n_days",
-        hllEst($"n_buckets", $"s").as("est_users"))
+      .select($"event_type", $"n_days", $"est_users")
       .orderBy($"event_type")
   }
 
@@ -301,12 +341,7 @@ object Extras {
       .groupBy($"event_type", $"bucket")
       .agg(max(hllRho).as("rho"))
     def estOf(r: DataFrame, keys: Seq[Column], out: String): DataFrame =
-      r.groupBy(keys: _*)
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-            .as("s"))
-        .withColumn(out, hllEst($"n_buckets", $"s"))
-        .drop("n_buckets", "s")
+      hllReadout(r, keys, out).drop("n_buckets", "s")
     val perType = estOf(regs, Seq($"event_type"), "est")
     val types = regs.select($"event_type").distinct()
     val pairs = types.select($"event_type".as("t1"))
@@ -576,9 +611,7 @@ object Extras {
       s"""WITH $hllHashCte,
          |hr AS (SELECT event_type, bucket, max($hllRhoSql) AS rho
          |  FROM hb GROUP BY 1, 2),
-         |ha AS (SELECT event_type, count(*) AS n_buckets,
-         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
-         |  FROM hr GROUP BY 1)
+         |${hllReadoutCte("ha", "hr", Seq("event_type"))}
          |SELECT event_type, n_buckets,
          |${hllEstSql("n_buckets", "s")} AS est_users
          |FROM ha ORDER BY event_type""".stripMargin,
@@ -590,9 +623,7 @@ object Extras {
          |  FROM hd GROUP BY 1),
          |hm AS (SELECT event_type, bucket, max(rho) AS rho
          |  FROM hd GROUP BY 1, 2),
-         |ha AS (SELECT event_type, count(*) AS n_buckets,
-         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
-         |  FROM hm GROUP BY 1)
+         |${hllReadoutCte("ha", "hm", Seq("event_type"))}
          |SELECT ha.event_type, nd.n_days,
          |${hllEstSql("n_buckets", "s")} AS est_users
          |FROM ha JOIN nd ON ha.event_type = nd.event_type
@@ -642,9 +673,7 @@ object Extras {
       s"""WITH $hllHashCte,
          |hr AS (SELECT event_type, bucket, max($hllRhoSql) AS rho
          |  FROM hb GROUP BY 1, 2),
-         |ha AS (SELECT event_type, count(*) AS n_buckets,
-         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
-         |  FROM hr GROUP BY 1),
+         |${hllReadoutCte("ha", "hr", Seq("event_type"))},
          |et AS (SELECT event_type,
          |  ${hllEstSql("n_buckets", "s")} AS est FROM ha),
          |pr AS (SELECT a.event_type AS t1, b.event_type AS t2
@@ -658,9 +687,7 @@ object Extras {
          |    SELECT pr.t1, pr.t2, hr.bucket, hr.rho FROM pr
          |      JOIN hr ON hr.event_type = pr.t2) z
          |  GROUP BY 1, 2, 3),
-         |ua AS (SELECT t1, t2, count(*) AS n_buckets,
-         |  CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS s
-         |  FROM ur GROUP BY 1, 2),
+         |${hllReadoutCte("ua", "ur", Seq("t1", "t2"))},
          |ue AS (SELECT t1, t2,
          |  ${hllEstSql("n_buckets", "s")} AS est_union FROM ua)
          |SELECT ue.t1 AS type_a, ue.t2 AS type_b, ea.est AS est_a,

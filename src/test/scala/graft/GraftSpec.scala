@@ -2730,6 +2730,18 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("x01's RAW-branch estimate holds at 5000 distinct keys") {
+    import org.apache.spark.sql.functions.col
+    // the fixture SFs only exercise the linear-counting branch (n ≤
+    // 1500 < 2.5m·α headroom with most registers occupied at sf0.1 but
+    // tiny at the spec's sf0.001) — this synthetic input fills all 256
+    // registers so the αm²/Z formula itself is pinned; the r11 Z-scale
+    // bug (dividing by 2²⁴, −50% estimates) fails exactly here
+    val ids = spark.range(5000L).select(col("id").as("user_id"))
+    val est = graft.operators.Extras.hllEstimateOf(ids)
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.20, s"raw-branch est=$est")
+  }
+
   test("x01 tracks the engine's HLL++ baseline (approx_count_distinct)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

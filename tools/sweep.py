@@ -57,6 +57,12 @@ def run_sweep(name, sf, env_extra, queries):
     out = f"/tmp/sweep_{name.replace('.', '_')}"
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ)
+    # drop the managed hooks from the inherited env first: a stale
+    # SPARK_GRAFT_CONF/TZ export from a prior manual sweep would
+    # silently contaminate the baseline rows this tool exists to pin
+    for k in ("SPARK_GRAFT_CONF", "TZ", "SPARK_GRAFT_REPS",
+              "SPARK_GRAFT_PAR", "SPARK_GRAFT_CPUS"):
+        env.pop(k, None)
     env.update(env_extra)
     args = " ".join(queries)
     cmd = ["sbt", "-batch",
@@ -108,6 +114,17 @@ def main(argv):
         else:
             print(f"[sweep] {name}: {len(passed)} pass")
     names = sorted(set().union(*[p | f for p, f in results.values()]))
+    # a requested name that never produced a PASS or FAIL in ANY sweep
+    # (typo, unregistered query) must fail the battery, not vanish from
+    # an "ALL GREEN" table
+    missing = sorted(set(queries) - set(names))
+    if missing:
+        any_fail = True
+        print(f"[sweep] ERROR: requested but never swept (unknown "
+              f"query name?): {missing}")
+    if not names:
+        any_fail = True
+        print("[sweep] ERROR: no query produced any result")
     print("\n| query | " + " | ".join(n for n, _, _ in SWEEPS) + " |")
     print("| --- |" + " --- |" * len(SWEEPS))
     for q in names:
