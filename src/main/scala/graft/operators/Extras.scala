@@ -300,26 +300,45 @@ object Extras {
     * state, mergeable by cell-wise addition, one explode(d) pass over
     * events with full map-side combine; the probe is d point lookups
     * per queried key. */
-  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] val CmsW = 256L
+  private[graft] val CmsD = 4
+
+  /** The CMS bucket of `user_id` for sketch row `r` — row-salted md5,
+    * ONE definition shared by the batch cell build (x05), the probe
+    * read-off, and the s49 streaming ingest. */
+  private[graft] def cmsBucket(r: Int): Column =
+    expr(s"CAST(conv(substr(md5(concat('$r:', CAST(user_id AS STRING))), " +
+      s"1, 8), 16, 10) AS BIGINT) % $CmsW")
+
+  /** The x05 probe read-off over an EXPLICIT `cells(r, b, c)` counter
+    * table — shared by x05 (batch-built cells) and s49 (cells served
+    * out of streaming state), so the two faces cannot drift: top-10
+    * users by exact count, estimate = min over rows of the user's
+    * counter. */
+  private[graft] def cmsProbe(spark: SparkSession, sfDir: String,
+      cells: DataFrame): DataFrame = {
     import spark.implicits._
-    val W = 256L
-    val D = 4
-    def bucket(r: Int): Column =
-      expr(s"CAST(conv(substr(md5(concat('$r:', CAST(user_id AS STRING))), " +
-        s"1, 8), 16, 10) AS BIGINT) % $W")
     val ev = Tables.events(spark, sfDir).select($"user_id")
-    val cells = ev
-      .select(posexplode(array((0 until D).map(bucket): _*)).as(Seq("r", "b")))
-      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
     val probes = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
       .orderBy(desc("n_exact"), $"user_id").limit(10)
     probes
       .select($"user_id", $"n_exact",
-        posexplode(array((0 until D).map(bucket): _*)).as(Seq("r", "b")))
-      .join(cells, Seq("r", "b"))
+        posexplode(array((0 until CmsD).map(cmsBucket): _*))
+          .as(Seq("r", "b")))
+      .join(cells.select($"r".cast("int").as("r"), $"b", $"c"),
+        Seq("r", "b"))
       .groupBy($"user_id")
       .agg(max($"n_exact").as("n_exact"), min($"c").as("n_cms"))
       .orderBy($"user_id")
+  }
+
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir).select($"user_id")
+      .select(posexplode(array((0 until CmsD).map(cmsBucket): _*))
+        .as(Seq("r", "b")))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    cmsProbe(spark, sfDir, cells)
   }
 
   /** x06: HLL SET ALGEBRA (r11 — the payoff of x01/x03's register
@@ -537,6 +556,28 @@ object Extras {
 
   private val D = Det.sql
 
+  /** x05's FULL oracle text — shared VERBATIM with s49 (the streaming
+    * count-min ingest, [[graft.streaming.StreamOps]]): the CMS cells
+    * folded through streaming state must serve the batch truth (the
+    * s48/v30 discipline applied to the frequency sketch). */
+  private[graft] def countMinSql: String = {
+    def bucket(pfx: String) =
+      s"('0x' || substr(md5(r.r::VARCHAR || ':' || " +
+        s"CAST(${pfx}user_id AS VARCHAR)), 1, 8))::BIGINT % $CmsW"
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |rr AS (SELECT unnest(range($CmsD)) AS r),
+       |cells AS (SELECT r.r AS r, ${bucket("ev.")} AS b, count(*) AS c
+       |  FROM ev CROSS JOIN rr r GROUP BY 1, 2),
+       |probes AS (SELECT user_id, count(*) AS n_exact FROM ev
+       |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10),
+       |pe AS (SELECT p.user_id, p.n_exact, r.r AS r, ${bucket("p.")} AS b
+       |  FROM probes p CROSS JOIN rr r)
+       |SELECT pe.user_id, CAST(max(pe.n_exact) AS BIGINT) AS n_exact,
+       |  CAST(min(c.c) AS BIGINT) AS n_cms
+       |FROM pe JOIN cells c ON c.r = pe.r AND c.b = pe.b
+       |GROUP BY 1 ORDER BY pe.user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e37_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey AS k, p_name AS name,
@@ -650,23 +691,7 @@ object Extras {
     },
     // row-salted md5 counters (d=4 × w=256), min over rows at the
     // probe — the identical cell table both engines build
-    "x05_count_min" -> {
-      def bucket(pfx: String) =
-        s"('0x' || substr(md5(r.r::VARCHAR || ':' || " +
-          s"CAST(${pfx}user_id AS VARCHAR)), 1, 8))::BIGINT % 256"
-      s"""WITH ev AS (SELECT user_id FROM events),
-         |rr AS (SELECT unnest(range(4)) AS r),
-         |cells AS (SELECT r.r AS r, ${bucket("ev.")} AS b, count(*) AS c
-         |  FROM ev CROSS JOIN rr r GROUP BY 1, 2),
-         |probes AS (SELECT user_id, count(*) AS n_exact FROM ev
-         |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10),
-         |pe AS (SELECT p.user_id, p.n_exact, r.r AS r, ${bucket("p.")} AS b
-         |  FROM probes p CROSS JOIN rr r)
-         |SELECT pe.user_id, CAST(max(pe.n_exact) AS BIGINT) AS n_exact,
-         |  CAST(min(c.c) AS BIGINT) AS n_cms
-         |FROM pe JOIN cells c ON c.r = pe.r AND c.b = pe.b
-         |GROUP BY 1 ORDER BY pe.user_id""".stripMargin
-    },
+    "x05_count_min" -> countMinSql,
     // per-type registers (x01's hr CTE), pairwise max-merged union
     // registers, inclusion-exclusion over the ROUNDED integer estimates
     "x06_hll_setops" ->

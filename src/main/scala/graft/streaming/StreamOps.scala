@@ -1626,6 +1626,84 @@ object StreamOps {
       .select($"vec_id", $"cell", $"cos")
   }
 
+  private val cmsDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The s49 CMS checkpoint for `sfDir`, if built this session —
+    * exposed so StateBoundSpec can read the sketch store
+    * out-of-band. */
+  private[graft] def cmsCheckpoint(sfDir: String): Option[String] =
+    cmsDirs.get(sfDir).map(_._2)
+
+  /** s49: STREAMING COUNT-MIN — x05's ingest face, completing the
+    * sketch-family symmetry (x01 batch ↔ x03 merge ↔ this for
+    * frequencies; e54 ↔ s46 for quantiles; v30 ↔ s48 for serving).
+    * Three %3-interleaved micro-batches of raw user_ids compute their
+    * d = 4 row-salted md5 buckets IN-STREAM (a stateless codegen'd
+    * projection — the same [[graft.operators.Extras.cmsBucket]]
+    * expressions as the batch build) and fold per-(row, bucket)
+    * counts into [[BinCountProcessor]]'s MapState — CMS cells are the
+    * same commutative monoid as s46's histogram bins, so the
+    * processor is REUSED VERBATIM (key = sketch row, map key =
+    * bucket) and batch boundaries cannot change the counters. The
+    * store is the product (s42's discipline): the serving read pulls
+    * the cells at the last committed batchId and x05's probe read-off
+    * ([[graft.operators.Extras.cmsProbe]] — one shared definition)
+    * computes the estimates. Oracle = x05's oracle VERBATIM
+    * (`countMinSql`): the streamed sketch must serve the batch truth.
+    *
+    * Scale design: per-batch work is d codegen'd md5s per arriving
+    * row folding into ≤ d·w state entries (1024 — CONFIG-bounded,
+    * never key- or event-bounded; StateBoundSpec pins it); the serve
+    * path reads ≤ d·w rows and joins d rows per probed key. */
+  def streamCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ckStr = cachedScratchDir(cmsDirs, sfDir, "events.parquet") {
+      val in = newTempDir("graft_s49_in")
+      val ck = newTempDir("graft_ckpt_s49")
+      val ev = graft.Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id")
+      def third(i: Int) = ev.filter(pmod($"event_id", lit(3L)) === i)
+        .select($"user_id")
+      (0 to 2).foreach(i => writeChangelogFile(third(i), in, i))
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT"))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "changelog_*.parquet")
+            .parquet(in.toString)
+            .select(posexplode(array((0 until graft.operators.Extras.CmsD)
+              .map(graft.operators.Extras.cmsBucket): _*)).as(Seq("r", "b")))
+            .select($"r".cast("string").as("event_type"), $"b".as("bin"))
+            .as[BinDelta]
+            .groupByKey(_.event_type)
+            .transformWithState(new BinCountProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[BinDelta])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    val cells = withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "bins")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
+        .load()
+        .select($"key.value".as("r"), $"user_map_key.value".as("b"),
+          $"user_map_value.value".as("c"))
+    }
+    graft.operators.Extras.cmsProbe(spark, sfDir, cells)
+  }
+
   private val asOfDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
@@ -2796,6 +2874,7 @@ object StreamOps {
     "s46_stream_binned_median" -> streamBinnedMedian _,
     "s47_stream_embed_neardup" -> streamEmbedNearDup _,
     "s48_stream_serve_topk" -> streamServeTopK _,
+    "s49_stream_count_min" -> streamCountMin _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -3029,6 +3108,10 @@ object StreamOps {
     // batch truth (see streamServeTopK's scaladoc)
     "s48_stream_serve_topk" ->
       graft.operators.VectorOps.retrievalPipelineSql,
+    // x05's oracle VERBATIM: the streamed CMS must serve the batch
+    // truth (see streamCountMin's scaladoc)
+    "s49_stream_count_min" ->
+      graft.operators.Extras.countMinSql,
     // v08's band CTE (shared text), odd vecs probing even-vec buckets;
     // candidates are the per-bucket min corpus vec (the s24 contract),
     // then exact-cosine verified at v08's threshold

@@ -3733,6 +3733,26 @@ class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got <= cents.length.toLong)
   }
 
+  test("s49 CMS state rows == occupied cells, hard-capped at d*w") {
+    import spark.implicits._
+    StreamOps.streamCountMin(spark, sf).collect()
+    val ck = StreamOps.cmsCheckpoint(sf)
+      .getOrElse(fail("no s49 checkpoint recorded"))
+    val got = spark.read.format("statestore")
+      .option("path", ck).option("stateVarName", "bins")
+      .option("batchId", StreamOps.lastCommittedBatchId(ck).toString)
+      .load().count()
+    // occupied (r, b) cells recomputed batch-side with the same exprs
+    val occupied = Tables.events(spark, sf).select($"user_id")
+      .select(posexplode(array((0 until graft.operators.Extras.CmsD)
+        .map(graft.operators.Extras.cmsBucket): _*)).as(Seq("r", "b")))
+      .distinct().count()
+    assert(got == occupied, s"s49 state $got != occupied cells $occupied")
+    // the sketch contract: state is CONFIG-bounded (d*w), never
+    // key- or event-bounded
+    assert(got <= graft.operators.Extras.CmsD * graft.operators.Extras.CmsW)
+  }
+
   test("s25 state rows == non-empty quote buckets + one pointer per user") {
     import spark.implicits._
     StreamOps.streamAsOfJoin(spark, sf).collect()
