@@ -119,14 +119,20 @@ object Extras {
   private val hllHashExpr =
     "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
 
+  /** The hash → register geometry (bucket = top 8 bits, rem = low 24) —
+    * ONE definition for the fixture build and the synthetic accuracy
+    * probe, so the part of the sketch that must stay bit-identical
+    * cannot drift. */
+  private def hllRegSplit(h: Column): Seq[Column] =
+    Seq(Det.fdiv(h, lit(HllW)).as("bucket"), (h % HllW).as("rem"))
+
   private def hllHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .select($"event_type",
         Det.fdiv(expr("unix_micros(ts)"), lit(86400000000L)).as("day"),
         expr(hllHashExpr).as("h"))
-      .select($"event_type", $"day",
-        Det.fdiv($"h", lit(HllW)).as("bucket"), ($"h" % HllW).as("rem"))
+      .select(Seq($"event_type", $"day") ++ hllRegSplit($"h"): _*)
   }
 
   /** Global HLL estimate over an arbitrary `user_id` frame — exposed
@@ -138,7 +144,7 @@ object Extras {
   private[graft] def hllEstimateOf(ids: DataFrame): Long = {
     import ids.sparkSession.implicits._
     val regs = ids.select(expr(hllHashExpr).as("h"))
-      .select(Det.fdiv($"h", lit(HllW)).as("bucket"), ($"h" % HllW).as("rem"))
+      .select(hllRegSplit($"h"): _*)
       .groupBy($"bucket").agg(max(hllRho).as("rho"))
     hllReadout(regs, Nil, "est").select($"est").head().getLong(0)
   }

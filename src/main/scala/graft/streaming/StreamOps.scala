@@ -1666,41 +1666,14 @@ object StreamOps {
       def third(i: Int) = ev.filter(pmod($"event_id", lit(3L)) === i)
         .select($"user_id")
       (0 to 2).foreach(i => writeChangelogFile(third(i), in, i))
-      withShufflePartitions(spark, 8) {
-        withRocksDb(spark) {
-          spark.readStream
-            .schema(org.apache.spark.sql.types.StructType.fromDDL(
-              "user_id BIGINT"))
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "changelog_*.parquet")
-            .parquet(in.toString)
-            .select(posexplode(array((0 until graft.operators.Extras.CmsD)
-              .map(graft.operators.Extras.cmsBucket): _*)).as(Seq("r", "b")))
-            .select($"r".cast("string").as("event_type"), $"b".as("bin"))
-            .as[BinDelta]
-            .groupByKey(_.event_type)
-            .transformWithState(new BinCountProcessor,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              OutputMode.Update(),
-              org.apache.spark.sql.Encoders.product[BinDelta])
-            .toDF()
-            .writeStream.format("noop").outputMode("update")
-            .option("checkpointLocation", ck.toString)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
-        }
+      runBinFold(spark, in, ck, "user_id BIGINT") { raw =>
+        raw.select(posexplode(array((0 until graft.operators.Extras.CmsD)
+            .map(graft.operators.Extras.cmsBucket): _*)).as(Seq("r", "b")))
+          .select($"r".cast("string").as("event_type"), $"b".as("bin"))
       }
       ck.toString
     }
-    val cells = withRocksDb(spark) {
-      spark.read.format("statestore")
-        .option("path", ckStr)
-        .option("stateVarName", "bins")
-        .option("batchId", lastCommittedBatchId(ckStr).toString)
-        .load()
-        .select($"key.value".as("r"), $"user_map_key.value".as("b"),
-          $"user_map_value.value".as("c"))
-    }
+    val cells = readBinCells(spark, ckStr, "r", "b", "c")
     graft.operators.Extras.cmsProbe(spark, sfDir, cells)
   }
 
@@ -2673,6 +2646,53 @@ object StreamOps {
   private val binMedDirs =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
+  /** The shared s46/s49 MONOID-FOLD harness (the r11 review's
+    * duplication finding): stream `schemaDdl`-shaped changelog rows
+    * from `in`, `shape` them into BinDelta (key, bin) rows, fold into
+    * [[BinCountProcessor]] MapState under checkpoint `ck`, noop sink —
+    * the store is the product (s42's discipline). */
+  private def runBinFold(spark: SparkSession, in: java.nio.file.Path,
+      ck: java.nio.file.Path, schemaDdl: String)(
+      shape: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
+    withShufflePartitions(spark, 8) {
+      withRocksDb(spark) {
+        shape(spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "changelog_*.parquet")
+            .parquet(in.toString))
+          .as[BinDelta]
+          .groupByKey(_.event_type)
+          .transformWithState(new BinCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(),
+            org.apache.spark.sql.Encoders.product[BinDelta])
+          .toDF()
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+    }
+  }
+
+  /** The matching serving read: BinCountProcessor's flattened MapState
+    * (one row per (grouping key, map key)) at the last committed
+    * batchId, with caller-chosen column names. */
+  private def readBinCells(spark: SparkSession, ckStr: String,
+      key: String, mapKey: String, cnt: String): DataFrame =
+    withRocksDb(spark) {
+      import spark.implicits._
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "bins")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
+        .load()
+        .select($"key.value".as(key), $"user_map_key.value".as(mapKey),
+          $"user_map_value.value".as(cnt))
+    }
+
   /** s46: STREAMING APPROX MEDIAN — e54's "bin counts are mergeable
     * monoid state" claim made real. Three %3-interleaved micro-batches
     * fold per-(event_type, $1-bin) counts into [[BinCountProcessor]]'s
@@ -2703,42 +2723,13 @@ object StreamOps {
       def third(i: Int) = ev.filter(pmod($"event_id", lit(3L)) === i)
         .select($"event_type", $"bin")
       (0 to 2).foreach(i => writeChangelogFile(third(i), in, i))
-      withShufflePartitions(spark, 8) {
-        withRocksDb(spark) {
-          spark.readStream
-            .schema(org.apache.spark.sql.types.StructType.fromDDL(
-              "event_type STRING, bin BIGINT"))
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "changelog_*.parquet")
-            .parquet(in.toString)
-            .as[BinDelta]
-            .groupByKey(_.event_type)
-            .transformWithState(new BinCountProcessor,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              OutputMode.Update(),
-              org.apache.spark.sql.Encoders.product[BinDelta])
-            .toDF()
-            .writeStream.format("noop").outputMode("update")
-            .option("checkpointLocation", ck.toString)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
-        }
-      }
+      runBinFold(spark, in, ck, "event_type STRING, bin BIGINT")(identity)
       ck.toString
     }
     // the serving read: bins out of the store (the flattened MapState
     // layout — one row per (grouping key, map key)), e54's read-off on
     // top
-    val bins = withRocksDb(spark) {
-      spark.read.format("statestore")
-        .option("path", ckStr)
-        .option("stateVarName", "bins")
-        .option("batchId", lastCommittedBatchId(ckStr).toString)
-        .load()
-        .select($"key.value".as("event_type"),
-          $"user_map_key.value".as("bin"),
-          $"user_map_value.value".as("bc"))
-    }
+    val bins = readBinCells(spark, ckStr, "event_type", "bin", "bc")
     val w = org.apache.spark.sql.expressions.Window
     val wCum = w.partitionBy($"event_type").orderBy($"bin")
     val wN = w.partitionBy($"event_type")

@@ -92,6 +92,18 @@ def run_sweep(name, sf, env_extra, queries):
             detail.append("  " + ln)
         else:  # SKIP = declared rows-only; count as pass for the battery
             passed.add(m.group(2))
+    # a query that vanishes from THIS sweep (sbt died after a partial
+    # oracle dump; Verify crashed mid-list) must fail the sweep, not
+    # leave a silent "—" cell in an ALL GREEN table
+    gone = set(queries) - passed - failed
+    if gone:
+        failed |= gone
+        detail.append(f"  requested but absent from this sweep's "
+                      f"results: {sorted(gone)}")
+    if r.returncode != 0:
+        failed.add("<sbt-rc>")
+        detail.append(f"  sbt exited rc={r.returncode}; stderr tail:")
+        detail.extend("  | " + ln for ln in r.stderr.splitlines()[-3:])
     return passed, failed, detail
 
 
