@@ -32,8 +32,13 @@ class EnvelopeGuardSpec extends AnyFunSuite {
 
   test("e56 gini guard raises on a synthetic int64-envelope breach") {
     import spark.implicits._
-    // one user at 5·10¹⁴ cents: bound = 3·1²·5e14 ≥ r4NumBound → raise
-    val per = Seq((1L, 500000000000000L)).toDF("user_id", "cents")
+    // one user at 2·10¹⁴ cents: the gini bound 3·1²·2e14 = 6e14 ≥
+    // r4NumBound → raise, while every OTHER column's r4 stays in range
+    // (dcents·20000 = 4e18 < 2⁶³) — a larger breach value would ALSO
+    // overflow the share column's multiply, and then whichever
+    // exception surfaces first (ANSI overflow vs the guard's raise) is
+    // evaluation-order-dependent and the assertion flakes
+    val per = Seq((1L, 200000000000000L)).toDF("user_id", "cents")
     raisesWith("e56_gini") {
       graft.operators.Events.spendConcentrationOf(per).collect()
     }
