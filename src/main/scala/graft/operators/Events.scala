@@ -1291,7 +1291,14 @@ object Events {
     *     cannot prune it: if any group's actual row count exceeds
     *     [[E53MaxGroupRows]] (stats can underestimate), the query
     *     raises instead of returning a result whose per-group
-    *     single-task sorts are the named scale-killer.
+    *     single-task sorts are the named scale-killer. NOTE: this
+    *     backstop evaluates in the FINAL aggregate, after median2's
+    *     window sorts already ran — it is a correctness raise (never
+    *     return an answer from an over-envelope plan), not a cost
+    *     fence; when stats underestimate past the plan-time ceiling,
+    *     the sort cost is paid before the raise. The cost fence is
+    *     the plan-time check; the stats it reads come from the file
+    *     footer sizes, which do not underestimate on real scans.
     * Both raises point at e54 as the at-scale substitute. EnvelopeGuardSpec
     * pins the runtime raise on a synthetic over-envelope group.
     *
@@ -1488,11 +1495,12 @@ object Events {
     * rides r4, so Σ(arank·cents) must stay under 2⁶³/20000 ≈ 4.6·10¹⁴ —
     * and rank enters QUADRATICALLY (Σ(i·x) ≈ x̄·N²/2), so at $100
     * average lifetime spend the bound holds only to ~3·10⁵ users. The
-    * a-priori bound 3·N²·max(cents) (computed in DOUBLE from N and
-    * max cents, so the check itself cannot wrap) dominates every
-    * intermediate — each product arank·cents ≤ N·max, the running sum
-    * ≤ N²·max, |2·ic − (N+1)·tc| ≤ 2·N²·max, 2·den = 2·N·tc ≤
-    * 2·N²·max — so bound < [[Det.r4NumBound]] implies the whole
+    * a-priori bound 3·N²·max|cents| (computed in DOUBLE from N and
+    * max ABSOLUTE cents — abs, so refund-valued users with negative
+    * sums cannot under-bound it — so the check itself cannot wrap)
+    * dominates every intermediate — each |arank·cents| ≤ N·max|x|, the
+    * running sum ≤ N²·max|x|, |2·ic − (N+1)·tc| ≤ 3·N²·max|x|, 2·den =
+    * 2·N·|tc| ≤ 2·N²·max|x| — so bound < [[Det.r4NumBound]] implies the whole
     * computation stays exact; beyond it the query RAISES with the
     * remediation (rescale cents→dollars for ×100 headroom, or compute
     * the Gini from the ≤10 decile aggregates — the trapezoid Lorenz
@@ -1523,7 +1531,10 @@ object Events {
       per, Seq($"cents", $"user_id"), "arank", "n")
     val tots = ranked.agg(max($"n").as("nu"),
       sum($"cents").as("tc"), sum($"arank" * $"cents").as("ic"),
-      max($"cents").cast("double").as("mxc"))
+      // max |cents|, not max cents: a refund-valued user (negative cents
+      // sum) would otherwise under-bound the |arank·cents| / |tc|
+      // intermediates and the guard could pass while the int64 wraps
+      max(abs($"cents")).cast("double").as("mxc"))
     ranked
       .withColumn("decile",
         DistRank.ntileOf($"n" - $"arank" + 1L, $"n", 10))

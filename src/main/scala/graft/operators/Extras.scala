@@ -354,7 +354,10 @@ object Extras {
     * intersection estimate is inclusion–exclusion over the three
     * estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B). The subtraction
     * runs over the already-ROUNDED integer estimates, so both engines
-    * do identical int64 arithmetic — no new float surface.
+    * do identical int64 arithmetic — no new float surface. The estimate
+    * is clamped at 0 (identically on both sides): for near-disjoint
+    * sets, normal HLL error can drive inclusion–exclusion negative, and
+    * a negative cardinality is never the right readout.
     *
     * Scale: this is why sketch tables exist at 100 TB — any of the
     * k·(k−1)/2 pairwise overlaps costs a 256-row register merge
@@ -381,7 +384,11 @@ object Extras {
       .join(perType.select($"event_type".as("t2"), $"est".as("est_b")), "t2")
       .select($"t1".as("type_a"), $"t2".as("type_b"), $"est_a", $"est_b",
         $"est_union",
-        ($"est_a" + $"est_b" - $"est_union").as("est_intersect"))
+        // inclusion–exclusion can go NEGATIVE under normal HLL error for
+        // near-disjoint sets; clamp at 0 (a cardinality) — mirrored in the
+        // oracle so both sides do the identical int64 arithmetic
+        greatest(lit(0L), $"est_a" + $"est_b" - $"est_union")
+          .as("est_intersect"))
       .orderBy($"type_a", $"type_b")
   }
 
@@ -723,7 +730,7 @@ object Extras {
          |  ${hllEstSql("n_buckets", "s")} AS est_union FROM ua)
          |SELECT ue.t1 AS type_a, ue.t2 AS type_b, ea.est AS est_a,
          |  eb.est AS est_b, ue.est_union,
-         |  ea.est + eb.est - ue.est_union AS est_intersect
+         |  GREATEST(0, ea.est + eb.est - ue.est_union) AS est_intersect
          |FROM ue JOIN et ea ON ea.event_type = ue.t1
          |JOIN et eb ON eb.event_type = ue.t2
          |ORDER BY type_a, type_b""".stripMargin,

@@ -53,7 +53,7 @@ SWEEPS = [
 
 
 def run_sweep(name, sf, env_extra, queries):
-    """Returns (passed, failed, detail_lines)."""
+    """Returns (passed, failed, detail_lines, sbt_ok)."""
     out = f"/tmp/sweep_{name.replace('.', '_')}"
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ)
@@ -76,7 +76,7 @@ def run_sweep(name, sf, env_extra, queries):
         return set(), set(queries) or {"<all>"}, [
             f"  Verify produced no oracle json (sbt rc={r.returncode}); "
             "tail of stderr:",
-            *("  | " + ln for ln in r.stderr.splitlines()[-5:])]
+            *("  | " + ln for ln in r.stderr.splitlines()[-5:])], False
     c = subprocess.run([sys.executable, "tools/compare.py",
                         f"{SF_BASE}/{sf}", out],
                        cwd=REPO, capture_output=True, text=True)
@@ -100,11 +100,14 @@ def run_sweep(name, sf, env_extra, queries):
         failed |= gone
         detail.append(f"  requested but absent from this sweep's "
                       f"results: {sorted(gone)}")
-    if r.returncode != 0:
-        failed.add("<sbt-rc>")
+    # a nonzero sbt exit fails the sweep as a FLAG, not a pseudo-query:
+    # inserting a sentinel name into the failed set would surface it as
+    # a row in the markdown table and inflate the query count
+    sbt_ok = r.returncode == 0
+    if not sbt_ok:
         detail.append(f"  sbt exited rc={r.returncode}; stderr tail:")
         detail.extend("  | " + ln for ln in r.stderr.splitlines()[-3:])
-    return passed, failed, detail
+    return passed, failed, detail, sbt_ok
 
 
 def main(argv):
@@ -116,14 +119,17 @@ def main(argv):
     any_fail = False
     for name, sf, env in SWEEPS:
         print(f"[sweep] {name} (sf={sf}) ...", flush=True)
-        passed, failed, detail = run_sweep(name, sf, env, queries)
+        passed, failed, detail, sbt_ok = run_sweep(name, sf, env, queries)
         results[name] = (passed, failed)
         for d in detail:
             print(d)
+        if not sbt_ok:
+            any_fail = True
+            print(f"[sweep] {name}: FAILED (nonzero sbt exit)")
         if failed:
             any_fail = True
             print(f"[sweep] {name}: FAILED {sorted(failed)}")
-        else:
+        elif sbt_ok:
             print(f"[sweep] {name}: {len(passed)} pass")
     names = sorted(set().union(*[p | f for p, f in results.values()]))
     # a requested name that never produced a PASS or FAIL in ANY sweep
