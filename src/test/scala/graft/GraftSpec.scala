@@ -1808,6 +1808,51 @@ class KafkaSerdeSpec extends AnyFunSuite {
   }
 }
 
+class AvroSerdeSpec extends AnyFunSuite {
+  import graft.streaming.AvroSerde
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("Kafka wire values round-trip through the Avro binary serde") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val decoded = AvroSerde.fromAvroValues(AvroSerde.toAvroValues(ev))
+    assert(decoded.columns.toSeq == ev.columns.toSeq)
+    // row-for-row equality INCLUDING µs timestamp precision — a
+    // millisecond wire long would fail this on the µs fixture times
+    assert(decoded.exceptAll(ev).count() == 0)
+    assert(ev.exceptAll(decoded).count() == 0)
+    // the downstream-aggregate face the driver's oracle checks: the
+    // per-type rollup off the DECODED wire equals the parquet truth
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+      .collect().toSeq
+    assert(agg(decoded) == agg(ev))
+  }
+
+  test("corrupt Avro payloads decode to null rows, not task failure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val good = AvroSerde.toAvroValues(Tables.events(spark, sf).limit(3))
+    val bad = Seq(Array[Byte](), Array[Byte](1, 2, 3),
+        "not avro".getBytes("UTF-8"))
+      .toDF("value")
+    // a truncated GOOD payload must also poison-pill, not mis-decode
+    val truncated = good.limit(1).as[Array[Byte]]
+      .map(b => b.take(b.length / 2)).toDF("value")
+    val mixed = AvroSerde.fromAvroValues(good.union(bad).union(truncated))
+    assert(mixed.count() == 7)
+    assert(mixed.filter($"event_id".isNull).count() == 4)
+    assert(mixed.filter($"event_id".isNotNull && $"ts".isNotNull).count() == 3)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   import graft.multimodal.Multimodal
   lazy val spark = TestSession.spark
