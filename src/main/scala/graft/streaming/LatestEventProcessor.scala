@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
-import graft.streaming.StreamOps.EventRow
 
 /** KTable materialization on Spark 4's `transformWithState` API — the
   * successor to `flatMapGroupsWithState` with named state variables and

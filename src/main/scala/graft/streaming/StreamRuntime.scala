@@ -1,0 +1,392 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The streaming RUNTIME seam of [[StreamOps]] (round-12 split of the
+  * former single file): sources + serde (the Kafka stand-in file
+  * source, flush sentinels), the memory-sink driver harness
+  * ([[runToMemory]]), scratch-dir/changelog-file machinery, and the
+  * session-conf helpers every streaming query shares. Pure mechanical
+  * move — no query text changed. */
+trait StreamRuntime {
+
+  /** KTable materialization: latest value per key as a changelog
+    * aggregation (struct-max rides the whole row on a unique
+    * (ts, event_id) ordering). Shared by the aggregation face
+    * (streamLatest) and the join face (streamTableJoin's compacted
+    * snapshot), hence it lives in the runtime seam. */
+  def latestByKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.ts").as("ts"), col("m.event_type").as("event_type"),
+        round(col("m.value"), 2).as("value"))
+
+  /** Any event time at/after this is a flush sentinel, not data (the
+    * sentinels sit at 2100-01-01). */
+  private[streaming] val flushBound = to_timestamp(lit("2099-01-01 00:00:00"))
+
+  /** The JSON serde half of the Kafka source: wire rows (binary `value`
+    * as the connector emits them) → typed event columns. Factored out
+    * of [[kafkaStream]] so it is testable WITHOUT a broker — the same
+    * projection runs on any DataFrame with a binary `value` column
+    * (KafkaSerdeSpec drives it on batch rows), leaving only the
+    * connector `.format("kafka").load()` itself environment-blocked. */
+  // µs-precision wire format for WRITERS: to_json's default pattern is
+  // millisecond-only and silently truncates event times. The PARSER
+  // below deliberately sets no timestampFormat — the default fallback
+  // parser accepts fraction-less, milli, and micro variants alike
+  // (a fixed pattern would null out producers that omit the fraction).
+  private[graft] val kafkaTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private[graft] def parseKafkaValue(wire: DataFrame): DataFrame =
+    wire
+      .selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")).as("e"))
+      .select(col("e.*"))
+
+  /** Production source: Kafka topic → typed event columns. Compiles
+    * against the stable string-format API; requires the
+    * spark-sql-kafka connector on the classpath at runtime (not shipped
+    * in this sandbox — `eventsStream` below is the drop-in stand-in, and
+    * every downstream transform is source-agnostic). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String,
+      topic: String): DataFrame =
+    parseKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load())
+
+  /** File-source stand-in for the Kafka source, with the same ns→µs
+    * timestamp normalization as the batch path.
+    *
+    * `nanosAsLong` must stay set for the LIFETIME of any streaming query
+    * built here — the parquet reader consults it at every micro-batch
+    * (INT64 TIMESTAMP(NANOS) is otherwise an illegal type), not just at
+    * schema-inference time — so it is deliberately not restored after
+    * the build. It only affects nanos-annotated columns, which exist
+    * solely in the events fixture. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source needs a directory; scope it to the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    normalizeTs(raw)
+  }
+
+  /** Land `ts` on TIMESTAMP (LTZ) whatever the fixture's physical type
+    * is — delegates to [[graft.Tables.normalizeTs]], the single
+    * implementation of the two-generation contract (incl. its UTC
+    * session-timezone guard), so batch and stream reads can never
+    * drift. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    graft.Tables.normalizeTs(df)
+
+  /** The events file stream plus one far-future "__flush" row in a
+    * second file. A finite stream's watermark only reaches
+    * max(seen ts) − delay, so outer-join null padding and final window
+    * emission for the tail of the data would stay locked in the state
+    * store; the flush row advances the watermark past every real
+    * window. It must pass through the `withWatermark` operator (which
+    * tracks max event time) and be filtered AFTER it — which is how the
+    * consumers below are structured. In production this is the role of
+    * periodic broker heartbeats / idle-source timeouts. */
+  // Flush-augmented source dirs are derived purely from the fixture
+  // file, so they are shared across sessions; the cache records the
+  // fixture's mtime and rebuilds if the file is regenerated in place.
+  // Temp dirs are deleted on JVM exit (shutdown hook below).
+  private val flushDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.foreach(d =>
+      try deleteRecursively(java.nio.file.Paths.get(d))
+      catch { case _: Throwable => () })
+  }
+
+  /** Create a tracked temp dir, cleaned up on JVM exit. Prefers a
+    * tmpfs root (/dev/shm) when one exists: streaming checkpoints and
+    * flush-file staging are pure scratch — per-micro-batch offset/
+    * commit/state files whose fsyncs are deadweight on a disk-backed
+    * /tmp. On a real cluster the checkpoint must instead be durable
+    * shared storage (object store / DFS) for failure recovery; local
+    * AvailableNow roundtrips have no recovery story to preserve. */
+  private val tmpRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
+  private[graft] def newTempDir(prefix: String): java.nio.file.Path = {
+    val dir = tmpRoot match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None       => java.nio.file.Files.createTempDirectory(prefix)
+    }
+    tempDirs.add(dir.toString)
+    dir
+  }
+
+  def eventsStreamWithFlush(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
+    val dirStr = cachedScratchDir(flushDirs, sfDir, "events.parquet") {
+      val dir = newTempDir("graft_stream_flush")
+      // One flush row PER event type: Catalyst pushes deterministic
+      // event_type predicates below the EventTimeWatermark operator, so a
+      // single sentinel type would be filtered out before it could advance
+      // the watermark. A per-type sentinel survives any type filter; the
+      // consumer drops it with a ts-bound predicate, which references the
+      // watermark column and therefore stays ABOVE the watermark operator
+      // (see [[flushBound]]).
+      val flush = raw.limit(1).drop("event_type")
+        .crossJoin(raw.select(col("event_type")).distinct())
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            lit(4102444800000000000L)  // 2100-01-01 as ns
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))
+          case _ => to_timestamp(lit("2100-01-01 00:00:00"))
+        })
+        .select(raw.columns.map(col): _*)
+      flush.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dirStr)
+    normalizeTs(stream)
+  }
+
+  /** Terminal progress of the most recent [[runToMemory]] run, by query
+    * name — the observability seam for state-size assertions: the spec
+    * suite reads `stateOperators.numRowsTotal` here to prove each
+    * transformWithState query's RocksDB row count is bounded by its
+    * declared contract (occupied buckets / one record per user /
+    * touched terms), not by event volume. */
+  private[graft] val lastProgressByName = scala.collection.concurrent
+    .TrieMap.empty[String, org.apache.spark.sql.streaming.StreamingQueryProgress]
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (available-now semantics).
+    *
+    * Streaming shuffles are exempt from AQE partition coalescing, so a
+    * high session `shuffle.partitions` (tuned for batch) means that many
+    * state-store instances per micro-batch — pure overhead at local
+    * fixture scale. Cap the stateful parallelism for the streaming query
+    * and restore the session value afterwards (the knob a Kafka Streams
+    * app would call num.stream.threads). */
+  def runToMemory(df: DataFrame, name: String, mode: String,
+      partitions: Option[Int] = None,
+      noDataBatch: Boolean = true,
+      assertLastBatchId: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    val prevNd = spark.conf.get(ndKey)
+    spark.catalog.dropTempView(name)
+    // Streaming shuffle parallelism = state-store instances per batch.
+    // Most fixture queries keep tiny per-batch state (≤150 keys), so 2
+    // stores saturate a local run; queries that push the full event
+    // volume THROUGH the store per batch (the transformWithState
+    // changelogs) pass a higher `partitions` — the same sizing call a
+    // Kafka Streams deployment makes with num.stream.threads: match
+    // store parallelism to per-batch state traffic, not to key count.
+    val cap = partitions.getOrElse(
+      Integer.getInteger("graft.stream.partitions", 2).intValue())
+    spark.conf.set(key,
+      math.min(cap, spark.sparkContext.defaultParallelism).toString)
+    // Complete mode re-emits the whole result every batch and never
+    // waits on a watermark close, so the trailing no-data batch is one
+    // pure-overhead state-store round trip; append/update queries NEED
+    // it (final windows / outer-join padding emit there) — EXCEPT the
+    // TimeMode.None transformWithState pipelines, which have no
+    // watermark and no timers to fire, so their callers pass
+    // noDataBatch = false and skip the same overhead.
+    if (mode == "complete" || !noDataBatch) spark.conf.set(ndKey, "false")
+    try {
+      // AvailableNow: process everything (including the watermark-close
+      // no-data batch that emits final windows / outer-join padding) and
+      // terminate — one less idle-detection round trip than
+      // processAllAvailable + stop
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation",
+          newTempDir(s"graft_ckpt_$name").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Option(q.lastProgress).foreach(lastProgressByName.put(name, _))
+      // Callers whose ORACLE encodes the micro-batch schedule (s38: the
+      // two-watermark late filter lags exactly one batch per file
+      // trigger) pin the terminal batchId here, so a Spark upgrade that
+      // changes AvailableNow scheduling (an interleaved no-data batch,
+      // a merged trigger) fails loudly instead of silently producing a
+      // one-batch-off oracle divergence.
+      assertLastBatchId.foreach { expect =>
+        val got = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        require(got == expect,
+          s"$name: terminal batchId $got != expected $expect — " +
+            "micro-batch scheduling changed; revisit the oracle's " +
+            "batch-lag assumptions")
+      }
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, prevNd)
+    }
+    spark.table(name)
+  }
+
+  /** Materialize `batches` as ONE parquet file each, mtime-ordered, so a
+    * file-source stream with maxFilesPerTrigger=1 replays them as that
+    * exact micro-batch sequence — the harness's stand-in for ordered
+    * Kafka topic offsets. Cached per (sfDir, fixture mtime). */
+  /** Cache a derived scratch dir per (sfDir, source-fixture mtime) —
+    * THE idiom for every fixture-derived scratch location (flush dirs,
+    * changelog dirs, sink output): rebuild iff the driver regenerated
+    * the fixture in place. NOTE: `updateWith`'s remapping function may
+    * in principle re-run under contention; the driver surfaces invoke
+    * queries single-threaded, and a re-run would only build a duplicate
+    * scratch dir (both tracked for exit cleanup), never corrupt one. */
+  private[graft] def cachedScratchDir(cache:
+      scala.collection.concurrent.TrieMap[String, (Long, String)],
+      sfDir: String, srcFixture: String)(build: => String): String = {
+    val srcMtime = new java.io.File(s"$sfDir/$srcFixture").lastModified()
+    cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
+      cache.updateWith(sfDir) { _ => Some((srcMtime, build)) }.get._2)
+  }
+
+  /** Set `spark.sql.shuffle.partitions` for the duration of `body` and
+    * restore the session value after — the save/set/try/finally block
+    * every streaming roundtrip needs (state-store instances per batch =
+    * shuffle partitions; see [[runToMemory]]'s sizing note). */
+  private[graft] def withShufflePartitions[A](spark: SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Write `df` as exactly ONE uncompressed parquet FILE at `dst` (not
+    * a directory): coalesce(1) into a scratch dir, move the single part
+    * file out, drop the scaffolding. File-source streams glob concrete
+    * file names, so sinks/batches must land as plain files. */
+  private[graft] def writeSingleFile(df: DataFrame,
+      dst: java.nio.file.Path): Unit = {
+    val tmp = dst.getParent.resolve(s".${dst.getFileName}.build")
+    df.coalesce(1).write.option("compression", "none")
+      .mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val f = try {
+      val it = listing.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next()).find(_.toString.endsWith(".parquet")).get
+    } finally listing.close()
+    java.nio.file.Files.deleteIfExists(dst)
+    java.nio.file.Files.move(f, dst)
+    deleteRecursively(tmp)
+  }
+
+  /** Materialize ONE batch DataFrame as `changelog_<i>.parquet` in
+    * `dir`, mtime-pinned so a file-source stream replays files in index
+    * order. Shared by [[orderedBatchDir]] (all batches up front) and
+    * the restart harness (s40 adds files BETWEEN query runs). */
+  private[graft] def writeChangelogFile(df: DataFrame,
+      dir: java.nio.file.Path, i: Int): Unit = {
+    val dst = dir.resolve(s"changelog_$i.parquet")
+    writeSingleFile(df, dst)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+  }
+
+  private[graft] def orderedBatchDir(cache:
+      scala.collection.concurrent.TrieMap[String, (Long, String)],
+      sfDir: String, srcFixture: String, prefix: String)(
+      batches: => Seq[DataFrame]): String =
+    cachedScratchDir(cache, sfDir, srcFixture) {
+          val dir = newTempDir(prefix)
+          // each batch is its own Spark job — run them concurrently
+          // (the scheduler interleaves them across the idle cores) and
+          // skip compression: this is throwaway scratch on tmpfs, the
+          // snappy encode of a full event batch is pure timed overhead
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.{Await, Future}
+          val writes = batches.zipWithIndex.map { case (df, i) => Future {
+            writeChangelogFile(df, dir, i)
+          }}
+          writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+          dir.toString
+    }
+
+  /** transformWithState requires the RocksDB state store provider; set it
+    * for the duration of `body` and restore the session values after.
+    * Changelog checkpointing goes with it: per commit, upload only the
+    * batch's changelog instead of a full RocksDB snapshot — the
+    * documented production setting for frequent-commit workloads, and
+    * measured ~5% off the s-series fixed overhead here (snapshots still
+    * happen, just in the background maintenance pass). */
+  private[graft] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(pk)
+    val prevCk = spark.conf.getOption(ck)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ck, "true")
+    try body
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None => spark.conf.unset(pk)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(ck, v)
+        case None => spark.conf.unset(ck)
+      }
+    }
+  }
+
+  /** Resolve the newest committed batchId from a checkpoint's commit
+    * log, so state-source reads pin an EXPLICIT batch instead of the
+    * implicit "latest" — replay-stable (a later run appending batches
+    * cannot change what this read returns) and the serving-layer
+    * time-travel mechanism (pass an older id to read an earlier store
+    * version; StateSourceBatchIdSpec exercises that path). */
+  private[graft] def lastCommittedBatchId(ck: String): Long = {
+    val dir = new java.io.File(ck, "commits")
+    val ids = Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    require(ids.nonEmpty, s"no commit-log entries under $ck/commits")
+    ids.max
+  }
+}

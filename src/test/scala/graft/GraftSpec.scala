@@ -1653,11 +1653,11 @@ class StreamingSpec extends AnyFunSuite {
     val gap = "2 hours"
     val batch = graft.operators.Events.sessionWindows(spark, sf)
       .select($"user_id", $"s_start", $"s_end", $"n_events")
-    val events = Tables.events(spark, sf).as[StreamOps.EventRow]
+    val events = Tables.events(spark, sf).as[graft.streaming.EventRow]
     // batch Dataset through the same FMGWS logic (single "batch" = one
     // group invocation; watermark far past the data closes all sessions)
     val streamed = StreamOps.sessionize(
-      StreamOps.eventsStream(spark, sf).as[StreamOps.EventRow],
+      StreamOps.eventsStream(spark, sf).as[graft.streaming.EventRow],
       gapMs = 2 * 3600 * 1000L, watermark = "0 seconds")
     val q = streamed.writeStream.format("memory")
       .queryName("fmgws_sessions").outputMode("append").start()
@@ -1948,7 +1948,7 @@ class TransformWithStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = StreamOps.eventsStream(spark, sf).as[StreamOps.EventRow]
+      val stream = StreamOps.eventsStream(spark, sf).as[graft.streaming.EventRow]
       val out = stream
         .groupByKey(_.user_id)
         .transformWithState(new LatestEventProcessor,
