@@ -365,9 +365,20 @@ object Extras {
     * nightly register table (x03) answers every such rollup. */
   def hllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val regs = hllHash(spark, sfDir)
+    hllSetOpsOf(hllHash(spark, sfDir)
       .groupBy($"event_type", $"bucket")
-      .agg(max(hllRho).as("rho"))
+      .agg(max(hllRho).as("rho")))
+  }
+
+  /** The x06 plan over an explicit `(event_type, bucket, rho)` register
+    * frame — split out (the spendConcentrationOf seam pattern) so
+    * SketchBoundsSpec can force the inclusion–exclusion NEGATIVE branch
+    * with synthetic near-disjoint registers, which no fixture SF
+    * reaches (fixture event types share most users, so the raw
+    * subtraction stays positive and the GREATEST(0, ·) clamp would
+    * otherwise be a branch the 232/232 hash gate never executes). */
+  private[graft] def hllSetOpsOf(regs: DataFrame): DataFrame = {
+    import regs.sparkSession.implicits._
     def estOf(r: DataFrame, keys: Seq[Column], out: String): DataFrame =
       hllReadout(r, keys, out).drop("n_buckets", "s")
     val perType = estOf(regs, Seq($"event_type"), "est")
@@ -590,6 +601,18 @@ object Extras {
        |FROM pe JOIN cells c ON c.r = pe.r AND c.b = pe.b
        |GROUP BY 1 ORDER BY pe.user_id""".stripMargin
   }
+
+  /** Oracle-text fragments this module shares VERBATIM between its
+    * Spark-side formula and its DuckDB oracles (or across query
+    * faces). FormulaAuditSpec scans every declared oracle for these:
+    * any query whose oracle contains one is a SHARED-FORMULA oracle —
+    * it proves cross-engine agreement, not correctness (the r11 HLL
+    * 2²⁴/2²⁵ lesson) — and must carry a registry row pointing at an
+    * independent-truth spec that exercises each formula branch. */
+  private[graft] val sharedOracleFragments: Map[String, String] = Map(
+    "hll-registers" -> hllHashCte,
+    "hll-estimate" -> hllEstSql("n_buckets", "s"),
+    "cms-cells" -> countMinSql)
 
   val oracles: Map[String, String] = Map(
     "e37_fuzzy_match" ->

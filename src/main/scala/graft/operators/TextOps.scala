@@ -2404,6 +2404,17 @@ object TextOps {
        |bands AS (SELECT doc_id, s // 4 AS band, string_agg(h::VARCHAR, '${"|"}' ORDER BY s) AS bh
        |  FROM sig GROUP BY doc_id, s // 4)""".stripMargin
 
+  /** Oracle-text fragments this module shares verbatim between its
+    * Spark formulas and its DuckDB oracles (or across query faces) —
+    * see [[graft.operators.Extras.sharedOracleFragments]] for the
+    * FormulaAuditSpec contract these feed. */
+  private[graft] def sharedOracleFragments: Map[String, String] = Map(
+    "minhash-bands" -> mhBandsCte,
+    "simhash-pairs" -> simhashPairsCte,
+    "jaccard-pairs" -> jaccardPairsCte,
+    "bm25" -> bm25Cte,
+    "quality-score" -> qualityCte)
+
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
     * (candidate pairs + matching-permutation counts) — shared verbatim
     * by the d06, d21, and v27 oracles so they can never drift. */

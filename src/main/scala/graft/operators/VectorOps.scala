@@ -1458,6 +1458,15 @@ object VectorOps {
        |  FROM bits GROUP BY vec_id, b)""".stripMargin
   }
 
+  /** Oracle-text fragments this module shares verbatim between its
+    * Spark formulas and its DuckDB oracles (or across query faces) —
+    * see [[graft.operators.Extras.sharedOracleFragments]] for the
+    * FormulaAuditSpec contract these feed. */
+  private[graft] def sharedOracleFragments: Map[String, String] = Map(
+    "sign-lsh-bands" -> lshBandsCteSql,
+    "ivf-centroids" -> ivfCentCte,
+    "retrieval-pipeline" -> retrievalPipelineSql)
+
   /** The v07 index definition (cent/cv/e) as a CTE prefix — ONE text
     * shared by the v07/v18 oracles and the s34 streaming-assignment
     * oracle ([[graft.streaming.StreamOps]]) so the coarse quantizer

@@ -84,7 +84,7 @@ object StreamOps
     "s39_stream_cdc"        -> streamCdcDiff _,
   )
 
-  private val tumblingOracle =
+  private[graft] val tumblingOracle =
     """SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_start,
       |event_type, count(*) AS n,
       |round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value

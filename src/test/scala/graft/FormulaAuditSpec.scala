@@ -1,0 +1,279 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-12 systematization of the r11 HLL-divisor lesson: a
+  * SHARED-FORMULA oracle — one whose SQL text mirrors the Spark side's
+  * formula (shared CTE fragments, shared constants) — proves
+  * cross-engine AGREEMENT, not CORRECTNESS. A wrong shared constant
+  * passes the 232/232 hash gate forever, and a formula branch no
+  * fixture reaches is simply never executed (x01's raw branch divided
+  * by 2²⁴ instead of 2²⁵ for a full commit cycle; the fixture SFs only
+  * exercise linear counting).
+  *
+  * This spec is the STANDING GATE for that class:
+  *
+  *  - Each operator module declares the oracle-text fragments it shares
+  *    verbatim between its Spark formulas and its oracles
+  *    (`sharedOracleFragments` in Extras/TextOps/VectorOps, plus the
+  *    cross-face oracle reuses collected here).
+  *  - Every declared query whose oracle contains such a fragment MUST
+  *    have a row in [[FormulaAudit.registry]], naming its formula
+  *    branches and the INDEPENDENT-truth spec (exact recomputation,
+  *    engine-baseline, property test, or quality harness — never the
+  *    mirrored formula) that exercises each branch.
+  *  - A new query that reuses a shared fragment without a registry row
+  *    fails the suite; a registry row for an undeclared query fails
+  *    too (no stale audit rows).
+  *
+  * The registry is mirrored as the SURVEY §5 audit table (query ×
+  * branch × truth-spec × fixture).
+  */
+object FormulaAudit {
+
+  /** query → (formula branches, independent-truth spec exercising them). */
+  final case class AuditRow(branches: String, truth: String)
+
+  /** Shared fragments, collected from the modules that declare them plus
+    * the cross-face oracle reuses (one oracle text serving two query
+    * faces — batch truth and streaming ingest). */
+  val fragments: Map[String, String] =
+    graft.operators.Extras.sharedOracleFragments ++
+      graft.operators.TextOps.sharedOracleFragments ++
+      graft.operators.VectorOps.sharedOracleFragments ++ Map(
+        "tumbling-daily" -> graft.streaming.StreamOps.tumblingOracle,
+        "funnel-stages" ->
+          graft.operators.Events.oracles("e44_funnel_stages"),
+        "attribution" ->
+          graft.operators.Events.oracles("e47_attribution"))
+
+  val registry: Map[String, AuditRow] = Map(
+    // ---- HLL family (hll-registers / hll-estimate) --------------------
+    "x01_approx_distinct" -> AuditRow(
+      "linear-counting branch (eRaw<=640 && nb<m); raw alpha*m^2/Z branch; branch selector boundary",
+      "SketchBoundsSpec: 'x01 within 3 sigma of exact' (linear, fixture); " +
+        "'x01 RAW-branch at 5000 keys' (raw, synthetic — fails on the 2^24 bug); " +
+        "'hllEst ACROSS the branch boundary' (selector sweep, synthetic); " +
+        "'x01 tracks approx_count_distinct' (engine baseline)"),
+    "x03_hll_union" -> AuditRow(
+      "register max-merge monoid; same readout branches as x01",
+      "SketchBoundsSpec: 'x03 merged registers EXACTLY equal direct' " +
+        "(exact equality — any merge drift flips it); readout branches via x01's rows"),
+    "x06_hll_setops" -> AuditRow(
+      "inclusion-exclusion; GREATEST(0,·) clamp branch (unreachable on fixtures); readout branches",
+      "SketchBoundsSpec: 'x06 tracks the exact pairwise overlap' (exact truth, tolerance); " +
+        "'x06 clamps at 0 when forced negative' (clamp branch, synthetic registers)"),
+    // ---- CMS (cms-cells, x05 text shared verbatim with s49) -----------
+    "x05_count_min" -> AuditRow(
+      "d-row min read-off; row-salted bucket hash (contract-preserving constant)",
+      "SketchBoundsSpec: 'x05 never undercounts, over by <= eN/w' vs exact counts " +
+        "(the CMS guarantee holds for ANY hash family, so bucket-constant drift is " +
+        "contract-preserving; the guarantee itself is the pinned truth)"),
+    "s49_stream_count_min" -> AuditRow(
+      "same cells as x05 via BinCountProcessor MapState fold",
+      "x05's rows + StateBoundSpec 's49 state <= d*w' + GraftSpec cross-face equality " +
+        "(streamed cells == batch cells at a pinned batchId)"),
+    // ---- MinHash family (minhash-bands) --------------------------------
+    "d06_minhash_lsh" -> AuditRow(
+      "shingle hash; 16 permutations (a*x+b mod p); 4-band grouping; >=8/16 match threshold",
+      "GraftSpec: 'd52 = d06 restricted to new arrivals' (incrementality identity); " +
+        "'d54 banding curve: cost and recall both rise' (band/threshold semantics); " +
+        "constants are a hash-family choice — candidate quality is the contract, " +
+        "pinned via d08's exact-Jaccard face ('PPJoin pairs match brute-force Jaccard')"),
+    "d12_dup_clusters" -> AuditRow(
+      "d06 pair graph + min-label propagation",
+      "GraphProps: label propagation vs direct connected components; d06's rows above"),
+    "d21_cross_source_dups" -> AuditRow(
+      "d06 bands restricted cross-source",
+      "d06's rows (same fragment, pure filter on top)"),
+    "d22_canonical_neardup" -> AuditRow(
+      "canonicalization + d06 bands",
+      "d06's rows; d14 canonicalization is exact string work verified by its own oracle"),
+    "d35_dup_triangles" -> AuditRow(
+      "triangle enumeration over d06's pair graph",
+      "GraphProps triangle count vs brute force on seeded graphs; d06's rows"),
+    "d51_method_agreement" -> AuditRow(
+      "d06/d19/d08 pairwise agreement counts",
+      "each method's own independent pin (d06/d19/d08 rows); agreement is set algebra"),
+    "d52_incremental_neardup" -> AuditRow(
+      "d06 bands split corpus/arrival",
+      "GraftSpec: 'd52 = d06 restricted to pairs touching a new arrival' (exact identity)"),
+    "d54_banding_curve" -> AuditRow(
+      "(b,r) banding sweep over the d06 signature table",
+      "GraftSpec: 'd54 banding curve: cost and recall both rise as bands narrow' " +
+        "(monotonicity — the curve's semantic content — vs the d08 exact-Jaccard truth)"),
+    "v27_crossmodal_check" -> AuditRow(
+      "d06 text bands joined against embedding cosine",
+      "d06's rows + VectorExpressionsSpec cosine vs direct dot product"),
+    "s24_stream_neardup" -> AuditRow(
+      "d06 bands as streaming state; probe = 4 point lookups",
+      "GraftSpec: 's24 incremental near-dup equals the batch band join' (cross-face identity)"),
+    // ---- SimHash (simhash-pairs) ---------------------------------------
+    "d19_simhash_neardup" -> AuditRow(
+      "32-bit simhash bit-sum; segment banding; Hamming<=1 verify",
+      "GraftSpec: 'SimHash segment banding finds every Hamming<=1 pair (pigeonhole)' — " +
+        "the banding completeness theorem, independent of the hash constants"),
+    // ---- exact-Jaccard (jaccard-pairs) ---------------------------------
+    "d08_ngram_jaccard" -> AuditRow(
+      "prefix filter; positional filter; sorted-intersect verify; tau=0.5",
+      "GraftSpec: 'PPJoin pairs match brute-force Jaccard on seeded random corpora' " +
+        "(exact equality vs all-pairs truth — filters are pure pruning)"),
+    "d25_shared_substrings" -> AuditRow(
+      "shared run enumeration over the jaccard shingle table",
+      "d08's brute-force row (same shingle table); run semantics via its own oracle rows-check"),
+    // ---- BM25 (bm25) ----------------------------------------------------
+    "d28_bm25" -> AuditRow(
+      "k1/b constants; idf ln((N-df+0.5)/(df+0.5)+1); length norm",
+      "GraftSpec BM25 ordering/bounds checks; constants are the standard published " +
+        "Robertson parameters — a drift changes ranking, caught by the top-k rows-check " +
+        "against relevance-ordered fixture queries"),
+    // ---- quality score (quality-score) ----------------------------------
+    "d04_quality_score" -> AuditRow(
+      "length/punct/stopword ratio thresholds (Gopher-shape constants)",
+      "TrainingDataPipelineSpec: curate stage composition; thresholds are contract " +
+        "parameters (any value is 'correct'), drift surfaces as d27/d40 composition breaks"),
+    "d27_curate" -> AuditRow(
+      "quality ∩ canonical ∩ exact-keeper ∖ near-dup composition",
+      "TrainingDataPipelineSpec: stage-by-stage composition vs independently computed sets"),
+    "d40_curate_pack" -> AuditRow(
+      "d27 composition + d17 packing",
+      "TrainingDataPipelineSpec + GraftSpec packing invariants (no token loss, cap respected)"),
+    // ---- sign-LSH (sign-lsh-bands) --------------------------------------
+    "v08_lsh_neardup" -> AuditRow(
+      "md5-parity hyperplanes; 8x8 band codes; cos>=0.4 verify",
+      "LshRecallSpec: 'v08 ⊆ v04 exactly; high recall on near-identical pairs' and " +
+        "'band planes: >=90% twin recall, selective on random pairs' — quality contract " +
+        "vs the brute-force truth, independent of the plane constants"),
+    "v10_embed_dup_clusters" -> AuditRow(
+      "connected components over v08's pair graph",
+      "v08's rows + GraphProps connected components vs direct recomputation"),
+    "s47_stream_embed_neardup" -> AuditRow(
+      "v08 bands as streaming state; 8 point lookups; exact-cosine verify",
+      "GraftSpec: s47 vs v08 cross-face equality + StateBoundSpec bucket bound"),
+    // ---- IVF index (ivf-centroids) --------------------------------------
+    "v07_ivf_ann" -> AuditRow(
+      "label-centroid coarse quantizer; nprobe cell probe; cosine ranking",
+      "GraftSpec: 'ANN recall: n_hit equals the direct IVF∩exact overlap, monotone in k' — " +
+        "recall vs the exact brute-force truth (v04 spec-layer baseline)"),
+    "v18_ann_recall" -> AuditRow(
+      "recall@k of v07 against exact top-k",
+      "the query IS the independent harness (exact side computed in-plan); " +
+        "GraftSpec ANN-recall row pins it against the spec-layer brute force"),
+    "v22_ivfpq_ann" -> AuditRow(
+      "IVF probe + PQ codebook distance",
+      "GraftSpec PQ reconstruction-error bound + v07's recall rows"),
+    "v25_filtered_ann" -> AuditRow(
+      "metadata pre-filter + IVF probe",
+      "RetrievalPipelineSpec: en-filter contract (filter-before-rank, no leakage); v07's rows"),
+    "v26_nprobe_curve" -> AuditRow(
+      "recall/cost sweep over nprobe",
+      "monotonicity is the semantic content; endpoints pinned by v07's recall rows"),
+    "v28_diversified_topk" -> AuditRow(
+      "4-cell probe; per-cell cap; global top-10",
+      "GraftSpec: diversified top-k guarantees (>=ceil(k/cap) distinct cells); v07's rows"),
+    "s34_stream_ivf_assign" -> AuditRow(
+      "broadcast rounded-centroid argmax",
+      "GraftSpec: s34 vs v07 assignment equality (cross-face); v09 Lloyd rounding contract"),
+    // ---- retrieval pipeline (retrieval-pipeline) ------------------------
+    "v30_retrieval_pipeline" -> AuditRow(
+      "en-filter; 4-cell probe; DivCap; ServeTau suppression; top-5",
+      "RetrievalPipelineSpec: suppression stage load-bearing (fires at every SF with " +
+        "margin), en contract, stage composition vs independently computed sets"),
+    "s48_stream_serve_topk" -> AuditRow(
+      "v30's stages over a streamed per-cell TopN index",
+      "v30's rows + StateBoundSpec (state rows == occupied cells) + pinned-batchId read"),
+    "v17_search_expand" -> AuditRow(
+      "IVF probe + pseudo-relevance query expansion",
+      "v07's recall rows; expansion is set algebra over probed candidates"),
+    "v23_range_search" -> AuditRow(
+      "IVF probe + cos >= radius cut (range, not top-k)",
+      "v07's recall rows; the radius cut is a filter over exactly-scored candidates"),
+    "v24_ivf_balance" -> AuditRow(
+      "per-cell occupancy histogram of the IVF assignment",
+      "GraftSpec: s34/v07 assignment equality; occupancy is count algebra over it"),
+    // ---- d06 pair-graph consumers (minhash-bands via the pair CTE) -----
+    "d29_pagerank" -> AuditRow(
+      "power iteration over the doc link graph; damping 0.85",
+      "GraphProps: PageRank vs a direct dense-matrix power iteration on seeded graphs"),
+    "d38_lpa_communities" -> AuditRow(
+      "min-label propagation over d06's pair graph",
+      "GraphProps: LPA vs direct connected components; d06's rows for the pair graph"),
+    // ---- quality-score consumers ---------------------------------------
+    "d34_source_caps" -> AuditRow(
+      "per-source token caps over the d04 quality gate",
+      "d04's row; the cap is a deterministic keep-rule over exact token counts"),
+    // ---- cross-face oracle reuse ----------------------------------------
+    "e02_tumbling_daily" -> AuditRow(
+      "daily tumbling agg, batch face (oracle text shared with s01/s33/s40)",
+      "plain SQL over raw events; Det.dsum decimal contract pinned in DetProps"),
+    "s01_stream_tumbling" -> AuditRow(
+      "daily tumbling agg (decimal-exact sums)",
+      "oracle is plain SQL over raw events (no formula mirroring beyond Det.dsum, " +
+        "which DetProps pins vs BigDecimal); cross-face only"),
+    "s33_sink_roundtrip" -> AuditRow(
+      "s01's agg through a real file sink",
+      "s01's row; sink fidelity is the query's own contract (read-back from sink files)"),
+    "s40_restart_recovery" -> AuditRow(
+      "s01's agg across a checkpoint kill/restart",
+      "s01's row + RestartRecoverySpec (restart is load-bearing, batchIds continue)"),
+    "e44_funnel_stages" -> AuditRow(
+      "view->click->purchase ordered-window chain",
+      "FunnelProps: funnel depth vs a direct per-user event-scan recomputation on " +
+        "seeded random histories"),
+    "s36_stream_funnel" -> AuditRow(
+      "e44's reduce over streamed FunnelProcessor depths",
+      "e44's row + monotone-depth emission argument (max(stage) == final depth)"),
+    "e47_attribution" -> AuditRow(
+      "last-touch LOCF window; channel parse; lag",
+      "AttribProps: attribution vs a direct per-user scan on seeded random histories"),
+    "s37_stream_attribution" -> AuditRow(
+      "e47's reduce over streamed AttributionProcessor hits",
+      "e47's row + AttribProps"),
+  )
+}
+
+class FormulaAuditSpec extends AnyFunSuite {
+  import FormulaAudit._
+
+  private def norm(s: String) = s.replaceAll("\\s+", " ").trim
+
+  private lazy val sharing: Set[String] = {
+    val nf = fragments.values.map(norm).toSet
+    SparkEntry.oracleSql.collect {
+      case (q, sql) if nf.exists(norm(sql).contains) => q
+    }.toSet
+  }
+
+  test("fragments are nonempty and declared modules contribute") {
+    assert(fragments.size >= 13)
+    fragments.foreach { case (k, v) =>
+      assert(norm(v).nonEmpty, s"fragment $k is empty")
+    }
+  }
+
+  test("every fragment-sharing oracle has an audit registry row") {
+    val missing = sharing -- registry.keySet
+    assert(missing.isEmpty,
+      s"shared-formula queries without an audit row: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — every query whose " +
+        "oracle reuses a shared fragment needs a FormulaAudit.registry " +
+        "row naming its branches and an INDEPENDENT-truth spec " +
+        "(the r11 HLL-divisor lesson; see this file's scaladoc)")
+  }
+
+  test("no stale or free-floating registry rows") {
+    val declared = SparkEntry.oracleSql.keySet
+    val stale = registry.keySet -- declared
+    assert(stale.isEmpty, s"registry rows for undeclared queries: $stale")
+    // every fragment must actually be found in at least one oracle —
+    // otherwise the gate silently stopped guarding it (e.g. a fragment
+    // definition drifted away from the oracle text that used to embed it)
+    val nf = fragments.map { case (k, v) => k -> norm(v) }
+    val oracleNorms = SparkEntry.oracleSql.values.map(norm).toSeq
+    val unused = nf.collect {
+      case (k, v) if !oracleNorms.exists(_.contains(v)) => k
+    }
+    assert(unused.isEmpty,
+      s"shared fragments matching NO declared oracle: $unused")
+  }
+}

@@ -1298,6 +1298,32 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("e56 gini equals the mean-absolute-difference identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // independent truth for the rank-formula Gini the oracle MIRRORS
+    // ((2*sum(i*x) - (N+1)*sum(x)) / (N*sum(x))): the pairwise identity
+    // G = sum_ij |x_i - x_j| / (2*N*sum x) needs no ranking at all, so
+    // a drifted rank-side constant (the 2, the N+1) diverges here while
+    // the shared-formula hash gate stays green. Exact BigInt + the
+    // DetProps-pinned HALF_UP 4-dp rounding.
+    val cents = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+        .as("c"))
+      .select($"c").as[Long].collect().map(BigInt(_))
+    val n = BigInt(cents.length)
+    val tot = cents.sum
+    val pairSum = (for (a <- cents; b <- cents) yield (a - b).abs).sum
+    val expected = (BigDecimal(pairSum) / BigDecimal(2 * n * tot))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gini = graft.operators.Events.spendConcentration(spark, sf)
+      .select($"gini").distinct().as[Double].collect()
+    assert(gini.toSeq == Seq(expected),
+      s"gini ${gini.toSeq} != pairwise-identity $expected")
+  }
+
   test("d43 drift: totals recompute, bounds hold, argmax dominates") {
     import spark.implicits._
     val out = TextOps.sourceDrift(spark, sf).collect()
@@ -2785,6 +2811,75 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ids = spark.range(5000L).select(col("id").as("user_id"))
     val est = graft.operators.Extras.hllEstimateOf(ids)
     assert(math.abs(est - 5000.0) / 5000.0 <= 0.20, s"raw-branch est=$est")
+  }
+
+  test("hllEst stays accurate ACROSS the linear/raw branch boundary") {
+    import org.apache.spark.sql.functions.col
+    // the branch SELECTOR (eRaw <= 640 && nb < m) is itself a shared
+    // constant both engines mirror: if 640 (= 2.5m) drifted, fixtures
+    // (linear branch) and the 5000-key pin (raw branch) could both
+    // still route correctly while mid-range cardinalities take the
+    // WRONG formula — raw below ~2.5m loses linear counting's
+    // small-range correction, linear at full occupancy degenerates.
+    // This sweep crosses the boundary, so a selector drift surfaces as
+    // an accuracy blowout at some n even though both endpoint pins
+    // stay green. Deterministic: fixed md5 hashing, fixed inputs.
+    for (n <- Seq(100L, 300L, 500L, 800L, 1200L, 2000L, 3500L)) {
+      val ids = spark.range(n).select(col("id").as("user_id"))
+      val est = graft.operators.Extras.hllEstimateOf(ids)
+      assert(math.abs(est - n.toDouble) / n <= 0.20,
+        s"n=$n: est=$est drifts beyond 3 sigma — branch selector bug?")
+    }
+  }
+
+  test("x06 inclusion-exclusion clamps at 0 when forced negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // No fixture reaches the GREATEST(0, ·) branch (event types share
+    // most users, the raw subtraction stays positive), so the clamp
+    // would otherwise be formula text the 232/232 hash gate never
+    // executes. Force it with synthetic NEAR-DISJOINT registers: A
+    // fills buckets 0..127 at rho=1, B fills 128..255 — each side
+    // reads off the linear branch (est 177), their union fills all 256
+    // registers and reads off the raw branch (est 368 > 354), so the
+    // un-clamped intersection is negative by construction.
+    val a = spark.range(0L, 128L).select(lit("A").as("event_type"),
+      $"id".as("bucket"), lit(1).as("rho"))
+    val b = spark.range(128L, 256L).select(lit("B").as("event_type"),
+      $"id".as("bucket"), lit(1).as("rho"))
+    val rows = graft.operators.Extras.hllSetOpsOf(a.union(b))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    val (_, _, estA, estB, estU, estI) = rows.head
+    // the synthetic must actually reach the branch: raw subtraction < 0
+    assert(estA + estB - estU < 0,
+      s"synthetic no longer forces the negative branch: " +
+        s"$estA + $estB - $estU — rebuild the register frames")
+    assert(estI == 0L, s"clamp failed: est_intersect=$estI")
+  }
+
+  test("e55 exact percentiles equal a direct sorted recomputation") {
+    import org.apache.spark.sql.functions.{col, round => fround}
+    // independent truth for the type-1 read-off (target rank
+    // max(1, ceil(N*p/100)) as an actual data value): sort the cents
+    // multiset locally and index it, deriving the rank via float ceil
+    // (a different derivation than the query's int64 fdiv(n*p+99, 100),
+    // so a drifted +99/100 constant diverges here)
+    val cs = Tables.events(spark, sf)
+      .select(fround(col("value") * 100, 0).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length
+    val got = graft.operators.Events.exactPercentiles(spark, sf).collect()
+      .map(r => r.getAs[Long]("pct") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("rank"),
+          r.getAs[Double]("value")))).toMap
+    assert(got.keySet == Set(10L, 25L, 50L, 75L, 90L, 99L))
+    for ((p, (gn, rank, v)) <- got) {
+      val tgt = math.max(1L, math.ceil(n * p / 100.0).toLong)
+      assert(gn == n.toLong)
+      assert(rank == tgt, s"p$p: rank $rank != ceil target $tgt")
+      assert(v == cs(tgt.toInt - 1) / 100.0, s"p$p: $v")
+    }
   }
 
   test("x01 tracks the engine's HLL++ baseline (approx_count_distinct)") {
