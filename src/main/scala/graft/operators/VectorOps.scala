@@ -1572,27 +1572,68 @@ object VectorOps {
     * [[graft.streaming.StreamOps]]): the streamed-ingest index's served
     * top-5 must hash-match the batch truth, so the two queries declare
     * literally the same oracle. */
-  private[graft] def retrievalPipelineSql: String =
-    s"""WITH $ivfCentCte,
-       |$ivfProbeCtes,
-       |rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
+  /** The v30 probe-cell ranking CTE — shared by the one-pass pipeline
+    * and the s50 two-pass tombstoned variant. */
+  private def rpRcCte: String =
+    s"""rc AS (SELECT * FROM (SELECT c_label AS probe_cell,
        |    row_number() OVER (ORDER BY ${cos("cv.cvv", "qv")} DESC,
        |      c_label) AS cr
-       |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe),
-       |cand AS (SELECT a.vec_id, a.cell, a.v,
+       |  FROM cv CROSS JOIN q) z WHERE cr <= $DivProbe)""".stripMargin
+
+  /** One stage chain (cand→capped→rk→sup) of the v30 pipeline, with a
+    * suffix for multi-pass oracles and an extra candidate predicate —
+    * the ONE text [[retrievalPipelineSql]] and
+    * [[retrievalPipelineTombstonedSql]] both assemble from, so the
+    * stage formulas cannot drift between the capstone and its
+    * deletion face. */
+  private def rpStageCtes(sfx: String, candPred: String): String =
+    s"""cand$sfx AS (SELECT a.vec_id, a.cell, a.v,
        |    round(${cos("a.v", "qv")}, 6) AS cos
        |  FROM assigned a JOIN rc ON a.cell = rc.probe_cell
        |  JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'
-       |  CROSS JOIN q WHERE a.vec_id <> 0),
-       |capped AS (SELECT *, row_number() OVER (PARTITION BY cell
-       |    ORDER BY cos DESC, vec_id) AS cell_rank FROM cand),
-       |rk AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id)
-       |    AS r FROM capped WHERE cell_rank <= $DivCap),
-       |sup AS (SELECT DISTINCT b.vec_id FROM rk a JOIN rk b
-       |  ON a.r < b.r AND ${cos("a.v", "b.v")} >= $ServeTau)
+       |  CROSS JOIN q WHERE a.vec_id <> 0$candPred),
+       |capped$sfx AS (SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY cos DESC, vec_id) AS cell_rank FROM cand$sfx),
+       |rk$sfx AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id)
+       |    AS r FROM capped$sfx WHERE cell_rank <= $DivCap),
+       |sup$sfx AS (SELECT DISTINCT b.vec_id FROM rk$sfx a JOIN rk$sfx b
+       |  ON a.r < b.r AND ${cos("a.v", "b.v")} >= $ServeTau)""".stripMargin
+
+  private[graft] def retrievalPipelineSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfProbeCtes,
+       |$rpRcCte,
+       |${rpStageCtes("", "")}
        |SELECT vec_id, cell, cos FROM rk
        |WHERE vec_id NOT IN (SELECT vec_id FROM sup)
        |ORDER BY r LIMIT 5""".stripMargin
+
+  /** s50's oracle: v30's pipeline run TWICE — first over the full
+    * corpus to derive the tombstone set (the top-[[TombK]] SERVED
+    * results — the "these documents must be erased" scenario at its
+    * most adversarial: the deleted docs are exactly what the index
+    * would have answered), then over corpus ∖ tombstones. The streamed
+    * index (ingest → tombstones → compaction replay of the touched
+    * cells) must serve the second pass's batch truth — a resurrection
+    * (tombstoned id still served), a lost buffer entry (survivor
+    * missing after compaction), or a stale-batchId read all flip the
+    * hash. */
+  private[graft] def retrievalPipelineTombstonedSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfProbeCtes,
+       |$rpRcCte,
+       |${rpStageCtes("", "")},
+       |tomb AS (SELECT vec_id FROM rk
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM sup)
+       |  ORDER BY r LIMIT $TombK),
+       |${rpStageCtes("2",
+          " AND a.vec_id NOT IN (SELECT vec_id FROM tomb)")}
+       |SELECT vec_id, cell, cos FROM rk2
+       |WHERE vec_id NOT IN (SELECT vec_id FROM sup2)
+       |ORDER BY r LIMIT 5""".stripMargin
+
+  /** How many of the served top results s50 tombstones. */
+  private[graft] val TombK = 2
 
   val oracles: Map[String, String] = Map(
     // integer power iteration: every CTE stays HUGEINT-exact mid-chain

@@ -193,62 +193,46 @@ trait StreamIngestOps extends StreamRuntime {
     * state is cells × DivCap rows — config-bounded, not corpus-bounded;
     * the serve path touches DivProbe buffers and a ≤ 12-row tail. The
     * corpus is never rescanned after ingest. */
-  def streamServeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The s48/s50 ingest-side projection over a raw vector stream
+    * (`vec_id`, `v`, plus any extra columns, which ride through): en
+    * PRE-filter (stream-static broadcast join, v25's discipline),
+    * broadcast rounded-centroid argmax cell assignment (s34's shape),
+    * and query-cosine scoring — the bounded model artifacts (k×64
+    * rounded centroids, the 64-double query vector) ride the closure,
+    * the stream never shuffles here. ONE definition so the serving
+    * capstone and its deletion face cannot drift. */
+  private def serveIngestProjection(spark: SparkSession, sfDir: String,
+      raw: DataFrame): DataFrame = {
     import spark.implicits._
-    val DivCap = graft.operators.VectorOps.DivCap
+    val e = graft.operators.VectorOps.embDouble(spark, sfDir)
+    val cents = graft.operators.VectorOps.labelCentroidsRounded(spark, sfDir)
+    val qv = e.filter($"vec_id" === 0)
+      .select($"v").head().getSeq[Double](0).toArray
+    val allowed = graft.Tables.documents(spark, sfDir)
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val scored = cents.map { case (cl, c) =>
+      struct(call_function("graft_cosine", $"v", typedlit(c)).as("c"),
+        lit(-cl).as("nl"))
+    }
+    raw.filter($"vec_id" =!= 0)
+      .join(broadcast(allowed), "vec_id") // stream-static PRE-filter
+      .withColumn("m", array_max(array(scored: _*)))
+      .withColumn("cell", (-$"m.nl").cast("string"))
+      .withColumn("value",
+        round(call_function("graft_cosine", $"v", typedlit(qv)), 6))
+  }
+
+  /** The s48/s50 SERVE phase: per-cell buffers out of a `topn`-shaped
+    * statestore checkpoint at an explicit committed batchId (the
+    * s42/s43 interactive-query discipline), probe-cell selection, then
+    * v30's suppression + top-5 over the ≤ DivProbe·DivCap
+    * config-bounded tail. */
+  private def serveTopKFromStore(spark: SparkSession, sfDir: String,
+      ckStr: String): DataFrame = {
+    import spark.implicits._
     val DivProbe = graft.operators.VectorOps.DivProbe
     val ServeTau = graft.operators.VectorOps.ServeTau
     val e = graft.operators.VectorOps.embDouble(spark, sfDir)
-    val ckStr = cachedScratchDir(serveDirs, sfDir, "embeddings.parquet") {
-      val in = newTempDir("graft_s48_in")
-      val ck = newTempDir("graft_ckpt_s48")
-      // bounded model artifacts broadcast into the stream plan: the
-      // k×64 rounded centroids (s34) and the 64-double query vector
-      val cents = graft.operators.VectorOps.labelCentroidsRounded(spark, sfDir)
-      val qv = e.filter($"vec_id" === 0)
-        .select($"v").head().getSeq[Double](0).toArray
-      val allowed = graft.Tables.documents(spark, sfDir)
-        .filter($"lang" === "en").select($"doc_id".as("vec_id"))
-      val src = e.select($"vec_id", $"v")
-      def half(i: Int) = src.filter(pmod($"vec_id", lit(2L)) === i)
-      (0 to 1).foreach(i => writeChangelogFile(half(i), in, i))
-      val scored = cents.map { case (cl, c) =>
-        struct(call_function("graft_cosine", $"v", typedlit(c)).as("c"),
-          lit(-cl).as("nl"))
-      }
-      withShufflePartitions(spark, 8) {
-        withRocksDb(spark) {
-          spark.readStream
-            .schema(org.apache.spark.sql.types.StructType.fromDDL(
-              "vec_id BIGINT, v ARRAY<DOUBLE>"))
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "changelog_*.parquet")
-            .parquet(in.toString)
-            .filter($"vec_id" =!= 0)
-            .join(broadcast(allowed), "vec_id") // stream-static PRE-filter
-            .withColumn("m", array_max(array(scored: _*)))
-            .select((-$"m.nl").cast("string").as("event_type"),
-              $"vec_id".as("event_id"),
-              round(call_function("graft_cosine", $"v", typedlit(qv)), 6)
-                .as("value"))
-            .as[TopNEvent]
-            .groupByKey(_.event_type)
-            .transformWithState(new TopNProcessor(DivCap),
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              OutputMode.Update(),
-              org.apache.spark.sql.Encoders.product[TopNRow])
-            .toDF()
-            .writeStream.format("noop").outputMode("update")
-            .option("checkpointLocation", ck.toString)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
-        }
-      }
-      ck.toString
-    }
-    // the serving read: per-cell buffers out of the store at an
-    // explicit committed batchId, probe-cell selection, then v30's
-    // suppression + top-5 over the config-bounded tail
     val buffers = withRocksDb(spark) {
       spark.read.format("statestore")
         .option("path", ckStr)
@@ -278,6 +262,147 @@ trait StreamIngestOps extends StreamRuntime {
       .orderBy($"r")
       .limit(5)
       .select($"vec_id", $"cell", $"cos")
+  }
+
+  def streamServeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DivCap = graft.operators.VectorOps.DivCap
+    val e = graft.operators.VectorOps.embDouble(spark, sfDir)
+    val ckStr = cachedScratchDir(serveDirs, sfDir, "embeddings.parquet") {
+      val in = newTempDir("graft_s48_in")
+      val ck = newTempDir("graft_ckpt_s48")
+      val src = e.select($"vec_id", $"v")
+      def half(i: Int) = src.filter(pmod($"vec_id", lit(2L)) === i)
+      (0 to 1).foreach(i => writeChangelogFile(half(i), in, i))
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          serveIngestProjection(spark, sfDir, spark.readStream
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(
+                "vec_id BIGINT, v ARRAY<DOUBLE>"))
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "changelog_*.parquet")
+              .parquet(in.toString))
+            .select($"cell".as("event_type"), $"vec_id".as("event_id"),
+              $"value")
+            .as[TopNEvent]
+            .groupByKey(_.event_type)
+            .transformWithState(new TopNProcessor(DivCap),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[TopNRow])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    serveTopKFromStore(spark, sfDir, ckStr)
+  }
+
+  private val tombDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The s50 serving checkpoint for `sfDir`, if built this session —
+    * exposed so StateBoundSpec can read the index + tombstone stores
+    * out-of-band. */
+  private[graft] def tombCheckpoint(sfDir: String): Option[String] =
+    tombDirs.get(sfDir).map(_._2)
+
+  /** s50: INDEX DELETION / TOMBSTONE MAINTENANCE — the one production
+    * seam s48's insert-only serving index leaves open (r11 verdict
+    * item 2): deleted docs, GDPR erasure, recrawl supersedence. The
+    * sequence a real serving index runs, as three mtime-ordered
+    * micro-batches over [[TombstoneIndexProcessor]] state:
+    *
+    *   batch 0 — full-corpus ingest: s48's scored events (shared
+    *     [[serveIngestProjection]]) fold into per-cell top-DivCap
+    *     buffers;
+    *   batch 1 — TOMBSTONES for the top-[[graft.operators.VectorOps
+    *     .TombK]] SERVED results of the full pipeline (erasing exactly
+    *     what the index would answer — the most adversarial choice):
+    *     each joins the per-cell tombstone MapState and is removed
+    *     from the serving buffer immediately (e32's delete-marker
+    *     semantics — erasure must not wait for compaction);
+    *   batch 2 — COMPACTION REPLAY of the touched cells: bounded
+    *     state cannot re-fill a buffer from thin air (the DivCap+1-th
+    *     candidate was never retained — by design), so the affected
+    *     cells' live postings replay from the durable corpus store,
+    *     exactly a Lucene segment merge / LSM compaction. The replay
+    *     DELIBERATELY includes the tombstoned ids themselves: a
+    *     re-delivered erased doc must not resurrect (the tombstone
+    *     filter is load-bearing, not decorative).
+    *
+    * The serve phase is s48's verbatim ([[serveTopKFromStore]]), and
+    * the oracle is v30's pipeline run over corpus ∖ tombstones
+    * ([[graft.operators.VectorOps.retrievalPipelineTombstonedSql]],
+    * which derives the same tombstone set relationally) — the s48
+    * discipline: the streamed index must serve the batch truth of the
+    * REDUCED corpus. A resurrection, a lost survivor, or a buffer that
+    * failed to re-fill all flip the hash; the served top-5 provably
+    * changes because the erased docs WERE the top answers.
+    *
+    * Scale design: per-batch work is one pass over arriving rows;
+    * state stays CONFIG-bounded through deletes — cells × DivCap
+    * buffer entries + one map entry per tombstoned id (the durable
+    * erasure list; StateBoundSpec pins both). Compaction cost is the
+    * touched cells' postings, never the corpus. */
+  def streamServeTombstones(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DivCap = graft.operators.VectorOps.DivCap
+    val TombK = graft.operators.VectorOps.TombK
+    val ckStr = cachedScratchDir(tombDirs, sfDir, "embeddings.parquet") {
+      val in = newTempDir("graft_s50_in")
+      val ck = newTempDir("graft_ckpt_s50")
+      // the erasure list: the full pipeline's top-TombK served ids
+      // (bounded collect — 5 rows), with their assigned cells
+      val served = graft.operators.VectorOps.retrievalPipeline(spark, sfDir)
+        .collect()
+      require(served.length >= TombK,
+        s"s50: full pipeline served only ${served.length} rows — " +
+          s"cannot tombstone $TombK")
+      val tombIds = served.take(TombK).map(_.getLong(0)).toSeq
+      val tombCells = served.take(TombK)
+        .map(_.getAs[Number]("cell").longValue).toSeq.distinct
+      val (assigned, _, _) = graft.operators.VectorOps.ivfIndex(spark, sfDir)
+      val src = graft.operators.VectorOps.embDouble(spark, sfDir)
+        .select($"vec_id", $"v")
+      writeChangelogFile(src.withColumn("side", lit("I")), in, 0)
+      writeChangelogFile(
+        src.filter($"vec_id".isin(tombIds: _*))
+          .withColumn("side", lit("D")), in, 1)
+      // compaction replay: every corpus vector assigned to a touched
+      // cell — INCLUDING the erased ones (resurrection test)
+      writeChangelogFile(
+        assigned.filter($"cell".isin(tombCells: _*))
+          .select($"vec_id", $"v").withColumn("side", lit("I")), in, 2)
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          serveIngestProjection(spark, sfDir, spark.readStream
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(
+                "vec_id BIGINT, v ARRAY<DOUBLE>, side STRING"))
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "changelog_*.parquet")
+              .parquet(in.toString))
+            .select($"cell", $"side", $"vec_id", $"value")
+            .as[TombEvent]
+            .groupByKey(_.cell)
+            .transformWithState(new TombstoneIndexProcessor(DivCap),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[TopNRow])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    serveTopKFromStore(spark, sfDir, ckStr)
   }
 
   private val cmsDirs =

@@ -43,6 +43,7 @@ object StreamOps
     "s47_stream_embed_neardup" -> streamEmbedNearDup _,
     "s48_stream_serve_topk" -> streamServeTopK _,
     "s49_stream_count_min" -> streamCountMin _,
+    "s50_stream_serve_tombstones" -> streamServeTombstones _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -276,6 +277,12 @@ object StreamOps
     // batch truth (see streamServeTopK's scaladoc)
     "s48_stream_serve_topk" ->
       graft.operators.VectorOps.retrievalPipelineSql,
+    // v30's pipeline over corpus ∖ tombstones, the tombstone set
+    // derived relationally as the full pipeline's top-TombK served ids
+    // — the streamed index (ingest → delete → compaction replay) must
+    // serve the batch truth of the REDUCED corpus
+    "s50_stream_serve_tombstones" ->
+      graft.operators.VectorOps.retrievalPipelineTombstonedSql,
     // x05's oracle VERBATIM: the streamed CMS must serve the batch
     // truth (see streamCountMin's scaladoc)
     "s49_stream_count_min" ->

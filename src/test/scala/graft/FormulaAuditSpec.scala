@@ -182,6 +182,10 @@ object FormulaAudit {
     "s48_stream_serve_topk" -> AuditRow(
       "v30's stages over a streamed per-cell TopN index",
       "v30's rows + StateBoundSpec (state rows == occupied cells) + pinned-batchId read"),
+    "s50_stream_serve_tombstones" -> AuditRow(
+      "v30's stages twice (tombstone derivation + reduced corpus); delete/resurrect/compaction branches",
+      "v30's rows + GraftSpec s50 spec (tombstoned ids never served, buffers re-fill " +
+        "to the reduced-corpus truth, resurrection blocked) + StateBoundSpec bound through deletes"),
     "v17_search_expand" -> AuditRow(
       "IVF probe + pseudo-relevance query expansion",
       "v07's recall rows; expansion is set algebra over probed candidates"),

@@ -3893,6 +3893,47 @@ class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got <= graft.operators.Extras.CmsD * graft.operators.Extras.CmsW)
   }
 
+  test("s50 index state stays config-bounded THROUGH deletes; erased ids never served") {
+    import spark.implicits._
+    val served = StreamOps.streamServeTombstones(spark, sf).collect()
+    val full = graft.operators.VectorOps.retrievalPipeline(spark, sf)
+      .collect()
+    val tombIds = full.take(graft.operators.VectorOps.TombK)
+      .map(_.getLong(0)).toSet
+    // the erasure is load-bearing: the tombstoned ids WERE the top
+    // served answers, so the reduced serve must differ and must never
+    // contain them (resurrection via the compaction replay is the
+    // failure this pins — batch 2 re-delivers the erased ids)
+    val servedIds = served.map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty && (servedIds & tombIds).isEmpty,
+      s"erased ids served: ${servedIds & tombIds}")
+    assert(servedIds != full.map(_.getLong(0)).toSet,
+      "deletion left the served top-5 unchanged — not load-bearing")
+    val ck = StreamOps.tombCheckpoint(sf)
+      .getOrElse(fail("no s50 checkpoint recorded"))
+    val batchId = StreamOps.lastCommittedBatchId(ck).toString
+    def stateVar(name: String) = spark.read.format("statestore")
+      .option("path", ck).option("stateVarName", name)
+      .option("batchId", batchId).load()
+    // buffers: one ValueState row per occupied cell, each ≤ DivCap
+    // entries, even after delete + compaction replay
+    val bufs = stateVar("topn")
+      .select($"key.value".as("cell"),
+        org.apache.spark.sql.functions.size($"value.ids").as("n"))
+      .collect()
+    val cents = graft.operators.VectorOps
+      .labelCentroidsRounded(spark, sf).length.toLong
+    assert(bufs.length.toLong <= cents,
+      s"s50 ${bufs.length} buffer rows > $cents cells")
+    assert(bufs.forall(_.getAs[Int]("n") <=
+      graft.operators.VectorOps.DivCap))
+    // the tombstone map: exactly the TombK erased ids, nothing else
+    val tombState = stateVar("tomb")
+      .select($"user_map_key.value".as("id")).as[Long].collect().toSet
+    assert(tombState == tombIds,
+      s"tombstone state $tombState != erased set $tombIds")
+  }
+
   test("s25 state rows == non-empty quote buckets + one pointer per user") {
     import spark.implicits._
     StreamOps.streamAsOfJoin(spark, sf).collect()
