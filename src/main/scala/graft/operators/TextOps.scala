@@ -1864,7 +1864,7 @@ object TextOps {
     * stage partitioned however that stage needs. */
   def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val C = 32; val S = 16
+    val C = ChunkLen; val S = ChunkStride
     docsWithToks(spark, sfDir)
       .withColumn("n", size($"toks"))
       .select($"doc_id", $"toks",
@@ -1876,6 +1876,91 @@ object TextOps {
         md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
       .orderBy($"doc_id", $"chunk_idx")
   }
+
+  /** d56 banding constants: each FULL 32-token chunk splits into
+    * [[ChunkSubN]] positional [[ChunkSub]]-token sub-chunks; a chunk
+    * pair is a near-dup if ≥ [[ChunkMinPos]] same-position sub-hashes
+    * match (tolerates edits confined to the other sub-chunks — the
+    * SimHash segment-banding pigeonhole at chunk granularity); a
+    * (pos, sub-hash) bucket holding more than [[ChunkDfCap]] chunks is
+    * excluded (the d46 df-cap discipline: skew bound + boilerplate
+    * attractors are exactly the buckets that would chain unrelated
+    * text). */
+  private[graft] val ChunkSub = 8
+  private[graft] val ChunkSubN = 4
+  private[graft] val ChunkMinPos = 2
+  private[graft] val ChunkDfCap = 50L
+
+  /** d56: CHUNK-LEVEL near-dup with DOC-LEVEL rollup — the
+    * fine-grained dedup shape fine-data pipelines actually run (the
+    * C4/RefinedWeb paragraph-dedup): whole-doc near-dup (d06) and
+    * containment (d46) bracket it but neither says HOW MUCH of each
+    * document is duplicated text. Over d45's chunk grid (32-token
+    * windows, 16-token stride — the shared `chunkCte` text), each FULL
+    * chunk's 4 positional 8-token sub-hashes are banded; chunks of
+    * DIFFERENT documents matching on ≥ 2 positions are near-dup
+    * chunk pairs (cross-doc only — intra-doc repetition is d18's
+    * statistic, and the 50%-overlapping grid would trivially self-match
+    * neighbors); the per-doc rollup reports the fraction of full
+    * chunks with any cross-doc near-match and the keep/trim decision
+    * (trim when more than half the doc is duplicated text — the
+    * integer comparison n_dup·2 > n_chunks, no float threshold).
+    *
+    * Scale design: the candidate generator is banded AND df-capped —
+    * every (pos, sub-hash) bucket holds ≤ [[ChunkDfCap]] chunks, so
+    * candidate volume is Σ min(df, cap)² per bucket, NEVER chunk-pairs²
+    * (the 100× probe pins the slope); the rollup joins flagged chunks
+    * back on the (doc, chunk) key the grid already carries. Sub-hashes
+    * travel as md5 strings of 8-token windows — one codegen'd pass,
+    * no self-join before the bucket cap. */
+  def chunkDupRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docsWithToks(spark, sfDir)
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(0, cast((n - 1) / $ChunkStride AS int))"))
+          .as("i"))
+      .withColumn("chunk",
+        expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
+      .filter(size($"chunk") === ChunkLen)
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"), $"chunk")
+    val subs = chunks.select($"doc_id", $"chunk_idx",
+      posexplode(expr(
+        s"""transform(sequence(0, ${ChunkSubN - 1}),
+           j -> md5(concat_ws(' ', slice(chunk, j * $ChunkSub + 1, $ChunkSub))))"""))
+        .as(Seq("pos", "sh")))
+    val rare = subs.join(
+      subs.groupBy($"pos", $"sh").agg(count(lit(1)).as("dfc"))
+        .filter($"dfc" <= ChunkDfCap),
+      Seq("pos", "sh"))
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.pos") === col("b.pos") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
+        col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
+      .agg(count(lit(1)).as("npos"))
+      .filter($"npos" >= ChunkMinPos)
+    val flagged = pairs.select($"d1".as("doc_id"), $"c1".as("chunk_idx"))
+      .union(pairs.select($"d2".as("doc_id"), $"c2".as("chunk_idx")))
+      .distinct()
+      .withColumn("dup", lit(1L))
+    chunks.select($"doc_id", $"chunk_idx")
+      .join(flagged, Seq("doc_id", "chunk_idx"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"dup", lit(0L))).as("n_dup"))
+      .select($"doc_id", $"n_chunks", $"n_dup",
+        r4($"n_dup", $"n_chunks").as("dup_frac"),
+        when($"n_dup" * 2L > $"n_chunks", "trim").otherwise("keep")
+          .as("action"))
+      .orderBy($"doc_id")
+  }
+
+  /** The d45/d56 chunk-grid geometry — ONE pair of constants shared by
+    * the chunker, the rollup, and both oracle texts. */
+  private[graft] val ChunkLen = 32
+  private[graft] val ChunkStride = 16
 
   /** Containment (overlap-coefficient) threshold and the rare-shingle
     * document-frequency cap that defines d46's candidate contract. */
@@ -2347,6 +2432,7 @@ object TextOps {
     "d47_classifier_score" -> classifierScore _,
     "d48_tokenizer_fertility" -> tokenizerFertility _,
     "d45_chunk_overlap" -> chunkOverlap _,
+    "d56_chunk_dup_rollup" -> chunkDupRollup _,
     "d44_bigram_coverage" -> bigramCoverage _,
     "d43_source_drift"  -> sourceDrift _,
     "d01_exact_dedup"   -> exactDedup _,
@@ -2408,7 +2494,17 @@ object TextOps {
     * Spark formulas and its DuckDB oracles (or across query faces) —
     * see [[graft.operators.Extras.sharedOracleFragments]] for the
     * FormulaAuditSpec contract these feed. */
+  /** The d45/d56 chunk-grid prefix (tokenize + window index) as a
+    * DuckDB CTE pair — shared by both oracle texts so the grid
+    * geometry cannot drift between the chunker and the rollup. */
+  private[graft] def chunkGridCte: String =
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+       |    len(str_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, unnest(range(0, (n - 1) // $ChunkStride + 1)) AS i,
+       |    toks, n FROM t)""".stripMargin
+
   private[graft] def sharedOracleFragments: Map[String, String] = Map(
+    "chunk-grid" -> chunkGridCte,
     "minhash-bands" -> mhBandsCte,
     "simhash-pairs" -> simhashPairsCte,
     "jaccard-pairs" -> jaccardPairsCte,
@@ -2769,15 +2865,46 @@ object TextOps {
     // end, mirroring Spark's slice(toks, start+1, 32); str_split('')
     // = [''] on both sides → empty docs yield one ''-hash chunk
     "d45_chunk_overlap" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
-        |    len(str_split(text, ' ')) AS n FROM documents),
-        |c AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS i,
-        |    toks, n FROM t)
+      s"""WITH $chunkGridCte
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-        |  CAST(i * 16 AS BIGINT) AS start_tok,
-        |  CAST(len(toks[i*16 + 1 : i*16 + 32]) AS BIGINT) AS n_tok,
-        |  md5(array_to_string(toks[i*16 + 1 : i*16 + 32], ' ')) AS chunk_hash
+        |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+        |  CAST(len(toks[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkLen]) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkLen], ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the chunk grid is the SHARED chunkGridCte text (zero drift with
+    // d45); candidates band on positional sub-hashes under the df cap,
+    // the rollup mirrors the integer trim rule (n_dup*2 > n_chunks)
+    "d56_chunk_dup_rollup" ->
+      s"""WITH $chunkGridCte,
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    toks[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkLen] AS chunk
+        |  FROM c
+        |  WHERE len(toks[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkLen]) = $ChunkLen),
+        |subs AS (SELECT doc_id, chunk_idx, jj.j AS pos,
+        |    md5(array_to_string(chunk[jj.j*$ChunkSub + 1 : jj.j*$ChunkSub + $ChunkSub], ' ')) AS sh
+        |  FROM ch CROSS JOIN (SELECT unnest(range($ChunkSubN)) AS j) jj),
+        |rare AS (SELECT * FROM subs
+        |  QUALIFY count(*) OVER (PARTITION BY pos, sh) <= $ChunkDfCap),
+        |cand AS (SELECT a.doc_id AS d1, a.chunk_idx AS c1,
+        |    b.doc_id AS d2, b.chunk_idx AS c2, count(*) AS npos
+        |  FROM rare a JOIN rare b ON a.pos = b.pos AND a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |fl AS (SELECT DISTINCT doc_id, chunk_idx FROM (
+        |    SELECT d1 AS doc_id, c1 AS chunk_idx FROM cand
+        |      WHERE npos >= $ChunkMinPos
+        |    UNION ALL
+        |    SELECT d2, c2 FROM cand WHERE npos >= $ChunkMinPos) u)
+        |SELECT ch.doc_id AS doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  ${D.r4("CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS dup_frac,
+        |  CASE WHEN sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      * 2 > count(*)
+        |    THEN 'trim' ELSE 'keep' END AS action
+        |FROM ch LEFT JOIN fl
+        |  ON fl.doc_id = ch.doc_id AND fl.chunk_idx = ch.chunk_idx
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     // DuckDB lists are 1-based (t[i-1]||' '||t[i] over i ∈ 2..len ≡
     // Spark's 0-based toks[i-1]+' '+toks[i] over i ∈ 1..size-1);
     // str_split('',' ') = [''] (len 1) on both sides → the len≥2

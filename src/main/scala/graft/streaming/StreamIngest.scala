@@ -360,9 +360,11 @@ trait StreamIngestOps extends StreamRuntime {
       // (bounded collect — 5 rows), with their assigned cells
       val served = graft.operators.VectorOps.retrievalPipeline(spark, sfDir)
         .collect()
-      require(served.length >= TombK,
-        s"s50: full pipeline served only ${served.length} rows — " +
-          s"cannot tombstone $TombK")
+      // erase UP TO TombK of the served answers (the oracle's
+      // LIMIT TombK mirrors the take): a heavily-duplicated corpus can
+      // serve fewer than TombK rows after suppression — erase what was
+      // served, never demand more than exists
+      require(served.nonEmpty, "s50: full pipeline served nothing")
       val tombIds = served.take(TombK).map(_.getLong(0)).toSeq
       val tombCells = served.take(TombK)
         .map(_.getAs[Number]("cell").longValue).toSeq.distinct

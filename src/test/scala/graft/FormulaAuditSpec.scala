@@ -108,6 +108,17 @@ object FormulaAudit {
     "s24_stream_neardup" -> AuditRow(
       "d06 bands as streaming state; probe = 4 point lookups",
       "GraftSpec: 's24 incremental near-dup equals the batch band join' (cross-face identity)"),
+    // ---- chunk grid (chunk-grid: d45/d56) -------------------------------
+    "d45_chunk_overlap" -> AuditRow(
+      "32/16 window grid; tail clamp (shorter last chunks)",
+      "GraftSpec: 'd45/d56 equal a plain-Scala brute-force recomputation' — the grid, " +
+        "hashes and tail behavior recomputed driver-side with java MessageDigest " +
+        "(an independent md5 path) on the collected docs"),
+    "d56_chunk_dup_rollup" -> AuditRow(
+      "positional sub-hash banding (4x8); df cap; >=2-position match; trim rule n_dup*2 > n_chunks",
+      "GraftSpec: 'd45/d56 equal a plain-Scala brute-force recomputation' — the full " +
+        "rollup (banding, cap, pairing, rollup) recomputed in plain Scala collections " +
+        "with driver-side md5, exact equality"),
     // ---- SimHash (simhash-pairs) ---------------------------------------
     "d19_simhash_neardup" -> AuditRow(
       "32-bit simhash bit-sum; segment banding; Hamming<=1 verify",

@@ -1298,6 +1298,68 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("d45/d56 equal a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // independent truth for the chunk grid AND the banded chunk-dedup
+    // rollup: everything recomputed in plain Scala collections with
+    // java MessageDigest md5 (an independent hash path — a drifted
+    // grid/banding/cap/threshold constant in the mirrored SQL cannot
+    // hide here)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val C = 32; val S = 16
+    // d45: grid + tail clamp + chunk hash
+    val gridTruth = docs.flatMap { case (id, toks) =>
+      (0 to (toks.size - 1) / S).map { i =>
+        val chunk = toks.slice(i * S, i * S + C)
+        (id, i.toLong, (i * S).toLong, chunk.size.toLong,
+          md5hex(chunk.mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val gridGot = TextOps.chunkOverlap(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(gridGot == gridTruth)
+    // d56: positional sub-hash banding under the df cap, >=2-position
+    // chunk pairs cross-doc, per-doc rollup + trim rule
+    val full = docs.flatMap { case (id, toks) =>
+      (0 to (toks.size - 1) / S)
+        .map(i => (id, i.toLong, toks.slice(i * S, i * S + C)))
+        .filter(_._3.size == C)
+    }
+    val subs = full.flatMap { case (id, ci, chunk) =>
+      (0 until 4).map(j =>
+        (j, md5hex(chunk.slice(j * 8, j * 8 + 8).mkString(" "))) ->
+          ((id, ci)))
+    }
+    val buckets = subs.groupBy(_._1).filter(_._2.length <= 50)
+    val posMatches = buckets.values.toSeq.flatMap { b =>
+      val cs = b.map(_._2).toSeq
+      for (x <- cs; y <- cs; if x._1 < y._1) yield (x, y)
+    }.groupBy(identity).view.mapValues(_.size)
+    val flagged = posMatches.collect {
+      case ((x, y), n) if n >= 2 => Seq(x, y)
+    }.flatten.toSet
+    val rollupTruth = full.groupBy(_._1).toSeq.map { case (id, cs) =>
+      val nd = cs.count(c => flagged((c._1, c._2))).toLong
+      val nc = cs.length.toLong
+      val frac = BigDecimal(nd * 10000L)./(BigDecimal(nc))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 10000.0
+      (id, nc, nd, frac, if (nd * 2 > nc) "trim" else "keep")
+    }.sortBy(_._1)
+    val rollupGot = TextOps.chunkDupRollup(spark, sf)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(rollupGot == rollupTruth)
+    // the fixture must exercise the interesting branches: some
+    // duplication found, and both keep AND trim decisions present
+    assert(rollupGot.exists(_._3 > 0), "no chunk near-dups found")
+    assert(rollupGot.map(_._5).toSet == Set("keep", "trim"),
+      s"only ${rollupGot.map(_._5).toSet} decisions — threshold untested")
+  }
+
   test("e56 gini equals the mean-absolute-difference identity") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
