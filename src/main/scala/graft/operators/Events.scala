@@ -683,12 +683,20 @@ object Events {
     * running min, and the per-user argmax row_number — three window
     * passes, one sort, no join; per-key cost is linear in that key's
     * history, the right cost model for per-entity monitoring at 100 TB. */
-  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    cusumChangepointOf(Tables.events(spark, sfDir))
+
+  /** The e41 plan over an explicit events-shaped frame (user_id, ts,
+    * event_id, value) — split out (the spendConcentrationOf seam
+    * pattern) so GuardProbe can drive the [[Det.guarded]] envelope to
+    * its measured per-key firing edge with synthetic histories the
+    * fixtures cannot reach. */
+  private[graft] def cusumChangepointOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id")
     val ord = byUser.orderBy($"ts", $"event_id")
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
+    ev
       .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
       .withColumn("n", count(lit(1)).over(byUser))
       .withColumn("sx", sum($"cents").over(byUser))
@@ -763,13 +771,18 @@ object Events {
     * then user for the totals — and the peak-hour argmax and final
     * aggregation reuse the second; no join forms (bucket stats ride
     * the rows as window aggregates). */
-  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalityOf(Tables.events(spark, sfDir))
+
+  /** The e43 plan over an explicit events-shaped frame — the GuardProbe
+    * seam (see [[cusumChangepointOf]]). */
+  private[graft] def seasonalityOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     def r0(num: Column, den: Column): Column =
       Det.fdiv(num * 2 + den, den * 2)
     val wb = Window.partitionBy($"user_id", $"hod")
     val wu = Window.partitionBy($"user_id")
-    Tables.events(spark, sfDir)
+    ev
       .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
       .withColumn("hod", hour($"ts").cast("long"))
       .withColumn("cnt_b", count(lit(1)).over(wb))
@@ -1307,8 +1320,16 @@ object Events {
     * engines. */
   def valueMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val j = Tables.events(spark, sfDir).select($"event_type",
-      expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    valueMadOutliersGuarded(Tables.events(spark, sfDir)
+      .select($"event_type",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c")))
+  }
+
+  /** The e53 PLAN-TIME guard + plan over an explicit `(event_type, c)`
+    * frame — the GuardProbe seam for the stats-ceiling branch (the
+    * runtime group-rows branch probes through [[valueMadOutliersOf]]
+    * directly). */
+  private[graft] def valueMadOutliersGuarded(j: DataFrame): DataFrame = {
     val est = j.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est > E53MaxInputBytes)
       throw new IllegalStateException(

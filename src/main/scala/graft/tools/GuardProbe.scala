@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only MEASURED guard-envelope probe (r11 verdict item 7): drives
+  * each guarded query to its documented envelope edge with synthetic
+  * fixture-shaped inputs and records fire/no-fire, so the envelope
+  * table in SURVEY §6 is MEASURED, not derived from the scaladoc
+  * arithmetic. Complements ScaleProbe100 (which records guards firing
+  * at the 100× fixture — e53's plan guard) and EnvelopeGuardSpec /
+  * DetProps (which pin the raise semantics on tiny synthetic
+  * breaches): this tool walks a LADDER of axis values bracketing each
+  * guard's documented edge, with real query execution on each rung.
+  *
+  * Guards probed (the complete Det.guarded / plan-guard family):
+  *   e41 — per-key bound 2·n²·max|cents| vs Det.r4NumBound; axis =
+  *         events per key (scaladoc: ~10⁵ at cent magnitude ~10⁴)
+  *   e43 — per-key bound 4·n·max|cents|² ; axis = events per key
+  *         (scaladoc: ~10⁶)
+  *   e56 — global bound 3·N²·max|cents| ; axis = users
+  *         (scaladoc: ~3·10⁵ at $100 lifetime spend — the synthetic
+  *         here holds ~$105, so the edge lands near 1.2·10⁵)
+  *   e53-plan    — Catalyst input-size estimate vs the 64 MiB ceiling;
+  *                 axis = input rows
+  *   e53-runtime — actual per-group rows vs the 1M ceiling; axis =
+  *                 rows in one group (probed through the Of seam,
+  *                 bypassing the plan guard, as a stats underestimate
+  *                 would)
+  *
+  * DistRank's pid-count guard is an INVARIANT guard (fires on plan
+  * self-inconsistency, not on a data-size axis) — synthetic breach in
+  * DistRankSpec; it has no scale edge to measure and is listed in the
+  * SURVEY table as such.
+  *
+  * Usage: runMain graft.tools.GuardProbe
+  */
+object GuardProbe {
+
+  private def outcome(body: => DataFrame): String =
+    try { body.collect(); "pass" }
+    catch {
+      case t: Throwable =>
+        val m = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+        m.find(s => s.contains("envelope") || s.contains("e53"))
+          .map(s => s"RAISED[${s.takeWhile(_ != '—').trim.take(80)}]")
+          .getOrElse(throw t)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+
+    // synthetic per-entity history: one hot key, n events, cents ~1.06e4
+    def history(n: Long): DataFrame = spark.range(n)
+      .select(lit(1L).as("user_id"),
+        timestamp_micros($"id" * 3600000000L).as("ts"),
+        $"id".as("event_id"),
+        (lit(100.0) + ($"id" % 7).cast("double")).as("value"))
+
+    for (n <- Seq(50000L, 100000L, 150000L, 300000L)) {
+      val bound = 2.0 * n * n * 10600.0
+      rows += (("e41 (2·n²·max|c|)", s"n=$n/key", f"$bound%.2e",
+        outcome(graft.operators.Events.cusumChangepointOf(history(n)))))
+    }
+    for (n <- Seq(300000L, 1000000L, 1200000L)) {
+      val bound = 4.0 * n * 10600.0 * 10600.0
+      rows += (("e43 (4·n·max|c|²)", s"n=$n/key", f"$bound%.2e",
+        outcome(graft.operators.Events.seasonalityOf(history(n)))))
+    }
+    // synthetic per-user spend frame: N users, ~$105 lifetime cents
+    def spend(users: Long): DataFrame = spark.range(users)
+      .select($"id".as("user_id"),
+        (lit(10000L) + $"id" % 997L).as("cents"))
+    for (u <- Seq(30000L, 100000L, 150000L, 300000L)) {
+      val bound = 3.0 * u * u * 10996.0
+      rows += (("e56 (3·N²·max|c|)", s"N=$u users", f"$bound%.2e",
+        outcome(graft.operators.Events.spendConcentrationOf(spend(u)))))
+    }
+    // e53 plan-time: (event_type, c) frames of growing stats estimate
+    def madFrame(n: Long): DataFrame = spark.range(n)
+      .select(concat(lit("t"), ($"id" % 5).cast("string")).as("event_type"),
+        ($"id" % 20000L).as("c"))
+    for (n <- Seq(1000000L, 3000000L, 8000000L)) {
+      val est = madFrame(n).queryExecution.optimizedPlan.stats.sizeInBytes
+      rows += (("e53 plan (stats vs 64 MiB)", s"rows=$n", s"${est}B",
+        outcome(graft.operators.Events.valueMadOutliersGuarded(madFrame(n)))))
+    }
+    // e53 runtime: one group past the 1M-row ceiling, THROUGH the Of
+    // seam (what a stats underestimate would reach)
+    for (n <- Seq(900000L, 1200000L)) {
+      rows += (("e53 runtime (group rows vs 1M)", s"rows=$n/group", s"$n",
+        outcome(graft.operators.Events.valueMadOutliersOf(
+          madFrame(n).select(lit("hot").as("event_type"), $"c")))))
+    }
+
+    println("\n| guard | axis | a-priori bound | outcome |")
+    println("| --- | --- | --- | --- |")
+    rows.foreach { case (g, a, b, o) =>
+      println(s"| $g | $a | $b | $o |")
+    }
+    spark.stop()
+  }
+}
