@@ -135,9 +135,9 @@ object FormulaAudit {
     // ---- BM25 (bm25) ----------------------------------------------------
     "d28_bm25" -> AuditRow(
       "k1/b constants; idf ln((N-df+0.5)/(df+0.5)+1); length norm",
-      "GraftSpec BM25 ordering/bounds checks; constants are the standard published " +
-        "Robertson parameters — a drift changes ranking, caught by the top-k rows-check " +
-        "against relevance-ordered fixture queries"),
+      "GraftSpec: 'd28 BM25 equals a plain-Scala brute-force recomputation' — the " +
+        "full ranking recomputed driver-side with the PUBLISHED constants hard-coded " +
+        "in the spec (exact equality; a drifted shared constant diverges here)"),
     // ---- quality score (quality-score) ----------------------------------
     "d04_quality_score" -> AuditRow(
       "length/punct/stopword ratio thresholds (Gopher-shape constants)",

@@ -1298,6 +1298,64 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("d55 binned quantiles within one bin width of the exact type-1 values") {
+    import spark.implicits._
+    // the x02/e54 one-bin-width discipline applied to the remaining
+    // member of the binned family: exact per-source type-1 quantiles
+    // recomputed from the raw lengths (rank via float ceil — an
+    // independent derivation of the mirrored fdiv(n*p+99, 100) target)
+    val bySource = Tables.documents(spark, sf)
+      .select($"source", $"n_chars".cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = TextOps.sourceLengthQuantiles(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, pct, n, chars) =>
+      val ls = bySource(src)
+      assert(n == ls.length.toLong)
+      val tgt = math.max(1L, math.ceil(n * pct / 100.0).toLong)
+      val exact = ls(tgt.toInt - 1)
+      assert(math.abs(chars - exact) <= 100L,
+        s"$src p$pct: $chars vs exact $exact beyond one bin width")
+    }
+  }
+
+  test("d28 BM25 equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // independent truth for the Okapi formula the oracle MIRRORS: the
+    // whole ranking recomputed in plain Scala with the PUBLISHED
+    // constants hard-coded here (k1=1.2, b=0.75, the ln(1+...) idf) —
+    // a drifted constant or a reshaped formula in the shared SQL text
+    // diverges against this even while the hash gate stays green. The
+    // double ops replicate the column expression's evaluation order,
+    // so equality is exact (same JVM, same IEEE sequence).
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val dl = docs.map { case (id, toks) => id -> toks.size.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val sumDl = dl.values.sum
+    val terms = TextOps.Bm25Terms
+    val tf = (for ((id, toks) <- docs; t <- terms;
+                   c = toks.count(_ == t).toLong; if c > 0)
+      yield (t, id, c)).toSeq
+    val df = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth = tf.map { case (t, id, c) =>
+      val idf = math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+      val score = idf * (c * (1.2 + 1.0)) /
+        (c + 1.2 * ((1.0 - 0.75) + 0.75 * dl(id) * nDocs / sumDl))
+      (t, id, round4(score))
+    }.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((_, id, s), i) => (t, i + 1L, id, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TextOps.bm25(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == truth)
+  }
+
   test("d45/d56 equal a plain-Scala brute-force recomputation") {
     import spark.implicits._
     // independent truth for the chunk grid AND the banded chunk-dedup
