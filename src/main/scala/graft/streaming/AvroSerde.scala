@@ -72,10 +72,15 @@ object AvroSerde {
         val schema = new Schema.Parser().parse(eventsSchemaJson)
         val writer = new GenericDatumWriter[GenericRecord](schema)
         val baos = new ByteArrayOutputStream(64)
+        // Avro's reuse API: one encoder and one record per PARTITION,
+        // re-initialized per row — not re-allocated (the per-row
+        // BufferedBinaryEncoder + Record allocations are pure GC
+        // pressure on a large stream)
+        var enc: org.apache.avro.io.BinaryEncoder = null
+        val r = new GenericData.Record(schema)
         it.map { e =>
           baos.reset()
-          val enc = EncoderFactory.get().binaryEncoder(baos, null)
-          val r = new GenericData.Record(schema)
+          enc = EncoderFactory.get().binaryEncoder(baos, enc)
           r.put("event_id", e.event_id.longValue())
           r.put("ts", micros(e.ts))
           r.put("user_id", e.user_id.longValue())
@@ -100,10 +105,17 @@ object AvroSerde {
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(eventsSchemaJson)
         val reader = new GenericDatumReader[GenericRecord](schema)
+        // decoder + record reused across the partition (see the
+        // encoder-side note); a failed decode may leave the reused
+        // record partially written, which is fine — the next read
+        // overwrites every field or throws again
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        var rec: GenericRecord = null
         it.map { bytes =>
           try {
-            val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-            val r = reader.read(null, dec)
+            dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+            rec = reader.read(rec, dec)
+            val r = rec
             if (!dec.isEnd)
               throw new IllegalArgumentException("trailing wire bytes")
             WireEvent(

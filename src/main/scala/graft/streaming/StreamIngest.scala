@@ -366,20 +366,28 @@ trait StreamIngestOps extends StreamRuntime {
       // served, never demand more than exists
       require(served.nonEmpty, "s50: full pipeline served nothing")
       val tombIds = served.take(TombK).map(_.getLong(0)).toSeq
-      val tombCells = served.take(TombK)
-        .map(_.getAs[Number]("cell").longValue).toSeq.distinct
-      val (assigned, _, _) = graft.operators.VectorOps.ivfIndex(spark, sfDir)
       val src = graft.operators.VectorOps.embDouble(spark, sfDir)
         .select($"vec_id", $"v")
+      // the touched cells and the replay set derive from the SAME
+      // rounded-centroid argmax the streaming store keys cells by
+      // (serveIngestProjection run on the batch frame) — selecting the
+      // replay from the batch index's UNROUNDED assignment would
+      // mis-target postings whenever the two argmaxes diverge on a
+      // near-tie past the 6-dp rounding (the review's flake class)
+      val scoredBatch = serveIngestProjection(spark, sfDir, src)
+        .select($"vec_id", $"cell")
+      val tombCells = scoredBatch.filter($"vec_id".isin(tombIds: _*))
+        .select($"cell").distinct().as[String].collect().toSeq
       writeChangelogFile(src.withColumn("side", lit("I")), in, 0)
       writeChangelogFile(
         src.filter($"vec_id".isin(tombIds: _*))
           .withColumn("side", lit("D")), in, 1)
-      // compaction replay: every corpus vector assigned to a touched
+      // compaction replay: every corpus vector routed to a touched
       // cell — INCLUDING the erased ones (resurrection test)
       writeChangelogFile(
-        assigned.filter($"cell".isin(tombCells: _*))
-          .select($"vec_id", $"v").withColumn("side", lit("I")), in, 2)
+        src.join(scoredBatch.filter($"cell".isin(tombCells: _*))
+          .select($"vec_id"), "vec_id")
+          .withColumn("side", lit("I")), in, 2)
       withShufflePartitions(spark, 8) {
         withRocksDb(spark) {
           serveIngestProjection(spark, sfDir, spark.readStream

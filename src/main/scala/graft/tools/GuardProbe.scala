@@ -54,7 +54,9 @@ object GuardProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // driver heap comes from sbt's forked-run JVM options (build.sbt)
+      // — setting spark.driver.memory here would be a no-op in local
+      // mode, the JVM is already up
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -73,7 +73,10 @@ def run_sweep(name, sf, env_extra, queries):
     if os.path.exists(partial) and not os.path.exists(full):
         shutil.copy(partial, full)
     if not os.path.exists(full):
-        return set(), set(queries) or {"<all>"}, [
+        # failed = the REAL requested names (may be empty for --full:
+        # the sbt_ok=False flag alone fails the sweep then — no
+        # pseudo-query sentinel ever reaches the markdown table)
+        return set(), set(queries), [
             f"  Verify produced no oracle json (sbt rc={r.returncode}); "
             "tail of stderr:",
             *("  | " + ln for ln in r.stderr.splitlines()[-5:])], False
