@@ -1298,6 +1298,132 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("d33 Zipf slope equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // independent truth for the micro-rounded-log integer OLS (the
+    // formula whose negative numerator caught the fdiv floor/truncate
+    // divergence live in builder-session 9): counts, ranks, the 1e4
+    // log freeze and the OLS rational all recomputed driver-side
+    val toks = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .flatMap { case (l, t) => t.split(" ", -1).map(l -> _) }
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      // FLOOR division (BigInt's / truncates toward zero)
+      val q = a / b
+      if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+    }
+    // Det.r4 semantics exactly: fdiv(num*20000 + den, den*2) / 1e4
+    def r4(num: BigInt, den: BigInt): Double =
+      fdiv(num * 20000 + den, den * 2).toDouble / 10000.0
+    def micro(x: Double): Long =
+      BigDecimal(math.log(x) * 1e4)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val truth = toks.groupBy(_._1).toSeq.map { case (lang, ts) =>
+      val ranked = ts.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (tok, c) => (-c, tok) }.take(100)
+      val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (micro((i + 1).toDouble), micro(c.toDouble))
+      }
+      val n = BigInt(xy.size)
+      val sx = BigInt(xy.map(_._1).sum); val sy = BigInt(xy.map(_._2).sum)
+      val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      (lang, xy.size.toLong, r4(n * sxy - sx * sy, n * sxx - sx * sx))
+    }.sortBy(_._1)
+    val got = TextOps.zipfSlope(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == truth)
+    // slopes must be negative (Zipf) — the branch the floor bug hit
+    assert(got.forall(_._3 < 0))
+  }
+
+  test("e40 grid interpolation equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, unix_micros}
+    // independent truth for the interpolation formula and the grid/tie
+    // rules the oracle mirrors (midnights strictly inside the span,
+    // event-at-midnight = previous neighbor, floor division on a
+    // possibly-negative delta): recomputed driver-side from raw micros
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(r => (r._1, r._2)))
+      .toMap
+    val day = 86400000000L
+    val truth = ev.toSeq.sortBy(_._1).flatMap { case (u, rows) =>
+      val t0 = rows.head._1; val t1 = rows.last._1
+      Iterator.iterate(Math.floorDiv(t0, day) * day + day)(_ + day)
+        .takeWhile(_ <= t1)
+        .flatMap { g =>
+          val prev = rows.filter(_._1 <= g).lastOption
+          val next = rows.find(_._1 > g)
+          for (p <- prev; nx <- next) yield {
+            val c = p._3 + Math.floorDiv(
+              (nx._3 - p._3) * (g - p._1), nx._1 - p._1)
+            (u, g, c / 100.0)
+          }
+        }.toSeq
+    }
+    val got = graft.operators.Events.gridInterpolate(spark, sf)
+      .select($"user_id", unix_micros($"grid_ts"), $"interp_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == truth)
+    assert(got.nonEmpty)
+  }
+
+  test("d16/d53 LM scores equal a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // independent truth for the two mirrored LM formulas (d16's
+    // corpus-bigram nll, d53's add-one-smoothed reference nll + keep
+    // threshold): everything recomputed driver-side — counts from raw
+    // token pairs, micro-nats via math.log + HALF_UP, the average via
+    // the integer half-up division spelled out locally
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect()
+      .map { case (id, t, l) => (id, t.split(" ", -1).toSeq, l) }
+    def bigrams(toks: Seq[String]) =
+      if (toks.size < 2) Seq.empty else toks.sliding(2).map(p => (p(0), p(1))).toSeq
+    val byDoc = docs.map { case (id, toks, _) => id -> bigrams(toks) }
+      .filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+    def microNll(x: Double): Long =
+      BigDecimal(math.log(x) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def avg4(sum: Long, n: Long): Double =
+      ((sum * 20000L + n * 1000000L) / (n * 2000000L)) / 10000.0
+    // d16: corpus-trained LM
+    val all = byDoc.flatMap(_._2)
+    val c2 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val d16Truth = byDoc.map { case (id, bs) =>
+      val micros = bs.map(b => microNll(c1(b._1).toDouble / c2(b)))
+      (id, bs.size.toLong, avg4(micros.sum, bs.size.toLong))
+    }
+    val d16Got = TextOps.bigramLm(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(d16Got == d16Truth)
+    // d53: reference LM (en docs), add-one smoothing over head vocab V
+    val refBs = docs.filter(_._3 == "en").flatMap(d => bigrams(d._2)).toSeq
+    val rc2 = refBs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rc1 = refBs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = rc1.size.toLong
+    val d53Truth = byDoc.map { case (id, bs) =>
+      val micros = bs.map { b =>
+        microNll((rc1.getOrElse(b._1, 0L) + v).toDouble /
+          (rc2.getOrElse(b, 0L) + 1L))
+      }
+      val a = avg4(micros.sum, bs.size.toLong)
+      (id, bs.size.toLong, a, a <= 3.4)
+    }
+    val d53Got = TextOps.referenceLmFilter(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(d53Got == d53Truth)
+    // the keep threshold must actually split the fixture
+    assert(d53Got.map(_._4).toSet == Set(true, false))
+  }
+
   test("d55 binned quantiles within one bin width of the exact type-1 values") {
     import spark.implicits._
     // the x02/e54 one-bin-width discipline applied to the remaining
