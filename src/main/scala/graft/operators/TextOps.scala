@@ -2420,7 +2420,137 @@ object TextOps {
       .orderBy($"source", $"pct")
   }
 
+  /** d57's shard count. 16 here; production sets thousands — every
+    * shape below is |shards|-bounded only AFTER the per-doc hash-agg,
+    * so the constant is free to grow. */
+  private[graft] val ShardN = 16L
+
+  /** The deterministic shard of the current row's `doc_id` — salted
+    * md5 ("shard:"), top 8 hex chars as an unsigned int32, mod
+    * [[ShardN]]; the d13 hash-split idiom at shard granularity. Pure
+    * per-row codegen arithmetic: stable under corpus growth and input
+    * order, which is the whole point of hash sharding (a re-run on a
+    * re-partitioned copy of the corpus produces identical shards — the
+    * 8×-splits sweep axis exercises exactly that). */
+  private[graft] def shardOf: org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), " +
+      s"1, 8), 16, 10) AS BIGINT) % $ShardN")
+
+  /** The manifest read-off over an EXPLICIT `cells(shard, n_docs,
+    * n_tokens, n_bytes)` counter table — shared by d57 (batch-built
+    * cells) and s51 (cells served out of streaming state), the
+    * x05/s49 discipline: the two faces cannot drift. The balance
+    * column is each shard's tokens against the perfectly-level ideal
+    * (r4(n_tokens·N, total); 1.0 = level) — the skew statistic a
+    * trainer's data loader cares about, since its epoch time is
+    * max-over-shards. */
+  private[graft] def shardManifestFrom(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    val tot = cells.agg(sum($"n_tokens").cast("long").as("total_tokens"))
+    cells.crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"n_tokens", $"n_bytes",
+        r4($"n_tokens" * lit(ShardN), $"total_tokens").as("balance"))
+      .orderBy($"shard")
+  }
+
+  /** d57: training-output shard manifest — the deterministic sharding
+    * step a corpus writer runs before handing data to a trainer.
+    * Every document is hash-assigned to one of [[ShardN]] fixed
+    * shards ([[shardOf]]), and the manifest audits what the data
+    * loader depends on: per-shard doc/token/byte totals plus the
+    * tokens-vs-ideal balance ratio.
+    *
+    * Scale design (100 TB): ONE map-side-combined hash-agg over the
+    * documents scan — the shard id is per-row codegen'd md5
+    * arithmetic, so nothing shuffles except |shards| partial-agg rows
+    * per task; the totals join broadcasts one row. Uniform hashing
+    * keeps every shard within ~1/√(docs-per-shard) of level
+    * regardless of corpus skew (the manifest MEASURES it rather than
+    * assuming it). */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shardManifestFrom(
+      docsWithToks(spark, sfDir)
+        .select(shardOf.as("shard"),
+          size($"toks").cast("long").as("n_toks"), $"n_chars")
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").cast("long").as("n_tokens"),
+          sum($"n_chars").cast("long").as("n_bytes")))
+  }
+
+  /** d58: token-budget water-filling across languages — the mixture
+    * solver behind an LLM language-mix decision: given a global token
+    * budget B = ⌊3·total/4⌋ and an EQUAL per-language target,
+    * low-resource languages are capped at their full capacity (you
+    * take every token they have) and their unused share is
+    * redistributed to the rest (water-filling) — on the fixtures that
+    * caps de/zh/fr/es at capacity and fills the remainder with en,
+    * exactly the up-sample-low-resource shape. Emits per language its
+    * capacity, the allocation, the capped flag, and the sampling rate
+    * the downstream reader applies (r4(alloc, capacity); capped ⇒ 1.0).
+    *
+    * Closed form, no iteration: sort languages by capacity ascending
+    * (lang asc ties); language i (1-based, n languages, prefix sums P)
+    * is capped iff capacityᵢ·(n−i+1) ≤ B−Pᵢ₋₁ — under ascending order
+    * the capped set is provably a prefix, so one window pass finds it
+    * — and the shared level for the n−k uncapped languages is
+    * L = ⌊(B−P_k)/(n−k)⌋. Σalloc ≤ B with residue < n−k (the floor's
+    * remainder; a production writer hands the residue to the largest
+    * language or ignores it — we document rather than hide it).
+    * All-capped is impossible for B = ⌊3·total/4⌋ < total, so the n−k
+    * divisor is never 0; both branches occur on every fixture SF
+    * (GraftSpec asserts it).
+    *
+    * Scale design: the per-language capacity table is ONE hash-agg
+    * over the documents scan; everything after runs over |languages|
+    * rows (config-bounded, like bins), so the unpartitioned windows
+    * are driver-trivial at any corpus size. Independent truth: the
+    * ITERATIVE water-filling algorithm recomputed in plain Scala must
+    * produce the identical allocation (GraftSpec) — a different
+    * derivation, so a drifted closed-form inequality diverges there
+    * while the mirrored oracle stays green. */
+  def mixBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mixBudgetFrom(docsWithToks(spark, sfDir)
+      .groupBy($"lang")
+      .agg(sum(size($"toks")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0L))
+  }
+
+  /** d58's closed-form water-filling over an EXPLICIT `(lang,
+    * n_tokens)` capacity table — the seam GraftSpec uses to drive
+    * synthetic capacity sets (one-giant, all-equal, exact-tie) through
+    * the SAME closed form the declared query runs, pinned against the
+    * iterative algorithm (the x06 `hllSetOpsOf` discipline). */
+  private[graft] def mixBudgetFrom(per: DataFrame): DataFrame = {
+    import per.sparkSession.implicits._
+    val tot = per.agg(sum($"n_tokens").cast("long").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val w = Window.orderBy($"n_tokens", $"lang")
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("b", Det.fdiv($"total_tokens" * 3L, lit(4L)))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(sum($"n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        $"n_tokens" * ($"n_langs" - $"i" + 1L) <= $"b" - $"pfx")
+    val capTot = ranked.agg(
+      count(when($"capped", 1)).as("k"),
+      coalesce(sum(when($"capped", $"n_tokens")), lit(0L)).cast("long")
+        .as("sum_capped"))
+    ranked.crossJoin(broadcast(capTot))
+      .withColumn("alloc_tokens", when($"capped", $"n_tokens")
+        .otherwise(Det.fdiv($"b" - $"sum_capped", $"n_langs" - $"k")))
+      .select($"lang", $"n_tokens", $"alloc_tokens",
+        when($"capped", 1L).otherwise(0L).as("capped"),
+        r4($"alloc_tokens", $"n_tokens").as("sample_rate"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d57_shard_manifest" -> shardManifest _,
+    "d58_mix_budget"     -> mixBudget _,
     "d55_source_len_quantiles" -> sourceLengthQuantiles _,
     "d54_banding_curve" -> bandingCurve _,
     "d53_reference_lm_filter" -> referenceLmFilter _,
@@ -2503,13 +2633,60 @@ object TextOps {
        |c AS (SELECT doc_id, unnest(range(0, (n - 1) // $ChunkStride + 1)) AS i,
        |    toks, n FROM t)""".stripMargin
 
+  /** d57's FULL oracle text — shared VERBATIM with s51 (the streaming
+    * shard-manifest ingest, [[graft.streaming.StreamOps]]): the shard
+    * cells folded through streaming state must serve the batch truth
+    * (the x05/s49 discipline applied to the output-sharding manifest).
+    * Mirrors [[shardOf]] + [[shardManifestFrom]]. */
+  private[graft] def shardManifestSql: String =
+    s"""WITH d AS (SELECT
+       |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |    % $ShardN AS shard,
+       |  len(str_split(text, ' ')) AS n_toks, n_chars FROM documents),
+       |s AS (SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_bytes FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM s)
+       |SELECT shard, n_docs, n_tokens, n_bytes,
+       |  ${Det.sql.r4(s"n_tokens * $ShardN", "total_tokens")} AS balance
+       |FROM s CROSS JOIN t ORDER BY shard""".stripMargin
+
+  /** d58's water-filling core as a CTE chain ending at `wk` (the
+    * ranked capacity table with the capped flag, plus the capped-set
+    * totals) — the closed-form capping inequality mirrored from
+    * [[mixBudget]], declared as a shared fragment so FormulaAuditSpec
+    * forces the independent-truth row (the ITERATIVE recomputation in
+    * GraftSpec). */
+  private[graft] def waterfillCte: String =
+    """ws AS (SELECT lang,
+      |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |  HAVING sum(len(str_split(text, ' '))) > 0),
+      |wt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  count(*) AS n_langs FROM ws),
+      |wr AS (SELECT lang, n_tokens, total_tokens, n_langs,
+      |  (total_tokens * 3) // 4 AS b,
+      |  CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+      |  COALESCE(CAST(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |    0) AS pfx
+      |  FROM ws CROSS JOIN wt),
+      |wc AS (SELECT *,
+      |  (n_tokens * (n_langs - i + 1) <= b - pfx) AS capped FROM wr),
+      |wk AS (SELECT wc.*, k.k, k.sum_capped FROM wc CROSS JOIN (
+      |  SELECT CAST(count(*) FILTER (WHERE capped) AS BIGINT) AS k,
+      |    COALESCE(CAST(sum(n_tokens) FILTER (WHERE capped) AS BIGINT),
+      |      0) AS sum_capped FROM wc) k)""".stripMargin
+
   private[graft] def sharedOracleFragments: Map[String, String] = Map(
     "chunk-grid" -> chunkGridCte,
     "minhash-bands" -> mhBandsCte,
     "simhash-pairs" -> simhashPairsCte,
     "jaccard-pairs" -> jaccardPairsCte,
     "bm25" -> bm25Cte,
-    "quality-score" -> qualityCte)
+    "quality-score" -> qualityCte,
+    "shard-manifest" -> shardManifestSql,
+    "waterfill-alloc" -> waterfillCte)
 
   /** The d06 MinHash pipeline as a DuckDB CTE chain ending at `m`
     * (candidate pairs + matching-permutation counts) — shared verbatim
@@ -2650,6 +2827,19 @@ object TextOps {
   private val D = Det.sql
 
   val oracles: Map[String, String] = Map(
+    "d57_shard_manifest" -> shardManifestSql,
+    // the alloc CASE appears twice (alloc_tokens and the r4 numerator)
+    // because DuckDB lacks lateral column refs in this position; both
+    // copies come from the same interpolation so they cannot drift
+    "d58_mix_budget" -> {
+      val alloc = "CASE WHEN capped THEN n_tokens " +
+        "ELSE " + Det.sql.fdiv("b - sum_capped", "n_langs - k") + " END"
+      s"""WITH $waterfillCte
+         |SELECT lang, n_tokens, $alloc AS alloc_tokens,
+         |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+         |  ${Det.sql.r4(alloc, "n_tokens")} AS sample_rate
+         |FROM wk ORDER BY lang""".stripMargin
+    },
     // e54's binned read-off generalized to four type-1 targets; the
     // interpolated char value is CAST back to BIGINT (window-sum
     // arithmetic types as HUGEINT in DuckDB)

@@ -971,4 +971,74 @@ trait StreamIngestOps extends StreamRuntime {
           lit(100L)).as("approx_median"))
       .orderBy($"event_type")
   }
+
+  private val shardDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** The s51 shard-manifest checkpoint for `sfDir`, if built this
+    * session — exposed so StateBoundSpec can read the cell store
+    * out-of-band. */
+  private[graft] def shardCheckpoint(sfDir: String): Option[String] =
+    shardDirs.get(sfDir).map(_._2)
+
+  /** s51: STREAMING SHARD-MANIFEST ingest — d57's training-output
+    * manifest as a running fold, the shape a continuous-crawl writer
+    * runs (documents arrive forever; the manifest must be current
+    * without rescanning the corpus). Three %3-interleaved micro-batches
+    * fold per-shard (docs, tokens, bytes) counters into
+    * [[ShardStatsProcessor]] ValueState KEYED BY SHARD — shard-parallel
+    * by construction, state = |occupied shards| cells, the
+    * hardest-capped bound in the ingest family. The store is the
+    * product (s42/s46 discipline): read out-of-band at the last
+    * committed batchId, then d57's balance read-off
+    * ([[graft.operators.TextOps.shardManifestFrom]] — shared function,
+    * zero drift) runs over CELLS, never documents. The oracle is d57's
+    * text VERBATIM: a lost batch, a double-fold, or a shard-hash drift
+    * between the faces flips the hash. */
+  def streamShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ckStr = cachedScratchDir(shardDirs, sfDir, "documents.parquet") {
+      val in = newTempDir("graft_s51_in")
+      val ck = newTempDir("graft_ckpt_s51")
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select($"doc_id", graft.operators.TextOps.shardOf.as("shard"),
+          size(split($"text", " ")).cast("long").as("toks"),
+          $"n_chars".cast("long").as("bytes"))
+      def third(i: Int) = docs.filter(pmod($"doc_id", lit(3L)) === i)
+        .select($"shard", $"toks", $"bytes")
+      (0 to 2).foreach(i => writeChangelogFile(third(i), in, i))
+      withShufflePartitions(spark, 8) {
+        withRocksDb(spark) {
+          spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "shard BIGINT, toks BIGINT, bytes BIGINT"))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "changelog_*.parquet")
+            .parquet(in.toString)
+            .as[ShardDelta]
+            .groupByKey(_.shard)
+            .transformWithState(new ShardStatsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[ShardDelta])
+            .toDF()
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      }
+      ck.toString
+    }
+    val cells = withRocksDb(spark) {
+      spark.read.format("statestore")
+        .option("path", ckStr)
+        .option("stateVarName", "cell")
+        .option("batchId", lastCommittedBatchId(ckStr).toString)
+        .load()
+        .select($"key.value".as("shard"), $"value.n_docs",
+          $"value.n_tokens", $"value.n_bytes")
+    }
+    graft.operators.TextOps.shardManifestFrom(cells)
+  }
 }

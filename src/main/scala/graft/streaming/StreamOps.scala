@@ -44,6 +44,7 @@ object StreamOps
     "s48_stream_serve_topk" -> streamServeTopK _,
     "s49_stream_count_min" -> streamCountMin _,
     "s50_stream_serve_tombstones" -> streamServeTombstones _,
+    "s51_stream_shard_manifest" -> streamShardManifest _,
     "s35_foreach_counts" -> streamForeachCounts _,
     "s34_stream_ivf_assign" -> streamIvfAssign _,
     "s29_stream_index"    -> streamInvertedIndex _,
@@ -287,6 +288,11 @@ object StreamOps
     // truth (see streamCountMin's scaladoc)
     "s49_stream_count_min" ->
       graft.operators.Extras.countMinSql,
+    // d57's oracle VERBATIM: the shard cells folded through streaming
+    // state must serve the batch manifest (see streamShardManifest's
+    // scaladoc)
+    "s51_stream_shard_manifest" ->
+      graft.operators.TextOps.shardManifestSql,
     // v08's band CTE (shared text), odd vecs probing even-vec buckets;
     // candidates are the per-bucket min corpus vec (the s24 contract),
     // then exact-cosine verified at v08's threshold

@@ -90,8 +90,11 @@ object FormulaAudit {
       "canonicalization + d06 bands",
       "d06's rows; d14 canonicalization is exact string work verified by its own oracle"),
     "d35_dup_triangles" -> AuditRow(
-      "triangle enumeration over d06's pair graph",
-      "GraphProps triangle count vs brute force on seeded graphs; d06's rows"),
+      "canonical a<b<c triangle orientation; degree definition; " +
+        "r4 clustering coefficient with the deg<2 zero branch",
+      "GraftSpec: 'd35 equals a plain-Scala triangle enumeration' (exact " +
+        "equality from the declared pair set, nonzero triangles asserted); " +
+        "d06's rows"),
     "d51_method_agreement" -> AuditRow(
       "d06/d19/d08 pairwise agreement counts",
       "each method's own independent pin (d06/d19/d08 rows); agreement is set algebra"),
@@ -160,7 +163,8 @@ object FormulaAudit {
       "v08's rows + GraphProps connected components vs direct recomputation"),
     "s47_stream_embed_neardup" -> AuditRow(
       "v08 bands as streaming state; 8 point lookups; exact-cosine verify",
-      "GraftSpec: s47 vs v08 cross-face equality + StateBoundSpec bucket bound"),
+      "GraftSpec: 's47 embed near-dup equals the batch band join' " +
+        "(cross-face identity) + StateBoundSpec bucket bound"),
     // ---- IVF index (ivf-centroids) --------------------------------------
     "v07_ivf_ann" -> AuditRow(
       "label-centroid coarse quantizer; nprobe cell probe; cosine ranking",
@@ -171,8 +175,10 @@ object FormulaAudit {
       "the query IS the independent harness (exact side computed in-plan); " +
         "GraftSpec ANN-recall row pins it against the spec-layer brute force"),
     "v22_ivfpq_ann" -> AuditRow(
-      "IVF probe + PQ codebook distance",
-      "GraftSpec PQ reconstruction-error bound + v07's recall rows"),
+      "IVF probe + PQ codebook ADC distance",
+      "GraftSpec: 'v22 IVF-PQ composes v07's probe and v13's codebooks " +
+        "without drift' (codes + ADC distance recomputed per row, " +
+        "candidates subset of probed cells) + v07's recall rows"),
     "v25_filtered_ann" -> AuditRow(
       "metadata pre-filter + IVF probe",
       "RetrievalPipelineSpec: en-filter contract (filter-before-rank, no leakage); v07's rows"),
@@ -180,8 +186,11 @@ object FormulaAudit {
       "recall/cost sweep over nprobe",
       "monotonicity is the semantic content; endpoints pinned by v07's recall rows"),
     "v28_diversified_topk" -> AuditRow(
-      "4-cell probe; per-cell cap; global top-10",
-      "GraftSpec: diversified top-k guarantees (>=ceil(k/cap) distinct cells); v07's rows"),
+      "4-cell probe; per-cell cap; global top-10; (cos desc, id) tiebreaks",
+      "GraftSpec: 'v28 capping and ranking equal a plain-Scala " +
+        "recomputation' (cap/rank/top-10 logic recomputed over " +
+        "engine-scored candidates + the >=ceil(k/cap) representation " +
+        "guarantee); scoring pinned by v07's rows"),
     "s34_stream_ivf_assign" -> AuditRow(
       "broadcast rounded-centroid argmax",
       "GraftSpec: s34 vs v07 assignment equality (cross-face); v09 Lloyd rounding contract"),
@@ -208,11 +217,19 @@ object FormulaAudit {
       "GraftSpec: s34/v07 assignment equality; occupancy is count algebra over it"),
     // ---- d06 pair-graph consumers (minhash-bands via the pair CTE) -----
     "d29_pagerank" -> AuditRow(
-      "power iteration over the doc link graph; damping 0.85",
-      "GraphProps: PageRank vs a direct dense-matrix power iteration on seeded graphs"),
+      "5-round damped power iteration; damping 15/85/100 integer split; " +
+        "unit = 10^12/N; left-join zero-contribution default",
+      "GraftSpec: 'd29 equals a plain-Scala power iteration on the declared " +
+        "pair graph' (exact equality, driver-side integer recomputation, " +
+        "mass-movement asserted) + 'PageRank: isolated docs hold the base " +
+        "rank, linked docs exceed it' (base-rank and mass-conservation " +
+        "properties)"),
     "d38_lpa_communities" -> AuditRow(
-      "min-label propagation over d06's pair graph",
-      "GraphProps: LPA vs direct connected components; d06's rows for the pair graph"),
+      "3 synchronous LPA rounds; (count desc, min label) tiebreak; " +
+        "no-neighbor keep-label default",
+      "GraftSpec: 'd38 equals a plain-Scala synchronous label propagation' " +
+        "(exact equality incl. n_members, label-merge asserted); d06's rows " +
+        "for the pair graph"),
     // ---- quality-score consumers ---------------------------------------
     "d34_source_caps" -> AuditRow(
       "per-source token caps over the d04 quality gate",
@@ -244,6 +261,28 @@ object FormulaAudit {
     "s37_stream_attribution" -> AuditRow(
       "e47's reduce over streamed AttributionProcessor hits",
       "e47's row + AttribProps"),
+    // ---- shard manifest (shard-manifest, d57 text shared with s51) ----
+    "d57_shard_manifest" -> AuditRow(
+      "salted md5 shard hash (contract-preserving constant); " +
+        "balance ratio r4(n_tokens*N, total)",
+      "GraftSpec 'd57 equals a plain-Scala brute-force recomputation': " +
+        "assignment + manifest + balance recomputed with driver-side " +
+        "MessageDigest md5 and BigDecimal HALF_UP (independent hash and " +
+        "rounding paths); exact equality, all 16 shards occupied"),
+    "s51_stream_shard_manifest" -> AuditRow(
+      "same cells as d57 via ShardStatsProcessor ValueState fold",
+      "d57's row + StateBoundSpec 's51 state <= ShardN cells' + GraftSpec " +
+        "cross-face equality (streamed cells == batch cells)"),
+    // ---- water-filling mixture budget (waterfill-alloc) ----------------
+    "d58_mix_budget" -> AuditRow(
+      "closed-form capping inequality cap_i*(n-i+1) <= B-P_{i-1} " +
+        "(prefix-capped under ascending order); level floor-div; " +
+        "B = fdiv(total, 2); capped/uncapped branches",
+      "GraftSpec 'd58 equals the iterative water-filling algorithm': " +
+        "the ITERATIVE remove-capped-and-redistribute loop in plain " +
+        "Scala (a different derivation — a drifted inequality or level " +
+        "divisor diverges) on the fixture AND synthetic capacity sets " +
+        "(one-giant-source, all-equal); both branches asserted present"),
   )
 }
 
@@ -290,5 +329,40 @@ class FormulaAuditSpec extends AnyFunSuite {
     }
     assert(unused.isEmpty,
       s"shared fragments matching NO declared oracle: $unused")
+  }
+
+  test("registry citations resolve to real specs (no phantom truths)") {
+    // the builder-session-20 lesson: four registry rows cited truth
+    // specs that DID NOT EXIST (d29/d38 "GraphProps power iteration /
+    // LPA", d35 "triangle brute force", v28 "guarantees", s47
+    // "cross-face equality" — all prose, none backed by a test). An
+    // audit row whose cited truth is phantom is worse than no row: it
+    // records the blind spot as closed. Mechanized here: every
+    // single-quoted test name in a truth must appear verbatim in the
+    // test sources, and every cited *Spec/*Props identifier must be a
+    // defined class or object. Rows citing tests only in prose cannot
+    // be machine-checked — quote the test name.
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val files = java.nio.file.Files.list(dir)
+    val corpus = try {
+      val it = files.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .mkString("\n")
+    } finally files.close()
+    val truths = registry.map { case (q, r) => q -> r.truth }
+    truths.foreach { case (q, t) =>
+      "'([^']{8,200})'".r.findAllMatchIn(t).map(_.group(1)).foreach { name =>
+        assert(corpus.contains(name),
+          s"$q cites test '$name' — not found in any test source")
+      }
+      """\b([A-Z]\w+(?:Spec|Props))\b""".r.findAllMatchIn(t)
+        .map(_.group(1)).foreach { suite =>
+          assert(corpus.contains(s"class $suite") ||
+              corpus.contains(s"object $suite"),
+            s"$q cites suite $suite — no such class/object defined")
+        }
+    }
   }
 }

@@ -1544,6 +1544,341 @@ class GraftSpec extends AnyFunSuite {
       s"only ${rollupGot.map(_._5).toSet} decisions — threshold untested")
   }
 
+  test("d57 equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // independent truth for the shard manifest: assignment, totals,
+    // and the balance ratio recomputed in plain Scala with java
+    // MessageDigest md5 (independent hash path) and BigDecimal HALF_UP
+    // (independent rounding path) — a drifted salt, modulus, or r4
+    // constant in the mirrored SQL cannot hide here
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val N = TextOps.ShardN
+    val per = docs.map { case (id, t, nc) =>
+      val shard = java.lang.Long.parseLong(
+        md5hex(s"shard:$id").substring(0, 8), 16) % N
+      (shard, t.split(" ", -1).length.toLong, nc)
+    }.groupBy(_._1).toSeq.map { case (sh, xs) =>
+      (sh, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }.sortBy(_._1)
+    val total = per.map(_._3).sum
+    val truth = per.map { case (sh, nd, nt, nb) =>
+      (sh, nd, nt, nb, (BigDecimal(nt * N) / BigDecimal(total))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.shardManifest(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == truth)
+    // uniform hashing must occupy every shard at fixture scale —
+    // otherwise the balance audit is vacuous
+    assert(got.size.toLong == N, s"only ${got.size} of $N shards occupied")
+  }
+
+  test("d58 equals the iterative water-filling algorithm") {
+    import spark.implicits._
+    // independent truth for the closed-form capping inequality: the
+    // ITERATIVE remove-capped-and-redistribute loop — a different
+    // derivation (no prefix sums, no rank inequality), so a drifted
+    // closed-form constant diverges here while the mirrored oracle
+    // stays green
+    def waterfill(caps: Map[String, Long], b: Long): Map[String, (Long, Boolean)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Boolean)]()
+      var budget = b
+      var active = caps
+      var done = false
+      while (!done && active.nonEmpty) {
+        val level = budget / active.size
+        val newly = active.filter(_._2 <= level)
+        if (newly.isEmpty) {
+          active.keys.foreach(k => out(k) = (level, false))
+          done = true
+        } else {
+          newly.foreach { case (k, c) => out(k) = (c, true); budget -= c }
+          active = active -- newly.keys
+        }
+      }
+      out.toMap
+    }
+    def truthRows(caps: Map[String, Long]): Seq[(String, Long, Long, Long, Double)] = {
+      val b = caps.values.sum * 3L / 4L
+      val alloc = waterfill(caps, b)
+      caps.toSeq.sortBy(_._1).map { case (l, c) =>
+        val (a, capped) = alloc(l)
+        (l, c, a, if (capped) 1L else 0L, (BigDecimal(a) / BigDecimal(c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // fixture: capacities recomputed from raw text, driver-side
+    val caps = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (l, xs) =>
+        l -> xs.map(_._2.split(" ", -1).length.toLong).sum
+      }
+    val got = TextOps.mixBudget(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == truthRows(caps))
+    // the fixture must exercise BOTH branches (low-resource langs
+    // capped at capacity, en uncapped at the level)
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L),
+      s"only ${got.map(_._4).toSet} branches on the fixture")
+    // synthetic capacity sets through the SAME closed form via the
+    // mixBudgetFrom seam: one-giant (all others capped), all-equal
+    // (none capped), and an exact cap==level tie
+    val synth = Seq(
+      Map("a" -> 10L, "b" -> 10L, "c" -> 1000L),
+      Map("a" -> 100L, "b" -> 100L, "c" -> 100L, "d" -> 100L),
+      Map("a" -> 5L, "b" -> 10L))
+    synth.foreach { caps =>
+      val df = caps.toSeq.toDF("lang", "n_tokens")
+      val got = TextOps.mixBudgetFrom(df)
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      assert(got == truthRows(caps), s"closed form != iterative on $caps")
+    }
+  }
+
+  test("d29 equals a plain-Scala power iteration on the declared pair graph") {
+    import spark.implicits._
+    // independent truth for the ITERATIVE family's mirrored-oracle
+    // class (the d16/d53/d33 discipline extended to the graph loops):
+    // the full 5-round damped power iteration recomputed in plain
+    // Scala maps from the DECLARED d06 pair set — a drifted damping
+    // constant (15/85/100), unit, iteration count, or left-join
+    // default diverges here while the unrolled-CTE oracle stays green.
+    // (The pair set itself is pinned by the d06-family rows.)
+    val n = Tables.documents(spark, sf).count()
+    val unit = 1000000000000L / n
+    val base = 15L * unit / 100L
+    val pairs = TextOps.minhashLsh(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = adj.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted
+    var r = docs.map(_ -> unit).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (src, dst) => contrib(dst) += r(src) / deg(src) }
+      r = docs.map(id => id -> (base + 85L * contrib(id) / 100L)).toMap
+    }
+    val got = TextOps.pageRank(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(got == docs.toSeq.map(id => (id, r(id))))
+    // the iteration must move SOME mass, or the pin is vacuous
+    assert(got.exists(_._2 > base), "no doc above base rank — no mass moved")
+  }
+
+  test("d38 equals a plain-Scala synchronous label propagation") {
+    import spark.implicits._
+    // same class as the d29 pin: 3 synchronous LPA rounds with the
+    // (count desc, min label) tiebreak recomputed in plain Scala from
+    // the declared pair set — a drifted round count, a sequential
+    // (non-synchronous) update, or a flipped tiebreak diverges here
+    val pairs = TextOps.minhashLsh(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = edges.map(_._1).distinct.sorted
+    var lab = nodes.map(x => x -> x).toMap
+    for (_ <- 1 to 3) {
+      val frozen = lab
+      val newlab = edges.groupBy(_._2).map { case (d2, es) =>
+        val best = es.groupBy(e => frozen(e._1))
+          .toSeq.map { case (l, xs) => (xs.length, -l) }.max
+        d2 -> -best._2
+      }
+      lab = lab.map { case (nd, l) => nd -> newlab.getOrElse(nd, l) }
+    }
+    val members = lab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val truth = nodes.toSeq.map(nd => (nd, lab(nd), members(lab(nd))))
+    val got = TextOps.labelPropagation(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == truth)
+    // densely-linked groups must actually merge labels, or the pin
+    // only ever exercises the identity labeling
+    assert(lab.exists { case (nd, l) => l != nd })
+  }
+
+  test("q22 equals a plain-Scala binary-tree walk") {
+    import spark.implicits._
+    // independent truth for the recursive-CTE rollup: the implicit
+    // binary assembly tree walked with an explicit BFS in plain Scala
+    // (no UnionLoop, no SQL) — a drifted child rule (2k/2k+1), a lost
+    // recursion level, or a double-counted anchor diverges here
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice").as[(Long, Double)]
+      .collect().toMap
+    val truth = (1L to 7L).map { anchor =>
+      var frontier = Seq(anchor)
+      var depth = 0
+      var all = Vector.empty[(Long, Int)]
+      while (frontier.nonEmpty) {
+        all ++= frontier.map(_ -> depth)
+        frontier = frontier.flatMap(k => Seq(2 * k, 2 * k + 1))
+          .filter(parts.contains)
+        depth += 1
+      }
+      val price = all.map { case (k, _) =>
+        BigDecimal(parts(k)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (anchor, all.size.toLong, all.map(_._2).max,
+        BigDecimal(price.toDouble)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Relational.subtreeRollup(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got == truth)
+    // the walk must recurse multiple levels from anchor 1
+    assert(truth.head._3 >= 3, s"tree height ${truth.head._3} too shallow")
+  }
+
+  test("v09 kmeans equals a plain-Scala Lloyd's iteration") {
+    import spark.implicits._
+    // independent truth for the k-means loop: seeds, the 3 Lloyd's
+    // rounds, the (distance, cluster) argmin tiebreak, and the
+    // round6-per-update contract recomputed in plain Scala — a drifted
+    // iteration count, seed rule, or rounding scale diverges here.
+    // Constants are INTENTIONALLY duplicated (k = 4, iters = 3): a
+    // silent drift of the main-side constants must fail this spec.
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = VectorOps.embDouble(spark, sf)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] = vecs.filter(_._1 < 4L)
+      .map { case (id, v) => id -> v.map(round6) }.toSeq
+    var assigned: Array[(Long, Long)] = null
+    for (_ <- 1 to 3) {
+      assigned = vecs.map { case (id, v) =>
+        val best = cents.map { case (cl, c) =>
+          val cc = c.map(x => x * x).sum
+          val dot = {
+            var acc = 0.0
+            var i = 0
+            while (i < v.length) { acc += v(i) * c(i); i += 1 }
+            acc
+          }
+          (cc - 2.0 * dot, cl)
+        }.min
+        id -> best._2
+      }
+      val byCl = assigned.zip(vecs).groupBy(_._1._2)
+      cents = byCl.toSeq.map { case (cl, xs) =>
+        val vs = xs.map(_._2._2)
+        cl -> (0 until vs.head.length).map { pos =>
+          round6(vs.map(_(pos)).sum / vs.length)
+        }.toArray
+      }.sortBy(_._1)
+    }
+    val counts = assigned.groupBy(_._2).map { case (cl, xs) => cl -> xs.length.toLong }
+    val truth = cents.flatMap { case (cl, c) =>
+      c.zipWithIndex.map { case (x, pos) => (cl, pos.toLong, x, counts(cl)) }
+    }
+    val got = VectorOps.kmeans(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == truth)
+    assert(counts.size == 4, s"only ${counts.size} clusters survived")
+  }
+
+  test("d35 equals a plain-Scala triangle enumeration") {
+    import spark.implicits._
+    // independent truth for the canonical-orientation triangle count
+    // and the clustering coefficient: enumerate a<b<c triples in plain
+    // Scala from the declared pair set — a drifted orientation rule
+    // (double-counted triangles), degree definition, or r4 constant
+    // diverges here
+    val pairs = TextOps.minhashLsh(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val pairSet = pairs.toSet
+    val nbrGt = pairs.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, b) <- pairs
+      c <- nbrGt.getOrElse(b, Array.empty[Long])
+      if pairSet((a, c))
+    } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val truth = deg.keys.toSeq.sorted.map { id =>
+      val d = deg(id)
+      val t = tri(id)
+      val clust = if (d < 2) 0.0
+        else (BigDecimal(2L * t) / BigDecimal(d * (d - 1L)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, d, t, clust)
+    }
+    val got = TextOps.dupTriangles(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == truth)
+    // the pin is vacuous without actual triangles on the fixture
+    assert(truth.exists(_._3 > 0), "no triangles in the d06 pair graph")
+  }
+
+  test("v28 capping and ranking equal a plain-Scala recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // independent truth for the v28-SPECIFIC logic (per-cell cap +
+    // global top-10 + tiebreaks), recomputed in plain Scala over
+    // engine-scored candidates; the scoring/assignment side is pinned
+    // by v07's recall rows. Also the representation guarantee the
+    // scaladoc states: >= ceil(k/cap) distinct cells whenever that
+    // many probed cells have members.
+    val (assigned, q, _) = VectorOps.ivfIndex(spark, sf)
+    val probeSet = VectorOps.probeCells(spark, sf, VectorOps.DivProbe, q)
+      .select($"probe_cell").as[Int].collect().toSet
+    val cands = assigned.filter($"vec_id" =!= 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select($"vec_id", $"cell",
+        round(call_function("graft_cosine", $"v", $"qv"), 6).as("cos"))
+      .as[(Long, Int, Double)].collect()
+      .filter { case (_, cell, _) => probeSet(cell) }
+    val capped = cands.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy { case (id, _, c) => (-c, id) }
+        .zipWithIndex.map { case ((id, cell, c), i) => (id, cell, i + 1L, c) }
+        .filter(_._3 <= VectorOps.DivCap)
+    }
+    val truth = capped.sortBy { case (id, _, _, c) => (-c, id) }.take(10)
+    val got = VectorOps.diversifiedTopK(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == truth)
+    val cellsWithMembers = cands.map(_._2).distinct.length
+    val needed = (10 + VectorOps.DivCap - 1) / VectorOps.DivCap
+    if (cellsWithMembers >= needed)
+      assert(got.map(_._2).distinct.length >= needed,
+        s"only ${got.map(_._2).distinct.length} cells in the top-10")
+  }
+
+  test("s47 embed near-dup equals the batch band join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    // cross-face identity, the s24 discipline on the embedding side:
+    // the streamed bucket-state probe must equal the batch band join
+    // (per-bucket min even-side vec probed by odd-side vecs), verified
+    // at the same cosine threshold
+    val out = StreamOps.streamEmbedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.nonEmpty)
+    val bands = VectorOps.bandCodes(spark, sf)
+    val oldMin = bands.filter($"vec_id" % 2 === 0)
+      .groupBy($"band", $"code").agg(min($"vec_id").as("d1"))
+    val cand = bands.filter($"vec_id" % 2 === 1)
+      .join(oldMin, Seq("band", "code"))
+      .select($"d1", $"vec_id".as("d2")).distinct()
+    val e = VectorOps.embDouble(spark, sf)
+    val expect = cand
+      .join(e.select($"vec_id".as("d1"), $"v".as("v1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"v".as("v2")), "d2")
+      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+      .filter($"cos" >= 0.4)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == expect)
+  }
+
   test("e56 gini equals the mean-absolute-difference identity") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -4242,5 +4577,26 @@ class StateBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     val clicks = Tables.events(spark, sf)
       .filter($"event_type" === "click").count()
     assert(got < clicks)
+  }
+
+  test("s51 state rows == occupied shards, hard-capped at ShardN") {
+    import spark.implicits._
+    val served = StreamOps.streamShardManifest(spark, sf).collect()
+    val ck = StreamOps.shardCheckpoint(sf)
+      .getOrElse(fail("no s51 checkpoint recorded"))
+    val got = spark.read.format("statestore")
+      .option("path", ck).option("stateVarName", "cell")
+      .option("batchId", StreamOps.lastCommittedBatchId(ck).toString)
+      .load().count()
+    // one ValueState cell per OCCUPIED shard — the hardest-capped
+    // bound in the ingest family: config-sized regardless of corpus
+    // volume (documents only ever touch existing cells)
+    assert(got == served.length.toLong,
+      s"s51 state $got rows != ${served.length} served manifest rows")
+    assert(got <= graft.operators.TextOps.ShardN)
+    // cross-face: the streamed cells must serve the batch manifest
+    val batch = graft.operators.TextOps.shardManifest(spark, sf).collect()
+    assert(served.toSeq == batch.toSeq,
+      "s51 streamed manifest != d57 batch manifest")
   }
 }
