@@ -33,8 +33,16 @@ object EventAnalytics {
     * active again within the 7 days after the cohort day. */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, sfDir)
-      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    retentionCohortsFrom(Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("day", $"ts").as("day")))
+  }
+
+  /** e15's rollup over an EXPLICIT `(user_id, day)` activity table —
+    * the seam GraftSpec uses to exercise the not-retained branch and
+    * the exact (cohort, cohort+7d] bounds, which the dense fixtures
+    * never reach (every fixture user is retained at every SF). */
+  private[graft] def retentionCohortsFrom(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val cohort = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
     val retained = e.join(cohort, "user_id")
       .filter($"day" > $"cohort_day" &&

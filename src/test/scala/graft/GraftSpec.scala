@@ -1879,6 +1879,106 @@ class GraftSpec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("d41 PMI equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // the ln-freeze class that produced both live bugs of rounds 9-11
+    // (d33's negative-OLS fdiv, the HLL 2^24 divisor): pmi_micro =
+    // HALF_UP(ln(cab*N/(ca*cb)) * 10^4) recomputed from raw docs with
+    // math.log and BigDecimal — a drifted freeze scale, co-occurrence
+    // threshold, or marginal definition diverges here
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (_, t) => t.split(" ", -1).distinct.sorted }
+    val n = docs.length.toLong
+    val marg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val cab = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { toks =>
+      toks.foreach(marg(_) += 1)
+      for (i <- toks.indices; j <- (i + 1) until toks.length)
+        cab((toks(i), toks(j))) += 1
+    }
+    val truth = cab.toSeq.collect { case ((ta, tb), c) if c >= 5 =>
+      val pmi = BigDecimal(math.log(c.toDouble * n / (marg(ta) * marg(tb))) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (ta, tb, c, marg(ta), marg(tb), pmi)
+    }.sortBy { case (ta, tb, _, _, _, p) => (-p, ta, tb) }.take(20)
+    val got = TextOps.pmiPairs(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == truth)
+    assert(got.nonEmpty && got.head._6 > 0, "no positive-PMI pair surfaced")
+  }
+
+  test("e20 transitions equal a per-user sequential scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    // Markov transition counts + r4 row probabilities recomputed with
+    // an explicit per-user sort and successor walk — a drifted window
+    // order (ts vs ts,event_id), a dropped last-event filter, or an r4
+    // denominator swap (row vs grand total) diverges here
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3))
+      sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._4) }
+    }
+    val counts = pairs.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val rowTot = counts.toSeq.groupBy(_._1._1)
+      .map { case (f, xs) => f -> xs.map(_._2).sum }
+    val truth = counts.toSeq.sortBy(_._1).map { case ((f, t), c) =>
+      (f, t, c, (BigDecimal(c) / BigDecimal(rowTot(f)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.EventAnalytics.transitions(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == truth)
+    assert(got.map(_._1).distinct.size > 1, "degenerate transition matrix")
+  }
+
+  test("e15 retention equals a per-user direct recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    // cohort = min UTC day; retained = any activity in the half-open
+    // (cohort, cohort+7d] window — the strict/inclusive bounds and the
+    // day-truncation recomputed from raw micros with floorDiv
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"))
+      .as[(Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(x =>
+        Math.floorDiv(x._2, dayUs) * dayUs).distinct }
+    val truth = byUser.toSeq.map { case (_, days) =>
+      val cohort = days.min
+      val retained = days.exists(d => d > cohort && d <= cohort + 7 * dayUs)
+      (cohort, retained)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, xs) =>
+      (c, xs.length.toLong, xs.count(_._2).toLong)
+    }
+    val got = graft.operators.EventAnalytics.retentionCohorts(spark, sf)
+      .collect().map(r => (r.getTimestamp(0).getTime * 1000L,
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(got == truth)
+    // the fixtures never exercise the NOT-retained branch (every user
+    // at every SF is active again within 7 days — verified), so the
+    // bounds get a synthetic through the retentionCohortsFrom seam:
+    // day-7 is retained (inclusive upper bound), day-8 is not, and
+    // same-day-only activity is not (strict lower bound)
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(i: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00")
+    val synth = Seq(
+      (1L, day0), (1L, day(7)),       // retained exactly at +7d
+      (2L, day0), (2L, day(8)),       // +8d — NOT retained
+      (3L, day0), (3L, day0))         // same-day only — NOT retained
+      .toDF("user_id", "day")
+    val sgot = graft.operators.EventAnalytics.retentionCohortsFrom(synth)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sgot.toSeq == Seq((3L, 1L)),
+      s"boundary semantics drifted: $sgot")
+  }
+
   test("e56 gini equals the mean-absolute-difference identity") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
