@@ -1735,33 +1735,27 @@ class GraftSpec extends AnyFunSuite {
     assert(truth.head._3 >= 3, s"tree height ${truth.head._3} too shallow")
   }
 
-  test("v09 kmeans equals a plain-Scala Lloyd's iteration") {
-    import spark.implicits._
-    // independent truth for the k-means loop: seeds, the 3 Lloyd's
-    // rounds, the (distance, cluster) argmin tiebreak, and the
-    // round6-per-update contract recomputed in plain Scala — a drifted
-    // iteration count, seed rule, or rounding scale diverges here.
-    // Constants are INTENTIONALLY duplicated (k = 4, iters = 3): a
-    // silent drift of the main-side constants must fail this spec.
-    def round6(x: Double): Double = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val vecs = VectorOps.embDouble(spark, sf)
-      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
-      .map { case (id, v) => id -> v.toArray }.sortBy(_._1)
+  // plain-Scala Lloyd's (k = 4, iters = 3 — constants INTENTIONALLY
+  // duplicated from the main side so a silent drift there fails the
+  // specs): the independent truth shared by the v09 and v19 pins
+  private def plainRound6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def plainDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def plainLloyd(vecs: Array[(Long, Array[Double])])
+      : (Array[(Long, Long)], Seq[(Long, Array[Double])]) = {
     var cents: Seq[(Long, Array[Double])] = vecs.filter(_._1 < 4L)
-      .map { case (id, v) => id -> v.map(round6) }.toSeq
+      .map { case (id, v) => id -> v.map(plainRound6) }.toSeq
     var assigned: Array[(Long, Long)] = null
     for (_ <- 1 to 3) {
       assigned = vecs.map { case (id, v) =>
         val best = cents.map { case (cl, c) =>
           val cc = c.map(x => x * x).sum
-          val dot = {
-            var acc = 0.0
-            var i = 0
-            while (i < v.length) { acc += v(i) * c(i); i += 1 }
-            acc
-          }
-          (cc - 2.0 * dot, cl)
+          (cc - 2.0 * plainDot(v, c), cl)
         }.min
         id -> best._2
       }
@@ -1769,10 +1763,23 @@ class GraftSpec extends AnyFunSuite {
       cents = byCl.toSeq.map { case (cl, xs) =>
         val vs = xs.map(_._2._2)
         cl -> (0 until vs.head.length).map { pos =>
-          round6(vs.map(_(pos)).sum / vs.length)
+          plainRound6(vs.map(_(pos)).sum / vs.length)
         }.toArray
       }.sortBy(_._1)
     }
+    (assigned, cents)
+  }
+
+  test("v09 kmeans equals a plain-Scala Lloyd's iteration") {
+    import spark.implicits._
+    // independent truth for the k-means loop: seeds, the 3 Lloyd's
+    // rounds, the (distance, cluster) argmin tiebreak, and the
+    // round6-per-update contract recomputed in plain Scala — a drifted
+    // iteration count, seed rule, or rounding scale diverges here.
+    val vecs = VectorOps.embDouble(spark, sf)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.sortBy(_._1)
+    val (assigned, cents) = plainLloyd(vecs)
     val counts = assigned.groupBy(_._2).map { case (cl, xs) => cl -> xs.length.toLong }
     val truth = cents.flatMap { case (cl, c) =>
       c.zipWithIndex.map { case (x, pos) => (cl, pos.toLong, x, counts(cl)) }
@@ -1977,6 +1984,69 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(sgot.toSeq == Seq((3L, 1L)),
       s"boundary semantics drifted: $sgot")
+  }
+
+  test("v19 silhouette equals a plain-Scala recomputation") {
+    import spark.implicits._
+    // the per-point silhouette can be NEGATIVE (b < a), so this pin is
+    // the one place the away-from-zero micro-unit rounding AND r4's
+    // floor-tie behavior on a negative numerator are both exercised on
+    // real data; Lloyd's state comes from the same plain recomputation
+    // the v09 pin proved equal to the declared kmeans
+    val vecs = VectorOps.embDouble(spark, sf)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.sortBy(_._1)
+    val (assigned, cents) = plainLloyd(vecs)
+    val vById = vecs.toMap
+    val sus = assigned.map { case (id, cl) =>
+      val v = vById(id)
+      val vv = plainDot(v, v)
+      val ds = cents.map { case (c2, c) =>
+        val cc = c.map(x => x * x).sum
+        c2 -> plainRound6(math.sqrt(math.max(cc - 2.0 * plainDot(v, c) + vv, 0.0)))
+      }
+      val a = ds.find(_._1 == cl).get._2
+      val b = ds.filter(_._1 != cl).map(_._2).min
+      val su = if (math.max(a, b) == 0.0) 0L
+        else BigDecimal((b - a) / math.max(a, b) * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      cl -> su
+    }
+    val truth = sus.groupBy(_._1).toSeq.sortBy(_._1).map { case (cl, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      // Det.r4 mirror — floorDiv, NOT BigDecimal: s can be negative
+      (cl, n, Math.floorDiv(s * 20000L + n * 10000L, n * 20000L) / 10000.0)
+    }
+    val got = VectorOps.silhouette(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == truth)
+    assert(sus.exists(_._2 < 0),
+      "no negative per-point silhouette — the negative-r4 branch untested")
+  }
+
+  test("d26 token entropy equals a plain-Scala brute-force recomputation") {
+    import spark.implicits._
+    // completes d26's anchor tests (0 / ln k) with the full-fixture
+    // exact pin: the micro-nat freeze c*HALF_UP(ln(n/c)*1e6) and the
+    // r4 read-off recomputed with math.log + BigDecimal — the same
+    // ln-freeze class as d16/d33/d41
+    def up0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val truth = docs.toSeq.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      val sm = counts.map(c => c * up0(math.log(n.toDouble / c) * 1e6)).sum
+      val h = (BigDecimal(sm) / BigDecimal(n * 1000000L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, n, counts.size.toLong, h)
+    }.sortBy(_._1)
+    val got = TextOps.tokenEntropy(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == truth)
   }
 
   test("e56 gini equals the mean-absolute-difference identity") {
