@@ -610,12 +610,15 @@ object Relational {
     * Scale design: the 6 columns MELT into (col, value) rows map-side
     * (one scan, 6× rows, no per-column scans), then ONE
     * map-side-combined hash-agg collapses to the frequency table;
-    * everything after (per-column rollup, top-3 window) runs on
-    * |distinct values|, not |rows|. Exact NDV is the declared
-    * contract on the collapsed table (the sketch counterpart is x01).
-    * The per-column window partitions by col — 6 partitions whose
-    * sizes are the NDVs; a wider profile at 100 TB would salt the
-    * high-NDV columns' rank or use approx MCV. */
+    * everything after runs on |distinct values|, not |rows|. Exact
+    * NDV is the declared contract on the collapsed table (the sketch
+    * counterpart is x01). The MCV top-3 is a bounded
+    * [[graft.functions.TopValAggregator]] buffer in the SAME
+    * per-column hash-agg — map-side partial heaps merge
+    * associatively, so no per-column rank window ever materializes
+    * (the window variant partitioned by col, putting each column's
+    * whole NDV in one sort task: parallelism 6, measured 40× at the
+    * 100× probe; this shape re-measured 11×, linear). */
   def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val melted = Tables.lineitem(spark, sfDir)
@@ -624,17 +627,17 @@ object Relational {
         .as("cv"))
       .select($"cv.col".as("col"), $"cv.v".as("v"))
     val freq = melted.groupBy($"col", $"v").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy($"col").orderBy(desc("cnt"), $"v")
-    freq.withColumn("rn", row_number().over(w))
+    val top3 = udaf(new graft.functions.TopValAggregator(3))
+    freq
       .groupBy($"col")
       .agg(
         count(lit(1)).as("ndv"),
         sum($"cnt").as("n_rows"),
+        top3($"cnt", $"v").as("topk"))
+      .select($"col", $"ndv", $"n_rows",
         concat_ws(",", expr(
-          """transform(array_sort(collect_list(
-            CASE WHEN rn <= 3
-              THEN named_struct('rn', rn, 's', concat(v, ':', cast(cnt AS string)))
-            END)), x -> x.s)""")).as("top3"))
+          "transform(topk, x -> concat(x.v, ':', cast(x.cnt AS string)))"))
+          .as("top3"))
       .orderBy($"col")
   }
 
