@@ -320,16 +320,58 @@ object Events {
   /** ntile / percent_rank / cume_dist — the distribution-rank window
     * family (quartile bucketing for score normalization at corpus
     * scale). Total order (value, event_id) makes tie handling
-    * deterministic cross-engine. */
-  def rankVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    * deterministic cross-engine.
+    *
+    * Scale design (the e50/e52 flip discipline applied to the
+    * PER-GROUP rank family, with a DIFFERENT calibration because the
+    * measurement said so): `partitionBy(event_type)` has only
+    * \|event types\| = 5 partitions, so each window task sorts a fifth
+    * of the corpus — a FEASIBILITY ceiling (at 10⁹+ events a 1/5th-
+    * corpus single-task sort cannot fit an executor), not a measured
+    * slowdown at probe-able scales: the 100× probe measured the plain
+    * branch FASTER (22.0 s vs 33.5 s distributed), because e18's
+    * output is row-sized — the DistRank machinery (persist + offsets +
+    * join + the final re-sort) costs more than the 5-way sort saves at
+    * 10M rows. So unlike e50/e52 (whose outputs collapse per-user and
+    * measured faster distributed at 100×), e18's threshold is 1 GiB:
+    * the flip engages only where the plain branch would stop
+    * finishing. Above it the ranks come from ONE range exchange over
+    * the combined (event_type, value, event_id) order: group slices
+    * are contiguous, so within-group rank = global rank − group offset
+    * (a 5-row broadcast), and the readouts are pure arithmetic from
+    * (rank, group size) — [[DistRank.ntileOf]], (r−1)/(n−1), r/n (no
+    * ties by construction). Both branches are value-identical (pinned
+    * in GraftSpec via the threshold seam). */
+  def rankVariants(spark: SparkSession, sfDir: String): DataFrame =
+    rankVariantsThresholded(spark, sfDir, 1L << 30)
+
+  private[graft] def rankVariantsThresholded(spark: SparkSession,
+      sfDir: String, thresholdBytes: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    Tables.events(spark, sfDir)
-      .select($"event_id", $"event_type",
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
-      .orderBy($"event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val estBytes = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= BigInt(thresholdBytes)) {
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      ev.select($"event_id", $"event_type",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"event_id")
+    } else {
+      val ranked = DistRank.globalRowNumber(ev,
+        Seq($"event_type", $"value", $"event_id"), "__gr", "__N")
+      val groups = ranked.groupBy($"event_type")
+        .agg(min($"__gr").as("__g0"), count(lit(1)).as("__gn"))
+      ranked.join(broadcast(groups), "event_type")
+        .withColumn("__r", $"__gr" - $"__g0" + 1L)
+        .select($"event_id", $"event_type",
+          DistRank.ntileOf($"__r", $"__gn", 4).as("quartile"),
+          round(when($"__gn" === 1L, 0.0).otherwise(
+            ($"__r" - 1L).cast("double") / ($"__gn" - 1L)), 6).as("pr"),
+          round($"__r".cast("double") / $"__gn", 6).as("cd"))
+        .orderBy($"event_id")
+    }
   }
 
   /** lag/lead: microsecond-exact gap to the previous event per user. */

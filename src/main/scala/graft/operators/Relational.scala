@@ -524,24 +524,56 @@ object Relational {
     * already-collapsed count table. */
   def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // per-key counts: the one |keys|-sized stage, a map-side-combined
+    // hash-agg
     val counts = Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy($"cnt".desc, $"l_orderkey")
-    counts
-      .withColumn("rn", row_number().over(w))
-      .agg(
-        count(lit(1)).as("n_keys"),
-        sum($"cnt").as("total_rows"),
-        max($"cnt").as("max_cnt"),
-        percentile($"cnt", array(lit(0.5), lit(0.9), lit(0.99))).as("pcts"),
-        max(when($"rn" === 1, $"l_orderkey")).as("hot_key"))
-      .select(
-        $"n_keys", $"total_rows", $"max_cnt",
-        round($"pcts"(0), 2).as("p50_cnt"),
-        round($"pcts"(1), 2).as("p90_cnt"),
-        round($"pcts"(2), 2).as("p99_cnt"),
+    // totals + hottest key in the SAME pass — argmax as a struct max
+    // (count desc, key asc via the negated key), never a global rank
+    // window: the old unpartitioned row_number() single-task-sorted
+    // ALL keys (measured 32.8× at the 100× probe before this fix)
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum($"cnt").as("total_rows"),
+      max($"cnt").as("max_cnt"),
+      max(struct($"cnt", (-$"l_orderkey").as("nk"))).as("hot"))
+    // exact quantile_cont read off the count-of-counts table: per-key
+    // counts are small integers, so the frequency table is ≤ max_cnt
+    // rows and the type-7 interpolation is exact integer arithmetic
+    // over its cumsum — the d55/x02 bin discipline, EXACT here because
+    // the value domain is already discrete. The old in-line
+    // percentile() aggregate buffered every key's count in one
+    // aggregation state (the same single-task shape as the window).
+    val freq = counts.groupBy($"cnt").agg(count(lit(1)).as("f"))
+    val wc = Window.orderBy($"cnt")
+    val cum = freq.withColumn("cum", sum($"f").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cnt", $"f", $"cum")
+    val tgts = Seq(50L, 90L, 99L).toDF("p100")
+      .crossJoin(broadcast(tot.select($"n_keys".as("nk_t"))))
+      .withColumn("tnum", $"p100" * ($"nk_t" - 1L))
+      .withColumn("lo", Det.fdiv($"tnum", lit(100L)))
+      .withColumn("hi", Det.fdiv($"tnum" + 99L, lit(100L)))
+      .withColumn("frac", $"tnum" % 100L)
+    val vlo = tgts.join(broadcast(cum),
+        $"cum" >= $"lo" + 1L && $"cum" - $"f" < $"lo" + 1L)
+      .select($"p100", $"frac", $"hi", $"cnt".as("v_lo"))
+    val vhi = tgts.select($"p100".as("p2"), $"hi".as("hi2"))
+      .join(broadcast(cum),
+        $"cum" >= $"hi2" + 1L && $"cum" - $"f" < $"hi2" + 1L)
+      .select($"p2", $"cnt".as("v_hi"))
+    val pcts = vlo.join(vhi, $"p100" === $"p2")
+      .select($"p100",
+        round($"v_lo" + ($"v_hi" - $"v_lo") * $"frac" / 100.0, 2).as("pv"))
+      .groupBy()
+      .agg(max(when($"p100" === 50L, $"pv")).as("p50_cnt"),
+        max(when($"p100" === 90L, $"pv")).as("p90_cnt"),
+        max(when($"p100" === 99L, $"pv")).as("p99_cnt"))
+    tot.crossJoin(broadcast(pcts))
+      .select($"n_keys", $"total_rows", $"max_cnt",
+        $"p50_cnt", $"p90_cnt", $"p99_cnt",
         Det.r4($"max_cnt" * $"n_keys", $"total_rows").as("skew_ratio"),
-        $"hot_key")
+        (-$"hot.nk").as("hot_key"))
   }
 
   /** q27: equi-depth (equi-height) histogram of `l_extendedprice` —

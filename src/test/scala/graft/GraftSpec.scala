@@ -2049,6 +2049,22 @@ class GraftSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("e18 distributed rank branch equals the plain window branch") {
+    // the e50/e52 flip discipline applied to the per-group rank
+    // family: partitionBy(event_type) caps parallelism at 5, so above
+    // the stats threshold e18 ranks through ONE range exchange over
+    // (event_type, value, event_id) with per-group offsets. Both
+    // branches must be value-identical — forced here through the
+    // threshold seam (0 = always distributed, MaxValue = always
+    // plain; the fixture's declared plan is the plain branch).
+    val plain = Events.rankVariantsThresholded(spark, sf, Long.MaxValue)
+      .collect().toSeq
+    val dist = Events.rankVariantsThresholded(spark, sf, 0L)
+      .collect().toSeq
+    assert(dist == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("e56 gini equals the mean-absolute-difference identity") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
