@@ -525,9 +525,14 @@ object Relational {
   def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // per-key counts: the one |keys|-sized stage, a map-side-combined
-    // hash-agg
+    // hash-agg. localCheckpointed because FOUR downstream subtrees read
+    // it (tot twice: tgts' n_keys broadcast + the final readout; cum's
+    // lineage twice before the r13 merge) and the differing projections
+    // above the exchange defeat ReuseExchange — without the pin each
+    // consumer re-scans lineitem (ADVICE r12). One fact scan total.
     val counts = Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // totals + hottest key in the SAME pass — argmax as a struct max
     // (count desc, key asc via the negated key), never a global rank
     // window: the old unpartitioned row_number() single-task-sorted
@@ -555,14 +560,17 @@ object Relational {
       .withColumn("lo", Det.fdiv($"tnum", lit(100L)))
       .withColumn("hi", Det.fdiv($"tnum" + 99L, lit(100L)))
       .withColumn("frac", $"tnum" % 100L)
-    val vlo = tgts.join(broadcast(cum),
-        $"cum" >= $"lo" + 1L && $"cum" - $"f" < $"lo" + 1L)
-      .select($"p100", $"frac", $"hi", $"cnt".as("v_lo"))
-    val vhi = tgts.select($"p100".as("p2"), $"hi".as("hi2"))
-      .join(broadcast(cum),
-        $"cum" >= $"hi2" + 1L && $"cum" - $"f" < $"hi2" + 1L)
-      .select($"p2", $"cnt".as("v_hi"))
-    val pcts = vlo.join(vhi, $"p100" === $"p2")
+    // ONE join against cum finds both bracketing rows (the row whose
+    // cumulative range covers rank lo, and the one covering rank hi —
+    // the same row when frac = 0); the per-target agg then reads v_lo /
+    // v_hi off it. Replaces the r12 two-broadcast vlo/vhi pair: one
+    // broadcast of cum instead of two evaluations of its lineage.
+    val coversLo = $"cum" >= $"lo" + 1L && $"cum" - $"f" < $"lo" + 1L
+    val coversHi = $"cum" >= $"hi" + 1L && $"cum" - $"f" < $"hi" + 1L
+    val pcts = tgts.join(broadcast(cum), coversLo || coversHi)
+      .groupBy($"p100", $"frac")
+      .agg(max(when(coversLo, $"cnt")).as("v_lo"),
+        max(when(coversHi, $"cnt")).as("v_hi"))
       .select($"p100",
         round($"v_lo" + ($"v_hi" - $"v_lo") * $"frac" / 100.0, 2).as("pv"))
       .groupBy()

@@ -51,32 +51,40 @@ object FormulaAudit {
     // ---- HLL family (hll-registers / hll-estimate) --------------------
     "x01_approx_distinct" -> AuditRow(
       "linear-counting branch (eRaw<=640 && nb<m); raw alpha*m^2/Z branch; branch selector boundary",
-      "SketchBoundsSpec: 'x01 within 3 sigma of exact' (linear, fixture); " +
-        "'x01 RAW-branch at 5000 keys' (raw, synthetic — fails on the 2^24 bug); " +
-        "'hllEst ACROSS the branch boundary' (selector sweep, synthetic); " +
-        "'x01 tracks approx_count_distinct' (engine baseline)"),
+      "SketchBoundsSpec: 'x01 deterministic-HLL estimates within 3 sigma of exact' " +
+        "(linear, fixture); 'x01's RAW-branch estimate holds at 5000 distinct keys' " +
+        "(raw, synthetic — fails on the 2^24 bug); " +
+        "'hllEst stays accurate ACROSS the linear/raw branch boundary' " +
+        "(selector sweep, synthetic); " +
+        "'x01 tracks the engine's HLL++ baseline (approx_count_distinct)' " +
+        "(engine baseline)"),
     "x03_hll_union" -> AuditRow(
       "register max-merge monoid; same readout branches as x01",
-      "SketchBoundsSpec: 'x03 merged registers EXACTLY equal direct' " +
-        "(exact equality — any merge drift flips it); readout branches via x01's rows"),
+      "SketchBoundsSpec: 'x03 daily-merged registers give EXACTLY the direct x01 " +
+        "estimate' (exact equality — any merge drift flips it); " +
+        "readout branches via x01's rows"),
     "x06_hll_setops" -> AuditRow(
       "inclusion-exclusion; GREATEST(0,·) clamp branch (unreachable on fixtures); readout branches",
-      "SketchBoundsSpec: 'x06 tracks the exact pairwise overlap' (exact truth, tolerance); " +
-        "'x06 clamps at 0 when forced negative' (clamp branch, synthetic registers)"),
+      "SketchBoundsSpec: 'x06 sketch intersection tracks the exact pairwise overlap' " +
+        "(exact truth, tolerance); 'x06 inclusion-exclusion clamps at 0 when forced " +
+        "negative' (clamp branch, synthetic registers)"),
     // ---- CMS (cms-cells, x05 text shared verbatim with s49) -----------
     "x05_count_min" -> AuditRow(
       "d-row min read-off; row-salted bucket hash (contract-preserving constant)",
-      "SketchBoundsSpec: 'x05 never undercounts, over by <= eN/w' vs exact counts " +
-        "(the CMS guarantee holds for ANY hash family, so bucket-constant drift is " +
-        "contract-preserving; the guarantee itself is the pinned truth)"),
+      "SketchBoundsSpec: 'x05 count-min estimates never undercount, over by at most " +
+        "eN/w' vs exact counts (the CMS guarantee holds for ANY hash family, so " +
+        "bucket-constant drift is contract-preserving; the guarantee itself is the " +
+        "pinned truth)"),
     "s49_stream_count_min" -> AuditRow(
       "same cells as x05 via BinCountProcessor MapState fold",
-      "x05's rows + StateBoundSpec 's49 state <= d*w' + GraftSpec cross-face equality " +
+      "x05's rows + StateBoundSpec 's49 CMS state rows == occupied cells, " +
+        "hard-capped at d*w' + GraftSpec cross-face equality " +
         "(streamed cells == batch cells at a pinned batchId)"),
     // ---- MinHash family (minhash-bands) --------------------------------
     "d06_minhash_lsh" -> AuditRow(
       "shingle hash; 16 permutations (a*x+b mod p); 4-band grouping; >=8/16 match threshold",
-      "GraftSpec: 'd52 = d06 restricted to new arrivals' (incrementality identity); " +
+      "GraftSpec: 'd52 = d06 restricted to pairs touching a new arrival' " +
+        "(incrementality identity); " +
         "'d54 banding curve: cost and recall both rise' (band/threshold semantics); " +
         "constants are a hash-family choice — candidate quality is the contract, " +
         "pinned via d08's exact-Jaccard face ('PPJoin pairs match brute-force Jaccard')"),
@@ -125,8 +133,8 @@ object FormulaAudit {
     // ---- SimHash (simhash-pairs) ---------------------------------------
     "d19_simhash_neardup" -> AuditRow(
       "32-bit simhash bit-sum; segment banding; Hamming<=1 verify",
-      "GraftSpec: 'SimHash segment banding finds every Hamming<=1 pair (pigeonhole)' — " +
-        "the banding completeness theorem, independent of the hash constants"),
+      "GraftSpec: 'SimHash segment banding finds every Hamming-<=1 pair (pigeonhole)' " +
+        "— the banding completeness theorem, independent of the hash constants"),
     // ---- exact-Jaccard (jaccard-pairs) ---------------------------------
     "d08_ngram_jaccard" -> AuditRow(
       "prefix filter; positional filter; sorted-intersect verify; tau=0.5",
@@ -156,8 +164,9 @@ object FormulaAudit {
     "v08_lsh_neardup" -> AuditRow(
       "md5-parity hyperplanes; 8x8 band codes; cos>=0.4 verify",
       "LshRecallSpec: 'v08 ⊆ v04 exactly; high recall on near-identical pairs' and " +
-        "'band planes: >=90% twin recall, selective on random pairs' — quality contract " +
-        "vs the brute-force truth, independent of the plane constants"),
+        "'band planes: >=90% recall on near-identical twins, selective on random " +
+        "pairs' — quality contract vs the brute-force truth, independent of the " +
+        "plane constants"),
     "v10_embed_dup_clusters" -> AuditRow(
       "connected components over v08's pair graph",
       "v08's rows + GraphProps connected components vs direct recomputation"),
@@ -271,13 +280,13 @@ object FormulaAudit {
         "rounding paths); exact equality, all 16 shards occupied"),
     "s51_stream_shard_manifest" -> AuditRow(
       "same cells as d57 via ShardStatsProcessor ValueState fold",
-      "d57's row + StateBoundSpec 's51 state <= ShardN cells' + GraftSpec " +
-        "cross-face equality (streamed cells == batch cells)"),
+      "d57's row + StateBoundSpec 's51 state rows == occupied shards, hard-capped " +
+        "at ShardN' + GraftSpec cross-face equality (streamed cells == batch cells)"),
     // ---- water-filling mixture budget (waterfill-alloc) ----------------
     "d58_mix_budget" -> AuditRow(
       "closed-form capping inequality cap_i*(n-i+1) <= B-P_{i-1} " +
         "(prefix-capped under ascending order); level floor-div; " +
-        "B = fdiv(total, 2); capped/uncapped branches",
+        "B = fdiv(total*3, 4); capped/uncapped branches",
       "GraftSpec 'd58 equals the iterative water-filling algorithm': " +
         "the ITERATIVE remove-capped-and-redistribute loop in plain " +
         "Scala (a different derivation — a drifted inequality or level " +
@@ -338,31 +347,86 @@ class FormulaAuditSpec extends AnyFunSuite {
     // "cross-face equality" — all prose, none backed by a test). An
     // audit row whose cited truth is phantom is worse than no row: it
     // records the blind spot as closed. Mechanized here: every
-    // single-quoted test name in a truth must appear verbatim in the
-    // test sources, and every cited *Spec/*Props identifier must be a
-    // defined class or object. Rows citing tests only in prose cannot
-    // be machine-checked — quote the test name.
+    // single-quoted test name in a truth must be a substring of a REAL
+    // test("...")/property("...") declaration in some OTHER test source
+    // (this file is excluded from the corpus — r12's first cut matched
+    // the registry's own string literals, making the check vacuous),
+    // and every cited *Spec/*Props identifier must be a defined class
+    // or object. The quote regex pairs only deliberate citations (an
+    // opening ' preceded by whitespace/punctuation, a closing '
+    // followed by the same) so possessive apostrophes ("d57's row")
+    // cannot mis-pair with a later citation's opening quote. Rows
+    // citing tests only in prose cannot be machine-checked — quote the
+    // test name.
     val dir = java.nio.file.Paths.get("src/test/scala/graft")
     val files = java.nio.file.Files.list(dir)
     val corpus = try {
       val it = files.iterator()
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
         .filter(_.toString.endsWith(".scala"))
+        .filterNot(_.getFileName.toString == "FormulaAuditSpec.scala")
         .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         .mkString("\n")
     } finally files.close()
+    // the declared test universe: literal test/property names only
+    // (grep-verified: every suite in this repo declares names as plain
+    // string literals, never interpolated)
+    val testNames: Set[String] =
+      """(?:test|property)\(\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(corpus).map(_.group(1)).toSet
+    assert(testNames.size >= 200,
+      s"test-name extraction found only ${testNames.size} names — " +
+        "the declaration pattern drifted; fix the regex before trusting " +
+        "this gate")
+    val citation =
+      """(?<=^|[\s(;:—])'([^']{8,200})'(?=[\s).,;+—]|$)""".r
     val truths = registry.map { case (q, r) => q -> r.truth }
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     truths.foreach { case (q, t) =>
-      "'([^']{8,200})'".r.findAllMatchIn(t).map(_.group(1)).foreach { name =>
-        assert(corpus.contains(name),
-          s"$q cites test '$name' — not found in any test source")
+      citation.findAllMatchIn(t).map(_.group(1)).foreach { name =>
+        if (!testNames.exists(_.contains(name)))
+          bad += s"$q cites test '$name' — no test(\"...\")/" +
+            "property(\"...\") declaration contains it"
       }
       """\b([A-Z]\w+(?:Spec|Props))\b""".r.findAllMatchIn(t)
         .map(_.group(1)).foreach { suite =>
-          assert(corpus.contains(s"class $suite") ||
-              corpus.contains(s"object $suite"),
-            s"$q cites suite $suite — no such class/object defined")
+          if (!corpus.contains(s"class $suite") &&
+              !corpus.contains(s"object $suite"))
+            bad += s"$q cites suite $suite — no such class/object defined"
         }
     }
+    assert(bad.isEmpty, bad.mkString("\n  ", "\n  ", ""))
+  }
+
+  test("citation checker is not vacuous (kills a planted phantom)") {
+    // the ADVICE-r12 finding: the first cut of the check above passed
+    // even for nonexistent tests because the corpus contained this
+    // file's own registry literals. Prove the fixed check has teeth by
+    // asserting a planted phantom citation FAILS the same predicate the
+    // real check uses.
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val files = java.nio.file.Files.list(dir)
+    val corpus = try {
+      val it = files.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.toString.endsWith(".scala"))
+        .filterNot(_.getFileName.toString == "FormulaAuditSpec.scala")
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .mkString("\n")
+    } finally files.close()
+    val testNames: Set[String] =
+      """(?:test|property)\(\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(corpus).map(_.group(1)).toSet
+    val phantom = "zz99 this test name exists nowhere in the suite"
+    assert(!testNames.exists(_.contains(phantom)),
+      "the planted phantom unexpectedly matched a real test")
+    // and possessive apostrophes no longer open a citation: the
+    // mis-pairing ADVICE found captured "s row + StateBoundSpec " from
+    // "d57's row + StateBoundSpec 's51 ...'"
+    val citation =
+      """(?<=^|[\s(;:—])'([^']{8,200})'(?=[\s).,;+—]|$)""".r
+    val sample = "d57's row + StateBoundSpec 's51 state <= ShardN cells'"
+    assert(citation.findAllMatchIn(sample).map(_.group(1)).toSeq ==
+      Seq("s51 state <= ShardN cells"))
   }
 }

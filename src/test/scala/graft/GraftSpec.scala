@@ -4228,6 +4228,32 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("TopValAggregator ties break in UTF-8 byte order and are null-safe") {
+    import graft.functions.{TopValAggregator, ValCount}
+    val agg = new TopValAggregator(3)
+    // U+E000 (UTF-8: EE 80 80) sorts BELOW U+10000 (UTF-8: F0 90 80 80)
+    // in byte order, but Scala String '<' (UTF-16 code units: E000 vs
+    // surrogate D800) says the opposite — the divergence ADVICE r12
+    // flagged; the aggregator must match the UTF-8 binary collation of
+    // the rank window it replaced and of the DuckDB oracle
+    val priv = ""
+    val supp = new String(Character.toChars(0x10000))
+    assert(supp < priv, "UTF-16 premise drifted — pick new code points")
+    val in = Seq(ValCount(5L, supp), ValCount(5L, priv), ValCount(5L, "a"))
+    val out = in.foldLeft(agg.zero)(agg.reduce)
+    assert(out.map(_.v) == Seq("a", priv, supp))
+    // merge path agrees with the reduce path
+    val (l, r) = in.splitAt(1)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)) == out)
+    // null sorts first among equal counts (Spark asc = NULLS FIRST) and
+    // neither comparison direction NPEs
+    val wNull = agg.reduce(out, ValCount(5L, null))
+    assert(wNull.map(_.v) == Seq(null, "a", priv))
+    assert(agg.merge(Seq(ValCount(5L, null)), out).map(_.v) ==
+      Seq(null, "a", priv))
+  }
+
   test("e49 A/B readout equals a per-user direct recomputation") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, sf)
