@@ -124,17 +124,41 @@ object ScaleProbe100 {
           Left(s"${root.getClass.getSimpleName}: ${root.getMessage}")
         }
       }
+      // machine-readable ledger row (appended; the probe-coverage gate
+      // in tools/survey_lint.py reads this — every DECLARED query must
+      // have a row): {"q":..,"sf01_warm":..,"x100_cold":..,
+      // "x100_warm":..,"ratio":..} or {"q":..,"raised":"..."} when a
+      // scale guard fires at 100× (the measured at-scale behavior)
+      val ledger = sys.env.getOrElse("GRAFT_PROBE_LEDGER",
+        "docs/probe100.jsonl")
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ")
+      def record(json: String): Unit = {
+        val p = java.nio.file.Paths.get(ledger)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       (time(base), time(dir)) match {
         case (Right((bc, bw)), Right((xc, xw))) =>
           println(f"[probe100] $n%-24s sf0.1=$bw%7.2fs (cold $bc%7.2f)  " +
             f"100x=$xw%8.2fs (cold $xc%8.2f)  warm-ratio=${xw / bw}%6.1f  " +
             f"cold-ratio=${xc / bc}%6.1f")
+          record(f"""{"q":"$n","sf01_warm":$bw%.3f,"x100_cold":$xc%.3f,""" +
+            f""""x100_warm":$xw%.3f,"ratio":${xw / bw}%.2f}""")
+        case (Right((_, bw)), Left(msg)) =>
+          println(f"[probe100] $n  sf0.1=$bw%7.2fs  100x=RAISED[${msg.take(120)}]")
+          record(f"""{"q":"$n","sf01_warm":$bw%.3f,""" +
+            s""""raised":"${esc(msg.take(200))}"}""")
         case (b, x) =>
           def s(r: Either[String, (Double, Double)]) = r match {
             case Right((_, w)) => f"$w%7.2fs"
             case Left(msg) => s"RAISED[${msg.take(120)}]"
           }
           println(s"[probe100] $n  sf0.1=${s(b)}  100x=${s(x)}")
+          record(s"""{"q":"$n","error":"${
+            esc(s"sf0.1=${s(b)} 100x=${s(x)}".take(200))}"}""")
       }
     }
     spark.stop()
