@@ -61,15 +61,29 @@ object Det {
     * is sound. */
   val r4NumBound: Double = 4.0e14
 
+  /** The DECIMAL(38,0) analogue of [[r4NumBound]]: [[r4]]'s num·20000
+    * must stay within 38 digits, so |num| < 10³⁸/20000 = 5·10³³ — the
+    * envelope of the e57 decimal CUSUM branch (20 orders of magnitude
+    * of headroom over the int64 edge; a per-key history breaching THIS
+    * needs ~10¹⁴ events at cent magnitude 10⁴, i.e. repartition the
+    * problem, don't widen the type again). */
+  val r4DecBound: Double = 5.0e33
+
   /** Fail-fast integer-envelope guard: returns `v` when `bound` (an
     * a-priori per-key bound on the intermediate magnitudes, computed in
     * DOUBLE so the check itself cannot wrap) is below `limit`, else
     * raises with `tag`. The CASE/raise_error pattern stays inside
-    * whole-stage codegen — per-output-row cost, not per-input-row. */
-  def guarded(v: Column, bound: Column, limit: Double, tag: String): Column =
+    * whole-stage codegen — per-output-row cost, not per-input-row.
+    * `label` names the arithmetic envelope in the message; `hint` is
+    * the operator's remediation text — it should name a branch that
+    * RUNS (the r12 verdict: a raise pointing at code that doesn't
+    * exist is a dead end at 100 TB). */
+  def guarded(v: Column, bound: Column, limit: Double, tag: String,
+      label: String = "int64",
+      hint: String = "rerun with DECIMAL(38) arithmetic"): Column =
     when(bound < limit, v).otherwise(raise_error(concat(
-      lit(s"$tag: int64 envelope exceeded (bound "), bound.cast("string"),
-      lit(s" >= $limit) — rerun with DECIMAL(38) arithmetic"))))
+      lit(s"$tag: $label envelope exceeded (bound "), bound.cast("string"),
+      lit(s" >= $limit) — $hint"))))
 
   /** SQL fragments for the DuckDB oracle, mirroring the above exactly. */
   object sql {

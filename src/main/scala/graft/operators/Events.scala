@@ -728,30 +728,63 @@ object Events {
   def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame =
     cusumChangepointOf(Tables.events(spark, sfDir))
 
-  /** The e41 plan over an explicit events-shaped frame (user_id, ts,
-    * event_id, value) — split out (the spendConcentrationOf seam
+  /** e57: e41's DECIMAL(38) branch — the EXECUTABLE remediation e41's
+    * int64-envelope raise names (r12 verdict item 3: a raise pointing
+    * at arithmetic that doesn't exist in code is a dead end at 100 TB).
+    * Same plan, same one-exchange cost model; every intermediate
+    * (cents, P_t, running min, C_max) is DECIMAL(38,0) instead of
+    * BIGINT, moving the per-key envelope from 4·10¹⁴ to 5·10³³
+    * ([[Det.r4DecBound]]) — ~10¹⁴ events per key at cent magnitude 10⁴,
+    * beyond any per-entity history. Oracle = e41's text VERBATIM (the
+    * x05/s49 cross-face discipline): DuckDB's windowed integer sums are
+    * HUGEINT (128-bit) already, so ONE oracle is exact truth for both
+    * faces; on the overlap region (any input inside the int64 envelope)
+    * the two branches are value-identical by construction — pinned in
+    * GraftSpec on the fixture AND on a synthetic set past the int64
+    * edge where e41 RAISES and this branch returns the BigInt truth.
+    * Decimal aggregation costs ~2-3× int64 per row (unscaled Decimal
+    * ops, no whole-stage primitive longs), which is why the int64
+    * branch stays the declared default and this is the fence-crossing
+    * path. */
+  def cusumChangepointDecimal(spark: SparkSession, sfDir: String): DataFrame =
+    cusumChangepointOf(Tables.events(spark, sfDir), dec128 = true)
+
+  /** The e41/e57 plan over an explicit events-shaped frame (user_id,
+    * ts, event_id, value) — split out (the spendConcentrationOf seam
     * pattern) so GuardProbe can drive the [[Det.guarded]] envelope to
     * its measured per-key firing edge with synthetic histories the
-    * fixtures cannot reach. */
-  private[graft] def cusumChangepointOf(ev: DataFrame): DataFrame = {
+    * fixtures cannot reach. `dec128` selects the DECIMAL(38,0)
+    * arithmetic branch (e57); both branches share this one plan shape
+    * so they cannot drift structurally. */
+  private[graft] def cusumChangepointOf(ev: DataFrame,
+      dec128: Boolean = false): DataFrame = {
     import ev.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id")
     val ord = byUser.orderBy($"ts", $"event_id")
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val centsTy = if (dec128) "DECIMAL(38,0)" else "BIGINT"
+    val guardedC =
+      if (dec128)
+        Det.guarded($"c", lit(2.0) * $"n" * $"n" * $"maxc".cast("double"),
+          Det.r4DecBound, "e57", label = "decimal128",
+          hint = "partition the per-key history; no wider arithmetic exists")
+      else
+        Det.guarded($"c", lit(2.0) * $"n" * $"n" * $"maxc",
+          Det.r4NumBound, "e41",
+          hint = "rerun with DECIMAL(38) arithmetic " +
+            "(declared branch e57_cusum_decimal / cusumChangepointDecimal)")
     ev
-      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("cents", expr(s"CAST(round(value * 100, 0) AS $centsTy)"))
       .withColumn("n", count(lit(1)).over(byUser))
       .withColumn("sx", sum($"cents").over(byUser))
       .withColumn("maxc", max(abs($"cents")).over(byUser))
       .withColumn("p", sum(lit(1L) * $"n" * $"cents" - $"sx").over(run))
-      .withColumn("c", $"p" - least(lit(0L), min($"p").over(run)))
+      .withColumn("c", $"p" - least(lit(0L).cast(centsTy), min($"p").over(run)))
       .withColumn("rn", row_number().over(
         byUser.orderBy($"c".desc, $"ts", $"event_id")))
       .filter($"rn" === 1)
       .select($"user_id", $"n".as("n_events"),
-        Det.r4(Det.guarded($"c",
-          lit(2.0) * $"n" * $"n" * $"maxc", Det.r4NumBound, "e41"),
-          $"n" * 100L).as("cusum_max"),
+        Det.r4(guardedC, $"n" * 100L).as("cusum_max"),
         $"ts".as("cp_ts"), $"event_id".as("cp_event_id"))
       .orderBy($"user_id")
   }
@@ -1635,6 +1668,7 @@ object Events {
     "e39_rolling_anomaly" -> rollingAnomalies _,
     "e40_grid_interpolate" -> gridInterpolate _,
     "e41_cusum_changepoint" -> cusumChangepoint _,
+    "e57_cusum_decimal" -> cusumChangepointDecimal _,
     "e42_ohlc_bars" -> ohlcBars _,
     "e43_seasonality" -> seasonality _,
     "e01_json_extract"   -> jsonExtract _,
@@ -1662,6 +1696,35 @@ object Events {
   )
 
   private val D = Det.sql
+
+  /** e41's oracle text, shared VERBATIM with e57 (its DECIMAL(38)
+    * branch) — registered as a FormulaAudit fragment so both faces
+    * carry audit rows naming their independent-truth pins. */
+  private[graft] val cusumOracle: String =
+    s"""WITH c AS (SELECT user_id, ts, event_id,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    sum(CAST(round(value * 100, 0) AS BIGINT))
+       |      OVER (PARTITION BY user_id) AS sx
+       |  FROM events),
+       |p AS (SELECT user_id, ts, event_id, n,
+       |    sum(n * cents - sx) OVER win AS p
+       |  FROM c
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |cu AS (SELECT user_id, ts, event_id, n,
+       |    p - least(0, min(p) OVER win) AS cusum
+       |  FROM p
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |r AS (SELECT user_id, ts, event_id, n, cusum,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY cusum DESC, ts, event_id) AS rn
+       |  FROM cu)
+       |SELECT user_id, n AS n_events,
+       |  ${D.r4("cusum", "n * 100")} AS cusum_max,
+       |  ts AS cp_ts, event_id AS cp_event_id
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // per-user RFM collapse, epoch-µs recency floor-div, ntile(4) over
@@ -2029,31 +2092,12 @@ object Events {
          |ORDER BY user_id, grid_ts""".stripMargin,
     // p/c go HUGEINT mid-CTE (DuckDB widens windowed sum), which is
     // fine — the only OUTPUT they feed is r4's final /10000.0 DOUBLE
-    "e41_cusum_changepoint" ->
-      s"""WITH c AS (SELECT user_id, ts, event_id,
-         |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
-         |    count(*) OVER (PARTITION BY user_id) AS n,
-         |    sum(CAST(round(value * 100, 0) AS BIGINT))
-         |      OVER (PARTITION BY user_id) AS sx
-         |  FROM events),
-         |p AS (SELECT user_id, ts, event_id, n,
-         |    sum(n * cents - sx) OVER win AS p
-         |  FROM c
-         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING)),
-         |cu AS (SELECT user_id, ts, event_id, n,
-         |    p - least(0, min(p) OVER win) AS cusum
-         |  FROM p
-         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING)),
-         |r AS (SELECT user_id, ts, event_id, n, cusum,
-         |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY cusum DESC, ts, event_id) AS rn
-         |  FROM cu)
-         |SELECT user_id, n AS n_events,
-         |  ${D.r4("cusum", "n * 100")} AS cusum_max,
-         |  ts AS cp_ts, event_id AS cp_event_id
-         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e41_cusum_changepoint" -> cusumOracle,
+    // e57 is e41's DECIMAL(38) arithmetic branch: ONE oracle text
+    // serves both faces verbatim (the x05/s49 cross-face discipline) —
+    // DuckDB's windowed integer sums are HUGEINT already, so the same
+    // SQL is exact truth for either engine-side arithmetic width
+    "e57_cusum_decimal" -> cusumOracle,
     // ss_res/ss_tot go HUGEINT mid-CTE (windowed/grouped sums) — only
     // r4's DOUBLE reaches the output schema; the rounding of residuals
     // to integer cents mirrors Det.fdiv(2·num+den, 2·den) exactly

@@ -74,6 +74,33 @@ object GuardProbe {
       rows += (("e41 (2·n²·max|c|)", s"n=$n/key", f"$bound%.2e",
         outcome(graft.operators.Events.cusumChangepointOf(history(n)))))
     }
+    // e57 — e41's DECIMAL(38) branch: must RUN where e41's int64 guard
+    // fires (the raise names it as the remediation), and its own
+    // envelope (2·n²·max|c| vs Det.r4DecBound = 5e33) must fire on a
+    // synthetic magnitude breach (cent magnitude ~1e29 at n=300:
+    // bound 1.8e34 ≥ 5e33 — unreachable by count alone, so the breach
+    // axis here is VALUE magnitude)
+    for (n <- Seq(150000L, 300000L)) {
+      val bound = 2.0 * n * n * 10600.0
+      rows += (("e57 decimal (at e41's firing edge)", s"n=$n/key",
+        f"$bound%.2e (int64 edge)",
+        outcome(graft.operators.Events.cusumChangepointOf(
+          history(n), dec128 = true))))
+    }
+    locally {
+      def hugeHistory(n: Long, mag: Double): DataFrame = spark.range(n)
+        .select(lit(1L).as("user_id"),
+          timestamp_micros($"id" * 3600000000L).as("ts"),
+          $"id".as("event_id"),
+          (lit(mag) * (lit(1.0) + ($"id" % 7).cast("double"))).as("value"))
+      for ((n, mag) <- Seq((300L, 1.0e24), (300L, 1.0e27))) {
+        val bound = 2.0 * n * n * mag * 100.0 * 7.0
+        rows += (("e57 decimal (2·n²·max|c| vs 5e33)",
+          s"n=$n/key, |value|~${mag}", f"$bound%.2e",
+          outcome(graft.operators.Events.cusumChangepointOf(
+            hugeHistory(n, mag), dec128 = true))))
+      }
+    }
     for (n <- Seq(300000L, 1000000L, 1200000L)) {
       val bound = 4.0 * n * 10600.0 * 10600.0
       rows += (("e43 (4·n·max|c|²)", s"n=$n/key", f"$bound%.2e",

@@ -45,7 +45,8 @@ object FormulaAudit {
         "funnel-stages" ->
           graft.operators.Events.oracles("e44_funnel_stages"),
         "attribution" ->
-          graft.operators.Events.oracles("e47_attribution"))
+          graft.operators.Events.oracles("e47_attribution"),
+        "cusum-prefix" -> graft.operators.Events.cusumOracle)
 
   val registry: Map[String, AuditRow] = Map(
     // ---- HLL family (hll-registers / hll-estimate) --------------------
@@ -282,6 +283,22 @@ object FormulaAudit {
       "same cells as d57 via ShardStatsProcessor ValueState fold",
       "d57's row + StateBoundSpec 's51 state rows == occupied shards, hard-capped " +
         "at ShardN' + GraftSpec cross-face equality (streamed cells == batch cells)"),
+    // ---- CUSUM prefix-sum identity (cusum-prefix, e41 text shared
+    // verbatim with e57, its DECIMAL(38) arithmetic branch) -------------
+    "e41_cusum_changepoint" -> AuditRow(
+      "prefix-sum identity C_t = P_t - min(0, min prefix P); n-scaled " +
+        "integer residuals; int64 arithmetic + 2n^2*max|c| envelope guard",
+      "GraftSpec: 'e57 decimal CUSUM equals e41 on the overlap region and " +
+        "runs past the int64 edge' (cross-branch identity on the fixture; " +
+        "past the edge the BigInt recomputation is the independent truth); " +
+        "DetProps pins r4/fdiv semantics"),
+    "e57_cusum_decimal" -> AuditRow(
+      "same plan with DECIMAL(38,0) intermediates; 5e33 envelope guard " +
+        "(Det.r4DecBound)",
+      "GraftSpec: 'e57 decimal CUSUM equals e41 on the overlap region and " +
+        "runs past the int64 edge' (exact equality vs a driver-side BigInt " +
+        "recomputation — an independent arithmetic path — on a synthetic " +
+        "history where e41's int64 guard RAISES)"),
     // ---- water-filling mixture budget (waterfill-alloc) ----------------
     "d58_mix_budget" -> AuditRow(
       "closed-form capping inequality cap_i*(n-i+1) <= B-P_{i-1} " +

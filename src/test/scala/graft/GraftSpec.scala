@@ -4228,6 +4228,56 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("e57 decimal CUSUM equals e41 on the overlap region and runs past the int64 edge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // overlap region: the fixture — both arithmetic branches must be
+    // value-identical (exact integer arithmetic either way)
+    val a = graft.operators.Events.cusumChangepoint(spark, sf).collect()
+    val b = graft.operators.Events.cusumChangepointDecimal(spark, sf).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // past the int64 edge: one key, 600 events at value ~1e7 (cents
+    // 1e9): bound 2*600^2*1e9 = 7.2e14 >= 4e14 — e41 RAISES (naming the
+    // branch that runs), e57 returns the exact BigInt truth
+    val hot = spark.range(600).select(lit(1L).as("user_id"),
+      timestamp_micros($"id" * 1000000L).as("ts"), $"id".as("event_id"),
+      (lit(1.0e7) + when($"id" >= 300, 37.0).otherwise(0.0) +
+        ($"id" % 13).cast("double")).as("value"))
+    val raised = intercept[Throwable] {
+      graft.operators.Events.cusumChangepointOf(hot).collect()
+    }
+    val msgs = Iterator.iterate(raised)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("e41: int64 envelope exceeded"))
+    assert(msgs.contains("e57_cusum_decimal"),
+      "the raise text must name the executable branch")
+    val got = graft.operators.Events
+      .cusumChangepointOf(hot, dec128 = true).collect()
+    // independent truth: plain-Scala BigInt CUSUM (different arithmetic
+    // path: BigInt prefix sums + explicit floor division, not Spark
+    // Decimal), on the collected history
+    val hist = hot.collect().map(r => (r.getLong(2),
+      BigInt(math.round(r.getDouble(3) * 100))))
+    val n = BigInt(hist.length)
+    val sx = hist.map(_._2).sum
+    var p = BigInt(0); var minP = BigInt(0)
+    var bestC = BigInt(-1); var bestId = -1L
+    hist.sortBy(_._1).foreach { case (id, c) =>
+      p += n * c - sx
+      if (p < minP) minP = p
+      val cu = p - (if (minP < 0) minP else BigInt(0))
+      if (cu > bestC) { bestC = cu; bestId = id }
+    }
+    def floorDiv(x: BigInt, y: BigInt): BigInt = (x - x.mod(y)) / y
+    val den = n * 100
+    val want = floorDiv(bestC * 20000 + den, den * 2).toDouble / 10000.0
+    assert(got.length == 1)
+    val row = got.head
+    assert(row.getAs[Long]("n_events") == 600L)
+    assert(row.getAs[Double]("cusum_max") == want)
+    assert(row.getAs[Long]("cp_event_id") == bestId)
+  }
+
   test("TopValAggregator ties break in UTF-8 byte order and are null-safe") {
     import graft.functions.{TopValAggregator, ValCount}
     val agg = new TopValAggregator(3)
