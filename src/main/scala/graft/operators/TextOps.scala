@@ -24,2534 +24,12 @@ import graft.functions.Det.r4
   *    DISTINCT (doc, shingle) and would be salted/AQE-skew-split on a
   *    real cluster.
   */
-object TextOps {
-
-  private[graft] def docsWithToks(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
-
-  /** Exact dedup under bag-of-words normalization: documents whose
-    * sorted distinct-token set is identical form one dup group. */
-  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .withColumn("norm_hash",
-        md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
-      .groupBy($"norm_hash")
-      .agg(min($"doc_id").as("keep_id"),
-        count(lit(1)).as("n_copies"),
-        expr("array_join(transform(array_sort(collect_set(doc_id)), x -> cast(x as string)), ',')")
-          .as("members"))
-      .orderBy($"keep_id")
-  }
-
-  /** Text normalization + canonical dedup: lowercase, strip
-    * non-alphanumerics, collapse whitespace; fingerprint the normalized
-    * text and map every document to the minimum doc_id sharing its
-    * fingerprint — the pre-pass that catches case/punctuation-only
-    * duplicates before any fuzzy dedup runs. Pure per-row codegen
-    * (lower/regexp_replace/md5) plus ONE hash-partitioned window by
-    * fingerprint — no joins; at 100 TB the fingerprint groups are tiny,
-    * so the window shuffle is skew-free. */
-  def normalizeDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .withColumn("norm",
-        trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
-      .select($"doc_id",
-        md5($"norm").as("norm_md5"),
-        size(split($"norm", " ")).cast("long").as("n_norm_tokens"))
-      .withColumn("canonical_id",
-        min($"doc_id").over(Window.partitionBy($"norm_md5")))
-      .orderBy($"doc_id")
-  }
-
-  /** Corpus term frequencies: top-50 tokens with doc frequencies. */
-  def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .select($"doc_id", explode($"toks").as("term"))
-      .groupBy($"term")
-      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
-      .orderBy(desc("n"), $"term")
-      .limit(50)
-  }
-
-  /** Per-language corpus stats. */
-  def langStats(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct($"source").as("n_sources"),
-        round(sum($"n_chars") / count(lit(1)).cast("double"), 2).as("avg_chars"),
-        sum(size($"toks")).as("total_tokens"))
-      .orderBy($"lang")
-  }
-
-  /** Per-document quality scoring: type-token ratio, stopword ratio,
-    * average token length, length factor → composite score.
-    *
-    * Every output is a RATIONAL (integer counts over n_tokens) rounded
-    * to 4 dp — so the rounding runs in exact integer arithmetic:
-    * round(10⁴·num/den) half-up = (2·10⁴·num + den) div (2·den). A
-    * double-then-round pipeline puts ties at the 5th decimal at the
-    * mercy of each engine's last ulp (found at sf0.1: one doc rounded
-    * 0.6588 in Spark vs 0.6587 in DuckDB); the integer form is the
-    * mathematically-correct rounding and is identical in both engines
-    * by construction. */
-  /** Per-doc quality columns (incl. source), unordered — ONE definition
-    * of the quality expression shared by d04's report and d34's capping
-    * (mirroring the shared [[qualityCte]] on the oracle side). Pure map
-    * work over the documents scan. */
-  private def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .withColumn("n_tokens", size($"toks").cast("long"))
-      .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))"))
-          .cast("long"))
-      // 0.4·u/n + 0.3·(1−s/n) + 0.3·min(1, n/100), over denominator n:
-      // numerator = 0.4u + 0.3(n−s) + 0.3·min(100,n)/100·n, ×10⁴ →
-      // (4000u + 3000(n−s) + 30·min(100,n)·n) / n
-      .withColumn("quality",
-        r4($"n_uniq" * 4000L + ($"n_tokens" - $"n_stop") * 3000L
-            + least(lit(100L), $"n_tokens") * 30L * $"n_tokens",
-          $"n_tokens" * 10000L))
-  }
-
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // exact half-up rounding of num/den to 4 dp, in integer space
-    // (`div` = Spark's integral-divide function)
-    qualityBase(spark, sfDir)
-      .select(
-        $"doc_id",
-        $"n_tokens",
-        $"n_uniq",
-        r4($"n_uniq", $"n_tokens").as("ttr"),
-        r4($"n_chars" - ($"n_tokens" - 1), $"n_tokens").as("avg_tok_len"),
-        r4($"n_stop", $"n_tokens").as("stop_ratio"),
-        $"quality")
-      .orderBy($"doc_id")
-  }
-
-  // d31 denylist: sensitive terms masked as whole words. The fixture
-  // vocabulary has no literal emails/phones, so the DICTIONARY face of
-  // PII redaction is what is exercised — the regex plumbing (word
-  // boundaries, global replace, match counting) is identical for
-  // pattern-based PII; \b means the same thing to Java regex (Spark)
-  // and RE2 (DuckDB) on this ASCII corpus.
-  private val RedactPat = "\\b(customer|key|value)\\b"
-
-  /** d31: denylist redaction — the PII-masking pass of a training-data
-    * pipeline: every occurrence of a sensitive term is replaced with a
-    * mask token, and each document reports its match count plus an md5
-    * of the REDACTED text (so the oracle verifies the actual
-    * replacement output, not just the counts).
-    *
-    * Scale: pure map work — one codegen'd projection per document, no
-    * shuffle, no state; the ordering exchange is the declared-output
-    * contract, not part of the operator. */
-  def redact(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        size(regexp_extract_all($"text", lit(RedactPat), lit(0)))
-          .cast("long").as("n_masked"),
-        md5(regexp_replace($"text", RedactPat, "<MASK>")).as("masked_md5"))
-      .orderBy($"doc_id")
-  }
-
-  // d34 per-source token budget (binds at every fixture sf: each
-  // source's corpus is well past 600 tokens)
-  private val SourceCapTokens = 600L
-
-  /** d34: per-source token caps — the data-mix curation op: within each
-    * source, documents are admitted best-quality-first (d04's quality
-    * score, doc_id tiebreak) until the source's token budget is spent;
-    * every document reports its running total and keep/drop verdict.
-    * This is how a 100 TB mix enforces "no source exceeds X tokens"
-    * deterministically — no sampling RNG, reruns are identical.
-    *
-    * Scale: one hash exchange on source + one in-partition sort (the
-    * window) — the quality columns ride the documents scan
-    * ([[qualityBase]]), so there is NO join anywhere; token sums are
-    * exact int64. The quality ordering key is the integer-rational r4 —
-    * bit-identical in both engines, so the cut line cannot drift on a
-    * float tie. */
-  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"source")
-      .orderBy(desc("quality"), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qualityBase(spark, sfDir)
-      .select($"doc_id", $"source", $"n_tokens", $"quality")
-      .withColumn("cum_tokens", sum($"n_tokens").over(w))
-      .select($"doc_id", $"source", $"n_tokens", $"quality",
-        $"cum_tokens",
-        ($"cum_tokens" <= SourceCapTokens).as("kept"))
-      .orderBy($"doc_id")
-  }
-
-  /** Document fingerprints: whole-text md5/sha256 + winnowing-style
-    * min-shingle fingerprint (min md5 over 5-token shingles). */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .select($"doc_id",
-        md5($"text").as("md5_text"),
-        sha2($"text", 256).as("sha256_text"),
-        // guard: size(toks) < 5 would make sequence(0, size-5) descend
-        // into bogus partial shingles; the oracle's empty range yields
-        // NULL, so emit NULL for short documents on this side too
-        expr("""CASE WHEN size(toks) >= 5 THEN
-               array_min(transform(sequence(0, size(toks)-5),
-               g -> md5(concat_ws(' ', toks[g], toks[g+1], toks[g+2], toks[g+3], toks[g+4]))))
-               END""")
-          .as("min_shingle_md5"))
-      .orderBy($"doc_id")
-  }
-
-  // MinHash permutations as universal hashes h_i(x) = (a_i·x + b_i) mod p
-  // over a 31-bit base hash x of the shingle (first 8 hex chars of its
-  // md5, mod p). p = 2^31−1 (Mersenne prime); a_i < p and x < p keep
-  // a_i·x + b_i < 2^62 — exact int64 arithmetic in BOTH engines (DuckDB
-  // BIGINT errors on overflow, so the bound is load-bearing). The
-  // constants derive from an LCG formula; they are inlined as literals
-  // on the Spark side and interpolated into the oracle SQL from the
-  // SAME Scala values, so the two engines agree by construction.
-  private[graft] val MhP = 2147483647L
-  private[graft] val MhA: IndexedSeq[Long] =
-    (0 until 16).map(i => (1103515245L * (i + 1) + 12345L) % MhP)
-  private[graft] val MhB: IndexedSeq[Long] =
-    (0 until 16).map(i => (2654435761L * i + 1013904223L) % MhP)
-  /** DuckDB inline seed relation `seeds(s, a, b)`, 16 rows. */
-  private def mhSeedsSql: String =
-    (0 until 16).map(i => s"(${i}, ${MhA(i)}, ${MhB(i)})")
-      .mkString("(VALUES ", ", ", ") seeds(s, a, b)")
-
-  /** Per-document MinHash signature: array of the 16 permutation minima
-    * over the document's distinct 3-token shingles.
-    *
-    * Scale notes: ONE codegen'd md5 per (doc, shingle) row produces the
-    * base hash; the 16 permutations are pure int64 arithmetic fused into
-    * the map-side-combined hash-agg (16 `min` columns). An earlier
-    * version hashed every distinct shingle 16× inside a `transform`
-    * lambda and shared the result via join — but higher-order-function
-    * lambdas are CodegenFallback (interpreted per element), so 16
-    * interpreted md5s per shingle cost far more than one codegen'd md5,
-    * AND the distinct+join added two shuffles. This shape is one
-    * explode → one shuffle (the groupBy), nothing else. */
-  private[graft] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // documents is one parquet file → one input partition; spread the
-    // shingle/hash work across cores before the heavy transforms (on a
-    // cluster the source would already be many splits)
-    val par = spark.sparkContext.defaultParallelism
-    docsWithToks(spark, sfDir)
-      .repartition(par)
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-      .withColumn("x",
-        expr("conv(substr(md5(s), 1, 8), 16, 10)").cast("long") % MhP)
-      .groupBy($"doc_id")
-      .agg(array((0 until 16).map(i =>
-        min((lit(MhA(i)) * $"x" + lit(MhB(i))) % MhP)): _*).as("sig"))
-  }
-
-  /** MinHash signatures (16 md5-permutations over distinct 3-token
-    * shingles) + LSH banding (4 bands × 4 rows): candidate pairs come
-    * ONLY from full band-hash collisions, estimated Jaccard = matching
-    * signature fraction over candidates. Shingling (not raw tokens) is
-    * what makes MinHash discriminative when the vocabulary is small
-    * relative to the corpus.
-    *
-    * Scale design: the self-join key is (band, band_hash) — all 4 rows
-    * of a band must collide to create a candidate, so bucket sizes stay
-    * near-constant and the join is linear in candidates, never the
-    * near-quadratic "any 1/16 seeds collide" blowup. The verify step
-    * compares the two 16-entry signature arrays with zip_with inside
-    * codegen — no flat (doc, seed, h) table is ever shuffled. */
-  // Materialized intermediates shared by every consumer in the session
-  // (d06 builds signatures + pairs; d12 reuses the pairs for
-  // clustering): the checkpoint blocks already live on the executors,
-  // so recomputing the pipeline per caller would only burn CPU. Each
-  // entry holds the owning session strongly, so its identity hash
-  // cannot be recycled while the entry lives, and lookups re-check the
-  // session by REFERENCE (`eq`) — a different live session that
-  // collides on hash recomputes instead of receiving a foreign
-  // DataFrame. Entries of stopped contexts are evicted on every
-  // access, so a long-lived JVM hosting many sessions can't pin dead
-  // sessions' checkpoint blocks.
-  private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), (SparkSession, Long, Any)]
-
-  /** Combined mtime stamp of the corpus fixtures an entry may derive
-    * from (documents / embeddings / events under sfDir) — the
-    * skewStatsCache/cachedScratchDir invalidation discipline applied
-    * to the whole dfCache (r10 ADVICE: ivf_assigned had no fixture
-    * guard): a regenerated fixture at the same path changes the stamp,
-    * so the stale entry is rebuilt instead of served. Missing files
-    * stamp as 0, which still changes when the file appears. */
-  private def fixtureStamp(sfDir: String): Long =
-    Seq("documents", "embeddings", "events").foldLeft(0L) { (acc, t) =>
-      acc * 1000003L +
-        new java.io.File(s"$sfDir/$t.parquet").lastModified()
-    }
-
-  /** The session-keyed cache discipline, generic in the value (one
-    * definition — DataFrames go through [[cached]] which adds the
-    * localCheckpoint; non-DF artifacts like the BPE run pair use this
-    * directly). Entries are guarded by [[fixtureStamp]]: a stale stamp
-    * rebuilds in place (the put overwrites, so at most one entry per
-    * key ever lives). */
-  private[operators] def sessionCached[A](spark: SparkSession, sfDir: String,
-      what: String)(build: => A): A = {
-    dfCache.filterInPlace { case (_, (s, _, _)) => !s.sparkContext.isStopped }
-    val stamp = fixtureStamp(sfDir)
-    val key = (System.identityHashCode(spark), sfDir, what)
-    dfCache.get(key)
-      .filter { case (s, st, _) => (s eq spark) && st == stamp }
-      .map(_._3.asInstanceOf[A])
-      .getOrElse {
-        val v = build
-        dfCache.put(key, (spark, stamp, v))
-        v
-      }
-  }
-
-  private[operators] def cached(spark: SparkSession, sfDir: String, what: String)(
-      build: => DataFrame): DataFrame =
-    sessionCached(spark, sfDir, what)(build.localCheckpoint())
-
-  private[graft] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "lsh_pairs") {
-      minhashLshUncached(spark, sfDir)
-    }
-
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    // total order applied OUTSIDE the checkpoint — see [[graft.operators
-    // .VectorOps.lshNearDup]]: checkpointing a sorted plan adds the range
-    // sampler's extra pass over the band join, and d12 doesn't need it
-    lshPairs(spark, sfDir).orderBy("d1", "d2")
-
-  /** LSH band table (doc_id, band, bh): one row per (doc, band), band
-    * hash = the 4 signature entries of that band joined as a string.
-    * Shared by d06's candidate self-join and the s24 streaming
-    * incremental near-dup ([[graft.streaming.StreamOps]]), so the band
-    * definition cannot drift between the batch and streaming faces. */
-  private[graft] def lshBands(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
-    sigs.select($"doc_id", explode(expr(
-      """transform(sequence(0, 3),
-        b -> struct(b AS band,
-          array_join(transform(slice(sig, b*4 + 1, 4),
-            v -> cast(v as string)), '|') AS bh))""")).as("x"))
-      .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
-  }
-
-  private def minhashLshUncached(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // One row per doc; materialized once and read by the band join (both
-    // sides) and the two verify joins — at 1B docs this is ~0.5 TB spread
-    // across executors, well within a cluster's storage fraction.
-    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
-    val bands = lshBands(spark, sfDir)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-    cand
-      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
-      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
-      .select($"d1", $"d2",
-        round(expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))") / lit(16.0), 4)
-          .as("est_jaccard"))
-      .filter($"est_jaccard" >= 0.5)
-  }
-
-  /** d35: triangle count + local clustering coefficient per node over
-    * the d06 MinHash near-dup graph — the graph-STRUCTURE signal on top
-    * of the pair list: a high-coefficient neighborhood is a coherent
-    * duplicate community (exact/near copies of one underlying text,
-    * safe to collapse to a canonical doc), while a high-degree node
-    * with near-zero coefficient is a template/boilerplate attractor
-    * chaining unrelated documents — review it, don't collapse it.
-    *
-    * Scale design: the classic distributed triangle enumeration —
-    * edges stay in canonical d1<d2 orientation, so each triangle
-    * a<b<c is found exactly once by joining (a,b)⋈(b,c) on the shared
-    * middle vertex and closing with a hash probe of (a,c). Both steps
-    * are hash equi-joins on vertex keys (never an adjacency
-    * cross-product); degrees and per-node counts are map-side-partial
-    * hash-aggs. On a skewed graph the canonical orientation bounds the
-    * join fan-out (a degree-d hub only pairs its HIGHER-id neighbors)
-    * — same reason the order-by-degree variant is the production
-    * standard. The coefficient 2T/(d·(d−1)) is [[graft.functions.Det
-    * .r4]] exact; the pair table is the same session-cached checkpoint
-    * d06/d12/d21 read. */
-  def dupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val p = lshPairs(spark, sfDir).select($"d1", $"d2")
-    val deg = p.select($"d1".as("doc_id"))
-      .unionAll(p.select($"d2".as("doc_id")))
-      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
-    val closing = p.select($"d1".as("a"), $"d2".as("c"))
-    val tri = p.as("ab")
-      .join(p.as("bc"), col("ab.d2") === col("bc.d1"))
-      .select(col("ab.d1").as("a"), col("ab.d2").as("b"), col("bc.d2").as("c"))
-      .join(closing, Seq("a", "c"))
-    val cnt = tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
-    deg.join(cnt, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_triangles"))
-      .select($"doc_id", $"degree", $"n_triangles",
-        when($"degree" < 2, lit(0.0))
-          .otherwise(r4($"n_triangles" * 2L, $"degree" * ($"degree" - 1L)))
-          .as("clustering"))
-      .orderBy($"doc_id")
-  }
-
-  /** d38: label-propagation communities (LPA) over the d06 near-dup
-    * graph — the community-detection complement to connected components
-    * (d12 finds everything reachable; LPA finds DENSELY-linked groups,
-    * so a boilerplate bridge between two real dup families doesn't glue
-    * them into one cluster): 3 synchronous rounds, each node adopting
-    * its neighbors' most frequent label (count desc, min label
-    * tiebreak — all-integer, bit-identical in both engines).
-    *
-    * Scale design: per round ONE hash join of the edge list with the
-    * label table on the source key + two hash-aggs (neighbor-label
-    * counts, per-node argmax as a (count, −label) struct max) — never
-    * an adjacency matrix, never a window over the full edge set;
-    * per-round localCheckpoint keeps lineage flat like d29. Reads the
-    * same cached pair checkpoint as d12/d21/d35. */
-  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val p = lshPairs(spark, sfDir).select($"d1", $"d2")
-    val e = p.unionAll(p.select($"d2".as("d1"), $"d1".as("d2")))
-      .localCheckpoint()
-    var lab = e.select($"d1".as("node")).distinct()
-      .withColumn("label", $"node")
-      .localCheckpoint()
-    for (_ <- 1 to 3) {
-      val best = e.join(lab, $"d1" === $"node")
-        .groupBy($"d2", $"label").agg(count(lit(1)).as("c"))
-        .groupBy($"d2")
-        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
-        .select($"d2".as("node"), (-$"m.nl").as("newlab"))
-      lab = lab.join(best, Seq("node"), "left")
-        .select($"node", coalesce($"newlab", $"label").as("label"))
-        .localCheckpoint()
-    }
-    lab.select($"node".as("doc_id"), $"label".as("community"))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy($"community")))
-      .orderBy($"doc_id")
-  }
-
-  /** d42: systematic PPS sampling (probability proportional to size) —
-    * the token-budget complement to d13's Bernoulli hash sampling: per
-    * source, documents in doc_id order span a cumulative token axis;
-    * sampling points sit at every multiple of step = ⌈total/20⌉, and a
-    * document is drawn once per point inside its span (long documents
-    * can be drawn multiple times — that IS pps-with-replacement, the
-    * upsampling a quality-weighted data mix performs). Zero RNG: the
-    * draw is a pure integer function of the ordered cumulative sums,
-    * so any engine reproduces it bit-for-bit.
-    *
-    * Scale design: one window cumsum per source (single exchange —
-    * same shape as d17's packing), one broadcast of the 20-row
-    * per-source totals, and a pure map filter; nothing global, no
-    * sort beyond the per-source window order. */
-  def ppsSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val t = docsWithToks(spark, sfDir)
-      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
-      .withColumn("cum", sum($"n_tok").over(w))
-    val totals = t.groupBy($"source")
-      .agg(max($"cum").as("total"))
-      .select($"source",
-        call_function("div", $"total" + 19L, lit(20L)).as("step"))
-    t.join(broadcast(totals), "source")
-      // sampling points k·step (k ≥ 1) inside (cum − n_tok, cum]
-      .withColumn("n_picks",
-        call_function("div", $"cum", $"step") -
-          call_function("div", $"cum" - $"n_tok", $"step"))
-      .filter($"n_picks" > 0)
-      .select($"source", $"doc_id", $"n_tok", $"n_picks")
-      .orderBy($"source", $"doc_id")
-  }
-
-  /** d41: top-20 token pairs by document-level PMI — the
-    * distributional-semantics co-occurrence statistic (collocation
-    * mining / phrase discovery for tokenizer seeding): PMI(a,b) =
-    * ln(N·c(a,b) / (c(a)·c(b))) over document co-occurrence counts,
-    * micro-rounded to 10⁻⁴ integer units (the d33 contract: ONE
-    * engine-matching double op per pair, then exact integer ordering).
-    *
-    * Scale design: the pair table comes from a SELF-JOIN of the
-    * per-doc distinct-token list keyed on doc_id — per-doc output is
-    * c(doc)² in DISTINCT tokens (bounded by doc length, the standard
-    * co-occurrence bound), never vocabulary². Marginals are one
-    * hash-agg; at fixture scale they broadcast, at web scale the same
-    * joins run shuffled on the token key. The c(a,b) ≥ 5 support
-    * filter prunes before the marginal joins. */
-  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dt = docsWithToks(spark, sfDir)
-      .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
-    val nDocs = Tables.documents(spark, sfDir)
-      .agg(count(lit(1)).as("n_total"))
-    val marg = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
-    val pairs = dt.as("a")
-      .join(dt.as("b"), $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
-      .groupBy($"a.tok".as("ta"), $"b.tok".as("tb"))
-      .agg(count(lit(1)).as("cab"))
-      .filter($"cab" >= 5)
-    pairs
-      .join(broadcast(marg.select($"tok".as("ta"), $"c".as("ca"))), "ta")
-      .join(broadcast(marg.select($"tok".as("tb"), $"c".as("cb"))), "tb")
-      .crossJoin(broadcast(nDocs))
-      .select($"ta", $"tb", $"cab", $"ca", $"cb",
-        round(log(($"cab" * $"n_total") / ($"ca" * $"cb").cast("double"))
-          * 10000).cast("long").as("pmi_micro"))
-      .orderBy(desc("pmi_micro"), $"ta", $"tb").limit(20)
-  }
-
-  /** 16-bit SimHash over term-frequency-weighted md5 bits; identical
-    * signatures bucket together (n_bucket = docs sharing the hash). */
-  /** Per-doc SimHash bit string of the given width (≤ 32: one md5 hex
-    * digit drives each bit). Each token occurrence is md5'd ONCE in
-    * codegen; the per-bit ±1 sums are `width` fused columns of one
-    * map-side-combined hash-agg — the same one-hash-then-integer-math
-    * shape as [[minhashSigs]] (a per-bit `aggregate` lambda would
-    * re-run an interpreted md5 per token PER BIT: width× the work). */
-  private def simhashSigs(spark: SparkSession, sfDir: String,
-      width: Int): DataFrame = {
-    import spark.implicits._
-    // bit i set ⇔ hex digit i ≥ 8; lexicographic `>= '8'` is exact for
-    // the md5 alphabet 0-9a-f (one comparison instead of a substring
-    // search per bit — this runs width× per token occurrence)
-    val bitSums = (1 to width).map(i =>
-      sum(when(expr(s"substr(m, $i, 1) >= '8'"), 1)
-        .otherwise(-1)).as(s"s_$i"))
-    docsWithToks(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select($"doc_id", explode($"toks").as("t"))
-      .select($"doc_id", md5($"t").as("m"))
-      .groupBy($"doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id",
-        concat((1 to width).map(i =>
-          when(col(s"s_$i") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
-
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    simhashSigs(spark, sfDir, 16)
-      .withColumn("n_bucket",
-        count(lit(1)).over(Window.partitionBy($"simhash")))
-      .orderBy($"doc_id")
-  }
-
-  /** SimHash Hamming-ball near-dup (the Google web-dedup shape): find
-    * all pairs whose 32-bit SimHash signatures differ in ≤ 1 bit.
-    * Candidates come from SEGMENT BANDING — split the signature into 2
-    * segments of 16 bits; by pigeonhole, a single flipped bit leaves
-    * one segment identical, so every qualifying pair collides on some
-    * segment — then the exact Hamming distance verifies candidates
-    * only. Same LSH skeleton as d06/v08: the self-join keys on
-    * (segment index, segment bits), linear in collisions, never all
-    * pairs. The signature/segment width IS the selectivity knob (d07's
-    * 16-bit signature buckets this small-vocabulary fixture far too
-    * densely — 90 partners/doc); production web dedup runs this same
-    * plan at 64 bits with 4×16-bit segments for Hamming ≤ 3. */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // integer signature: bit i (1-based, MSB first) = 2^(32-i); all set
-    // math below (segment keys, hamming) is int64 codegen — no strings
-    // cross the shuffle, no per-candidate lambda
-    val sh = cached(spark, sfDir, "simhash_int32") {
-      simhashSigs(spark, sfDir, 32)
-        .select($"doc_id",
-          expr("""aggregate(sequence(1, 32), 0L,
-            (acc, i) -> acc * 2L + (case when substr(simhash, i, 1) = '1'
-                                    then 1L else 0L end))""").as("sig"))
-    }
-    simhashPairsFromSigs(sh)
-  }
-
-  /** The d19 banded candidate + Hamming verify over any (doc_id, sig)
-    * frame — split out so the pigeonhole completeness (every
-    * Hamming-≤1 pair collides on some 16-bit segment) is fuzzable
-    * against brute force on arbitrary signatures (GraftSpec). */
-  private[graft] def simhashPairsFromSigs(sh: DataFrame): DataFrame = {
-    import sh.sparkSession.implicits._
-    val seg = sh.select($"doc_id",
-      posexplode(array(
-        call_function("div", $"sig", lit(65536L)),
-        $"sig" % 65536L)).as(Seq("s", "seg")))
-    val cand = seg.as("a")
-      .join(seg.as("b"),
-        $"a.s" === $"b.s" && $"a.seg" === $"b.seg" &&
-          $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(lit(1))
-      .select($"d1", $"d2")
-    cand
-      .join(sh.select($"doc_id".as("d1"), $"sig".as("s1")), "d1")
-      .join(sh.select($"doc_id".as("d2"), $"sig".as("s2")), "d2")
-      .withColumn("hamming", bit_count(expr("s1 ^ s2")).cast("long"))
-      .filter($"hamming" <= 1)
-      .select($"d1", $"d2", $"hamming")
-      .orderBy($"d1", $"d2")
-  }
-
-  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5.
-    *
-    * Structure (the All-Pairs / PPJoin shape, exact — no recall loss):
-    *
-    *  1. Shingles are xxhash64'd once per doc; all later set math runs
-    *     on slim int64 keys, not 17-char strings. Document frequency is
-    *     a hash-agg (map-side combined, sort-free) over the exploded
-    *     (doc, hash) table, and the join back on h reuses the same
-    *     exchange. The per-doc regroup (`byDoc`) then derives the
-    *     sorted set array, set size, and prefix slice array-side in a
-    *     single pass — a per-row `sort_array` over ~doc-length structs
-    *     replaces a global WindowExec sort by (doc, df, h).
-    *  2. PREFIX FILTER: order each doc's shingles by global document
-    *     frequency ascending (rarest first, hash as tiebreak). If
-    *     Jaccard(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, so the pair must share
-    *     a shingle within each side's first |d| − ⌈t·|d|⌉ + 1 shingles
-    *     — the self-join runs on those prefixes only. Rarest-first is
-    *     the skew bound: a stop-shingle with huge df sorts last and
-    *     drops out of almost every prefix, so it never drives the join.
-    *  3. POSITIONAL FILTER in the join condition: a match at prefix
-    *     ranks (ra, rb) caps the possible overlap at
-    *     min(na−ra, nb−rb)+1, which must reach the Jaccard-≥-t minimum
-    *     ⌈t/(1+t)·(na+nb)⌉ — pairs sharing only late-prefix shingles
-    *     are dropped before the shuffle.
-    *  4. Verify joins the slim (d1, d2) candidates back to `byDoc`
-    *     and computes the exact intersection with the codegen'd
-    *     two-pointer `graft_sorted_isect` (Spark's `array_intersect`
-    *     builds a hash set per row — ~100× slower here). The doc-set
-    *     side broadcasts when small; at cluster scale it is a linear
-    *     shuffle join on doc_id.
-    *
-    * "Exact" is modulo the 64-bit shingle hashing: a xxhash64 collision
-    * would silently merge two distinct shingles. By the birthday bound,
-    * P(any collision) ≈ u²/2^65 for u distinct shingles — ~3% at u=1B
-    * corpus-wide, and a collision only perturbs a pair's Jaccard by
-    * ~1/|union| (it can't invent a near-dup pair). If the corpus grows
-    * past ~10B distinct shingles, widen to two independent xxhash64
-    * seeds (128 bits) or verify candidates on raw shingle strings.
-    */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    pairsFromByDoc(spark, byDocCached(spark, sfDir))
-
-  /** d22: the scale-correct composition the 10× scaling probe (SURVEY
-    * round-5 note) prescribes — collapse EXACT duplicates first, then
-    * run all-pairs near-dup among canonical representatives only. An
-    * all-pairs output is inherently quadratic in duplicate-group size
-    * (c copies ⇒ c² pairs), so a 100 TB corpus with heavy verbatim
-    * duplication must canonicalize before the pair stage: the collapse
-    * is one sublinear window over md5(text), and the pair stage then
-    * runs on the (much smaller) canonical set. Pair list ⊆ d08's,
-    * restricted to min-doc_id representatives of each identical-text
-    * group.
-    *
-    * Shares d08's cached per-doc shingle table, filtered to reps with
-    * a semi-join: the prefix ordering inside that table uses document
-    * frequencies over ALL docs, which is still ONE consistent global
-    * shingle order — PPJoin completeness only requires both prefixes
-    * to be taken under the same total order, not any particular one —
-    * so the rep-subset pair set is exact. */
-  def canonicalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val repIds = Tables.documents(spark, sfDir)
-      .withColumn("rep",
-        min($"doc_id").over(Window.partitionBy(md5($"text"))))
-      .filter($"doc_id" === $"rep")
-      .select($"doc_id")
-    pairsFromByDoc(spark,
-      byDocCached(spark, sfDir).join(repIds, Seq("doc_id"), "left_semi"))
-  }
-
-  private val JaccT = 0.5
-
-  /** Per-doc shingle table (n, sorted hash set, rarest-first prefix) —
-    * ONE session-cached materialization serving d08's prefix path,
-    * both verify sides, and d22's rep-filtered rerun. */
-  private def byDocCached(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "d08_bydoc") {
-      byDocFrom(docsWithToks(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
-    }
-
-  /** The byDoc build over any (doc_id, toks) frame — split out so the
-    * PPJoin prefix/positional bounds are fuzzable against brute force
-    * on constructed corpora (GraftSpec). */
-  private[graft] def byDocFrom(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val t = JaccT
-    // one (doc, shingle-hash) row per distinct shingle occurrence
-    val tok = docs
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    // Document frequency in the SAME pass as the shingle shuffle: one
-    // window count over (partition by h) — the rows are already
-    // hash-partitioned by h for it, so this replaces the former
-    // groupBy(h)+join-back (two exchanges) with one. The per-doc regroup
-    // then builds EVERYTHING array-side in one pass: the df-ordered
-    // struct list (sort_array over ~doc-length elements — bounded per
-    // row, no global WindowExec sort by (doc, df, h)), the sorted hash
-    // set for the verify step, and the rarest-first prefix slice. One
-    // materialization serves the prefix path and both verify sides.
-    val withDf = tok.withColumn("df",
-      count(lit(1)).over(Window.partitionBy($"h")))
-    withDf
-      .groupBy($"doc_id").agg(
-        sort_array(collect_list(struct($"df", $"h"))).as("sdh"))
-      .select($"doc_id",
-        size($"sdh").cast("long").as("n"),
-        expr("array_sort(transform(sdh, x -> x.h))").as("hs"),
-        expr(s"slice(sdh, 1, size(sdh) - cast(ceil(size(sdh) * $t) as int) + 1)")
-          .as("pref"))
-  }
-
-  /** [[ngramJaccard]] over any (doc_id, toks) frame (fuzz entry). */
-  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame =
-    pairsFromByDoc(docs.sparkSession, byDocFrom(docs))
-
-  private def pairsFromByDoc(spark: SparkSession, byDoc: DataFrame): DataFrame = {
-    import spark.implicits._
-    org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    val t = JaccT
-    val prefix = byDoc.select($"doc_id", $"n",
-        posexplode($"pref").as(Seq("r0", "x")))
-      .select($"doc_id", $"n", $"x.h".as("h"), ($"r0" + 1).as("r"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-          least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1 >=
-            ceil(($"a.n" + $"b.n") * lit(t) / (1 + t)))
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-    // A pair sharing k prefix shingles appears k times — verify all k
-    // and dedup AFTER the jaccard filter: the k copies cost k cheap
-    // codegen'd intersections, while deduping first costs a full
-    // exchange of the candidate multiset (measured slower at every sf).
-    // The slim candidate list should broadcast so the wide
-    // (doc, hash-array) table is probed in place — but NOT via an
-    // unconditional hint: a pathological corpus with huge candidate
-    // multiplicity would OOM the driver. AQE's runtime size stats pick
-    // the broadcast when cand is small (the normal case, plan-asserted
-    // in PlanShapeSpec) and fall back to a shuffle join when it isn't.
-    cand
-      .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
-      .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
-      .withColumn("common",
-        call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
-      .select($"d1", $"d2",
-        round($"common" / ($"n1" + $"n2" - $"common").cast("double"), 4)
-          .as("jaccard"))
-      .filter($"jaccard" >= t)
-      .dropDuplicates("d1", "d2")
-      .orderBy($"d1", $"d2")
-  }
-
-  /** TF-IDF: top-3 terms per document (tf × ln(N/df), deterministic
-    * tie-break on term). */
-  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = docsWithToks(spark, sfDir)
-    val tf = docs.select($"doc_id", explode($"toks").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs.select(countDistinct($"doc_id").as("n_total"))
-    val w = Window.partitionBy($"doc_id").orderBy(desc("score"), $"term")
-    tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("score",
-        round($"tf" * log($"n_total" / $"df".cast("double")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"doc_id", $"rn".cast("long").as("rn"), $"term", $"score")
-      .orderBy($"doc_id", $"rn")
-  }
-
-  /** Marker-token language ID (n-gram-profile heuristic shape): score
-    * each language by marker overlap, argmax with deterministic
-    * preference order; reported as a confusion matrix against the
-    * labeled lang. (The fixture vocabulary is shared across langs, so
-    * accuracy is incidental — the operator shape is what matters.) */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .withColumn("dtoks", array_distinct($"toks"))
-      .withColumn("s_en", size(expr("array_intersect(dtoks, array('the', 'a'))")))
-      .withColumn("s_es", size(expr("array_intersect(dtoks, array('data', 'table'))")))
-      .withColumn("s_de", size(expr("array_intersect(dtoks, array('key', 'value'))")))
-      .withColumn("s_fr", size(expr("array_intersect(dtoks, array('join', 'merge'))")))
-      .withColumn("s_zh", size(expr("array_intersect(dtoks, array('spark', 'hash'))")))
-      .withColumn("predicted",
-        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
-          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
-          .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
-          .when($"s_fr" >= $"s_zh", "fr")
-          .otherwise("zh"))
-      .groupBy($"lang", $"predicted")
-      .agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"predicted")
-  }
-
-  /** BPE-ish token counting: regex word segmentation plus fixed-width
-    * subword chunks (a deterministic stand-in for a learned BPE vocab —
-    * same pipeline shape: word split → subword merge table lookup). */
-  def regexTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .withColumn("words", expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"))
-      .select($"doc_id",
-        size($"words").cast("long").as("n_words"),
-        expr("aggregate(words, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as long))")
-          .as("n_subwords"),
-        size(array_distinct($"words")).cast("long").as("n_uniq_words"))
-      .orderBy($"doc_id")
-  }
-
-  /** Per-language Zipf slope: OLS fit of ln(frequency) on ln(rank) over
-    * each language's top-100 token ranks — the corpus-health statistic
-    * (natural language sits near −1; generated/templated junk drifts
-    * flat). An aggregate linear regression done the deterministic way:
-    * each log is rounded to a 10⁻⁴-precision integer FIRST, then the
-    * OLS slope is the exact integer rational
-    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, half-up-rounded to 4 dp via
-    * [[graft.functions.Det.r4]] — bit-identical in both engines because
-    * only one engine-matching double op (the ln) happens per term, at
-    * micro precision, before the arithmetic goes exact.
-    *
-    * Scale design: one hash-agg for term frequencies, one per-lang
-    * top-100 rank (bounded state per group), one final tiny agg. The
-    * rank-100 cap is what bounds the integer sums at ANY corpus scale:
-    * x ≤ ln(100)·10⁴ fixed, y ≤ ln(Σtokens)·10⁴ ≈ 3·10⁵ even at 10¹²
-    * tokens, so `n·Σxy·20000` stays far under 2⁶³ (fitting the head of
-    * the distribution is also the standard Zipf methodology). */
-  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val tf = docsWithToks(spark, sfDir)
-      .select($"lang", explode($"toks").as("tok"))
-      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
-    val ranked = tf
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"lang").orderBy(desc("c"), $"tok")))
-      .filter($"rank" <= 100)
-    val xy = ranked.select($"lang",
-      round(log($"rank") * 1e4).cast("long").as("x"),
-      round(log($"c") * 1e4).cast("long").as("y"))
-    xy.groupBy($"lang")
-      .agg(count(lit(1)).as("n_ranks"),
-        sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
-      .select($"lang", $"n_ranks",
-        r4($"n_ranks" * $"sxy" - $"sx" * $"sy",
-          $"n_ranks" * $"sxx" - $"sx" * $"sx").as("zipf_slope"))
-      .orderBy($"lang")
-  }
-
-  /** d37: inverted-index build — the retrieval-side artifact (d28 BM25
-    * scores against exactly this structure): for the 50 highest-df
-    * terms, the document frequency, total term frequency, and the
-    * posting list capped to the 10 lowest doc_ids as "doc:tf" entries.
-    *
-    * Scale design: postings per term are UNBOUNDED at corpus scale, so
-    * the cap is enforced BEFORE any list is collected — a row_number
-    * window keyed on term keeps ≤ 10 rows per term, and only those
-    * reach the bounded collect_list. df/tf totals come from a separate
-    * map-side-combined hash-agg over the same tf table (never from the
-    * capped rows), and the 50-term head is a LIMIT after one tiny agg —
-    * production index builds shard postings by doc-range exactly this
-    * way. */
-  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val tf = docsWithToks(spark, sfDir)
-      .select($"doc_id", explode($"toks").as("term"))
-      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-    val top = tf.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("tf_total"))
-      .orderBy(desc("df"), $"term").limit(50)
-    val postings = tf
-      .join(broadcast(top.select($"term")), "term")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"term").orderBy($"doc_id")))
-      .filter($"rn" <= 10)
-      .groupBy($"term")
-      .agg(array_join(transform(
-        sort_array(collect_list(struct($"doc_id", $"tf"))),
-        x => concat(x("doc_id"), lit(":"), x("tf"))), ",").as("postings"))
-    broadcast(top).join(postings, "term")
-      .select($"term", $"df", $"tf_total", $"postings")
-      .orderBy(desc("df"), $"term")
-  }
-
-  /** d36: byte-pair-encoding merge learning (tokenizer training) at the
-    * token level — 3 greedy merge rounds: count adjacent unit pairs,
-    * take the globally most frequent (count desc, pair asc), rewrite
-    * the corpus merging non-overlapping occurrences left-to-right,
-    * repeat on the rewritten corpus. Output: one row per round with the
-    * learned merge, its pair count at selection time, and how many
-    * merges actually applied (overlapping occurrences of an "x x" pair
-    * in an "x x x" run merge greedily — only every other position).
-    *
-    * Left-to-right greedy is resolved DECLARATIVELY: match positions
-    * form gaps-and-islands runs per document (pos − row_number), and
-    * within a run exactly the odd offsets merge — the same window logic
-    * runs in both engines, so overlap resolution cannot drift.
-    *
-    * Scale design: the corpus rides ONE positional (doc, pos, unit)
-    * table hash-partitioned by doc_id; every window in every round
-    * reuses that partitioning (no further corpus exchanges), pair
-    * counting is a map-side-combined hash-agg, and the argmax is a
-    * 1-row bounded scalar (the k-means-centroid pattern). Each round's
-    * rewrite is localCheckpointed so round N+1's lineage starts flat —
-    * without it the triple fan-out per round (counts, match scan,
-    * rewrite all read the same table) recomputes exponentially.
-    *
-    * Job economy (the r7 verdict's ask): ONE stats job per round
-    * yields BOTH the argmax (min(struct(−cnt, tok, nxt)) over the pair
-    * groups — same (cnt desc, pair asc) tiebreak as an ORDER BY) and
-    * Σcnt, and the applied-merge count telescopes through Σcnt deltas
-    * (each applied merge removes exactly one row, and the per-doc
-    * null-nxt row count is constant, so T_{i−1} − T_i =
-    * np_{i−1} − np_i) — the separate per-round count job is gone, and
-    * the LAST round's rewrite skips its checkpoint store (nothing
-    * reads it but the final pair recount). 11 jobs → 7 at the same
-    * answer; the global agg rides the pair GROUPS (≪ rows), adding no
-    * width to the map-side combine. */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
-    bpeRunCached(spark, sfDir)._1
-
-  /** One BPE training run per (session, sfDir) — the summary AND the
-    * final rewritten corpus, shared by d36 (merge table) and d48
-    * (fertility over the final corpus). The final corpus comes back
-    * UN-checkpointed: a d36-only session keeps the skip optimization
-    * (nothing materializes a table only the final recount reads);
-    * d48's first access checkpoints it through [[cached]]. */
-  private def bpeRunCached(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) =
-    sessionCached(spark, sfDir, "bpe_run") {
-      bpeRun(spark, docsWithToks(spark, sfDir))
-    }
-
-  /** [[bpeMerges]] body over any (doc_id, toks) frame — split out so the
-    * greedy-overlap parity logic ("x x x x" merges twice, not thrice)
-    * is testable on constructed corpora the fixture doesn't contain. */
-  private[graft] def bpeMergesFrom(spark: SparkSession,
-      docs: DataFrame): DataFrame =
-    bpeRun(spark, docs)._1
-
-  /** The training loop; returns (per-round summary, final positional
-    * corpus (doc_id, pos, tok, nxt) — NOT checkpointed: the summary
-    * path never re-reads it, and [[tokenizerFertility]] checkpoints on
-    * first use). */
-  private def bpeRun(spark: SparkSession,
-      docs: DataFrame): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    // AQE stays ON (re-measured per the r7 verdict): with the old
-    // 11-job round structure, per-stage re-planning cost ~25% of wall
-    // time and OFF won; with the folded 7-job structure the balance
-    // flips — AQE's post-shuffle coalescing trims the tiny window
-    // stages and ON is ~10% faster at sf0.1 (interleaved 5-rep
-    // medians: on 4.37/3.90 s vs off 5.07/4.42 s). ON is also the
-    // 100 TB default (skew handling); the session value is left
-    // untouched.
-    {
-      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      // the checkpointed per-round artifact is (doc, pos, tok, nxt) —
-      // the lead window runs ONCE per round (inside the rewrite job);
-      // the stats pass is then a pure hash-agg over the checkpoint
-      // with no sort at all
-      var withNext = docs
-        .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
-        .select($"doc_id", ($"p0" + 1L).as("pos"), $"tok")
-        .withColumn("nxt", lead($"tok", 1).over(wDoc))
-        .localCheckpoint()
-      // ONE job: Σ pair counts (for the telescoping applied-merge
-      // deltas) + the argmax pair with the (cnt desc, tok asc, nxt asc)
-      // tiebreak via min(struct(−cnt, tok, nxt)); a degenerate corpus
-      // with no pairs left returns (0, None) — the caller stops early,
-      // and the oracle's per-round CTEs go empty at the same point
-      def stats(df: DataFrame): (Long, Option[(String, String, Long)]) = {
-        val r = df.filter($"nxt".isNotNull)
-          .groupBy($"tok", $"nxt").agg(count(lit(1)).as("cnt"))
-          .agg(sum($"cnt").as("np"),
-            min(struct((-$"cnt").as("nc"), $"tok".as("a"), $"nxt".as("b")))
-              .as("m"))
-          .collect().head
-        if (r.isNullAt(0)) (0L, None)
-        else {
-          val m = r.getStruct(1)
-          (r.getLong(0), Some((m.getString(1), m.getString(2),
-            -m.getLong(0))))
-        }
-      }
-      val nRounds = 3
-      val learned = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, Long)]
-      val nps = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var done = false
-      for (it <- 1 to nRounds if !done) {
-        val (np, bestOpt) = stats(withNext)
-        nps += np
-        bestOpt match {
-          case None => done = true
-          case Some((a, b, cnt)) =>
-            learned += ((it.toLong, s"$a $b", cnt))
-            val keep = withNext
-              .filter($"tok" === a && $"nxt" === b)
-              .withColumn("grp", $"pos" - row_number().over(wDoc))
-              .withColumn("k", row_number().over(
-                Window.partitionBy($"doc_id", $"grp").orderBy($"pos")))
-              .filter($"k" % 2 === 1)
-              .select($"doc_id", $"pos")
-            val marks = keep.select($"doc_id", $"pos", lit(1).as("mk"))
-              .unionAll(keep.select($"doc_id", ($"pos" + 1L).as("pos"),
-                lit(2).as("mk")))
-            val rewritten = withNext.join(marks, Seq("doc_id", "pos"), "left")
-              .filter($"mk".isNull || $"mk" === 1)
-              .select($"doc_id", $"pos".as("oldpos"),
-                when($"mk" === 1, concat_ws(" ", $"tok", $"nxt"))
-                  .otherwise($"tok").as("tok"))
-              .select($"doc_id",
-                row_number().over(Window.partitionBy($"doc_id")
-                  .orderBy($"oldpos")).cast("long").as("pos"),
-                $"tok")
-              .withColumn("nxt", lead($"tok", 1).over(wDoc))
-            // the last round's rewrite feeds ONLY the final pair
-            // recount on this path — computing it inside that count
-            // job beats materializing a checkpoint nothing else reads
-            // (d48 checkpoints its own read through `cached`)
-            withNext =
-              if (it < nRounds) rewritten.localCheckpoint() else rewritten
-        }
-      }
-      // close the telescope: np after the final executed round (the
-      // early-stop path already measured it — its last stats call saw
-      // the final table)
-      if (!done) nps += withNext.filter($"nxt".isNotNull).count()
-      val rows = learned.zipWithIndex.map { case ((it, merge, cnt), i) =>
-        (it, merge, cnt, nps(i) - nps(i + 1))
-      }.toSeq
-      (rows.toDF("it", "merge", "n_pairs", "n_applied").orderBy($"it"),
-        withNext)
-    }
-  }
-
-  /** d48: tokenizer fertility/compression evaluation — the step that
-    * closes d36's loop (train → APPLY → evaluate): the learned merges'
-    * final rewritten corpus, aggregated per language into the metric a
-    * tokenizer team actually reads — units per original word
-    * (compression; the inverse of fertility) and how many units are
-    * merged pairs. A vocabulary trained on a mixed corpus compresses
-    * its dominant language best; this table is where that bias becomes
-    * visible.
-    *
-    * Scale design: the final corpus comes from the SHARED
-    * [[bpeRunCached]] run (d36 and d48 pay the 3 training rounds once
-    * per session; this query checkpoints the corpus on first access);
-    * on top of it: one doc_id hash-agg (rides the corpus
-    * partitioning), a join to the per-doc lang/word-count projection on
-    * doc_id, and a ≤5-row language rollup. Counts are exact longs,
-    * compression the r4 exact rational. */
-  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // the shared run's final corpus, checkpointed on first d48 access
-    // (recomputes at most the final rewrite round from the round-2
-    // checkpoint, once) — d36-only sessions never pay this
-    val corpus = cached(spark, sfDir, "bpe_final") {
-      bpeRunCached(spark, sfDir)._2
-    }
-    val perDoc = corpus.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_units"),
-        sum(when($"tok".contains(" "), 1L).otherwise(0L)).as("n_merged"))
-    val langs = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang",
-        size(split($"text", " ")).cast("long").as("n_words"))
-    perDoc.join(langs, "doc_id")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_words").as("n_words"),
-        sum($"n_units").as("n_units"),
-        sum($"n_merged").as("n_merged"))
-      .select($"lang", $"n_docs", $"n_words", $"n_units", $"n_merged",
-        r4($"n_units", $"n_words").as("compression"))
-      .orderBy($"lang")
-  }
-
-  /** Deterministic stratified sampling + train/val/test split — the
-    * training-data-mixing staple, done the way it scales: NO RNG and NO
-    * shuffle. Membership is a pure function of the row key (a hex
-    * prefix of md5 compared against a per-stratum threshold), so the
-    * sample is reproducible across engines, runs, and cluster sizes,
-    * and re-running on grown data keeps prior decisions stable. Rates:
-    * 'en' keeps 128/256 of docs, other langs 51/256; kept docs split
-    * 204/26/26 per 256 into train/val/test on an independent salt. */
-  /** The deterministic sample/split membership on any documents-shaped
-    * DataFrame — ONE implementation shared by [[sampleSplit]],
-    * [[decontaminate]], and the curation pipeline, so a rate change can
-    * never leave a consumer checking a different partition than the one
-    * it claims to. */
-  private[graft] def withSampleSplit(df: DataFrame): DataFrame =
-    df
-      .withColumn("keep_bucket",
-        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
-      .filter(col("keep_bucket") <
-        when(col("lang") === "en", "80").otherwise("33"))
-      .withColumn("split_bucket",
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
-      .withColumn("split",
-        when(col("split_bucket") < "cc", "train")
-          .when(col("split_bucket") < "e6", "val")
-          .otherwise("test"))
-
-  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    withSampleSplit(docsWithToks(spark, sfDir))
-      .groupBy($"lang", $"split")
-      .agg(count(lit(1)).as("n"),
-        min($"doc_id").as("min_doc"),
-        max($"doc_id").as("max_doc"),
-        sum(size($"toks")).as("total_tokens"))
-      .orderBy($"lang", $"split")
-  }
-
-  /** Benchmark decontamination: flag training documents that share any
-    * 3-token n-gram with a held-out evaluation document — the standard
-    * pre-training hygiene pass (an eval answer leaking into the training
-    * set inflates benchmark scores). The train/held-out membership is
-    * [[sampleSplit]]'s deterministic hash split (train vs test), so the
-    * whole check is reproducible with no RNG.
-    *
-    * Scale design: in production the held-out side is a FIXED benchmark
-    * corpus (thousands of docs — bounded, not growing with the training
-    * corpus), so its DISTINCT shingle-hash set is broadcast and the
-    * train-side scan never shuffles — each train document's shingles
-    * probe the broadcast hash table map-side, then one hash-agg counts
-    * hits per document. The fixture's test split STANDS IN for that
-    * benchmark; if the held-out side ever scales with the corpus, this
-    * broadcast must become a shuffle semi-join (drop the hint — AQE
-    * picks correctly from stats). Shingles travel as xxhash64 int64s
-    * (same ~2⁻⁶⁵ collision bound as d08 — a collision can only add a
-    * false contamination hit, never hide one... strictly it could also
-    * merge two train-side shingles, which is why hits count DISTINCT
-    * hashes). */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = withSampleSplit(docsWithToks(spark, sfDir))
-    def shingles(df: DataFrame) = df
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    val train = shingles(docs.filter($"split" === "train"))
-    val heldout = shingles(docs.filter($"split" === "test"))
-      .select($"h").distinct()
-    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
-    train.join(broadcast(heldout), "h")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(sizes, "doc_id")
-      .select($"doc_id", $"n_ngrams", $"n_shared",
-        r4($"n_shared", $"n_ngrams").as("contamination"))
-      .orderBy($"doc_id")
-  }
-
-  /** Decontamination through a DISTRIBUTED BLOOM FILTER — the shape d15
-    * takes when the held-out corpus outgrows a plain broadcast set: the
-    * held-out shingle hashes are folded into a fixed 64 Kbit / 4-probe
-    * Bloom filter by a distributed `bit_or` aggregation (1024 int64
-    * words, ≤ 8 KB collected to the driver — a scalar-sized pull like
-    * the k-means centroids), and the TRAIN side probes the 8 KB literal
-    * map-side inside codegen. Only bloom-positive shingles — true hits
-    * plus the ~2⁻¹³-per-probe false-positive trickle at this fill — pay
-    * the exact verification join, so the shuffle is proportional to the
-    * candidate hits, not to the corpus.
-    *
-    * The result is EXACTLY the no-bloom answer (Bloom filters have no
-    * false negatives; the verify join removes false positives), which
-    * is what the oracle checks. Held-out here is the val+test splits —
-    * a larger held-out side than d15's (test-only), i.e. the regime the
-    * bloom path is for.
-    *
-    * At 100 TB: the filter size is a tuning constant (a real benchmark
-    * suite's shingle set at ~1% fill of m bits keeps the false-positive
-    * rate ≈ (k·n/m)^k); the build stays one agg + one tiny collect, and
-    * the probe stays free of any join or shuffle. */
-  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = withSampleSplit(docsWithToks(spark, sfDir))
-    def shingles(df: DataFrame) = df
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    val train = shingles(docs.filter($"split" === "train"))
-    // held-out = everything not trained on; one materialization feeds
-    // both the bloom build and the exact verify join
-    val heldout = shingles(docs.filter($"split" =!= "train"))
-      .select($"h").distinct().localCheckpoint()
-    // build: 4 probe positions per hash → (word, bit) → bit_or per word
-    val wordMap = heldout
-      .select(explode(expr(
-        "transform(sequence(0, 3), j -> pmod(xxhash64(h, j), 65536))")).as("pos"))
-      .select(expr("CAST(pos AS INT) DIV 64").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
-      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val bloom = typedLit((0 until 1024).map(i => wordMap.getOrElse(i, 0L)))
-    // probe: same position derivation; variable shifts go through expr
-    // (the functions-API shiftleft takes only literal shift amounts)
-    val member = (0 until 4).map { j =>
-      s"""((element_at(bw, CAST(CAST(pmod(xxhash64(h, $j), 65536) AS INT) DIV 64 + 1 AS INT))
-         & shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(h, $j), 65536) % 64 AS INT))) != 0)"""
-    }.mkString(" AND ")
-    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
-    train.withColumn("bw", bloom).filter(expr(member)).drop("bw")
-      .join(heldout, "h") // exact verify: drops bloom false positives
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(sizes, "doc_id")
-      .select($"doc_id", $"n_ngrams", $"n_shared",
-        r4($"n_shared", $"n_ngrams").as("contamination"))
-      .orderBy($"doc_id")
-  }
-
-  /** Cross-document BOILERPLATE detection (the C4-style cleanup pass,
-    * complementary to d18's WITHIN-doc repetition): documents are cut
-    * into non-overlapping 5-token chunks, a chunk that appears in ≥ 3
-    * distinct documents is boilerplate (nav bars, license headers,
-    * templated footers), and each document reports the fraction of its
-    * chunks that are boilerplate — the score a pretraining filter
-    * thresholds on.
-    *
-    * Scale design: chunks travel as xxhash64 int64s; the corpus-wide
-    * chunk document-frequency is one map-side-combined hash-agg over
-    * distinct (doc, chunk) rows, and the flag joins back on the chunk
-    * hash — the same exchange the count produced. Frequency skew (a
-    * chunk in millions of docs) caps at the distinct-doc collapse, and
-    * the ratio rounds in exact integer arithmetic ([[graft.functions
-    * .Det.r4]]). */
-  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val chunks = docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 5)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-5, 5),
-          i -> xxhash64(concat_ws(' ', slice(toks, i+1, 5))))""")).as("h"))
-      .distinct()
-    val df = chunks.groupBy($"h")
-      .agg(count(lit(1)).as("n_docs_with"))
-    chunks.join(df, "h")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"n_docs_with" >= 3, 1L).otherwise(0L)).as("n_boiler"))
-      .select($"doc_id", $"n_chunks", $"n_boiler",
-        r4($"n_boiler", $"n_chunks").as("boiler_frac"))
-      .orderBy($"doc_id")
-  }
-
-  /** One row per (doc, adjacent-token bigram) — shared by the d16
-    * self-scored LM and the d53 reference-LM filter so the bigram
-    * definition cannot drift between them. */
-  private def docBigrams(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-2),
-          g -> struct(toks[g] AS w1, toks[g+1] AS w2))""")).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-  }
-
-  /** Corpus-bigram language-model quality score — the perplexity-filter
-    * shape of a training-data pipeline, with the LM trained on the
-    * corpus itself: P(w2|w1) = c(w1,w2)/c(w1·) over all bigram
-    * occurrences, and each document scores the average negative
-    * log-likelihood of its bigrams (lower = more typical text).
-    *
-    * Scale design: bigram and unigram count tables are plain hash-aggs;
-    * the score join keys on the bigram — the same shuffle the count
-    * needed, so Catalyst reuses the exchange. Determinism across
-    * engines: each bigram's ln(c1/c2) is rounded ONCE to integer
-    * micro-nats (one double op, identical in both engines to well below
-    * the rounding grain), then summed as exact int64 — the per-doc sum
-    * never depends on float summation order — and the final per-doc
-    * average rounds in exact integer arithmetic like [[qualityScore]]. */
-  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val big = docBigrams(spark, sfDir)
-    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .withColumn("micro_nll",
-        round(log($"c1" / $"c2".cast("double")) * 1e6, 0).cast("long"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"micro_nll").as("sum_micro"))
-      // avg_nll to 4 dp: value = num/den with num = sum_micro,
-      // den = n·10⁶; round half-up in exact integer space:
-      // round(10⁴·num/den) = (2·10⁴·num + den) div (2·den)
-      .select($"doc_id", $"n_bigrams",
-        (call_function("div",
-          $"sum_micro" * 20000L + $"n_bigrams" * 1000000L,
-          $"n_bigrams" * 2000000L) / 10000.0).as("avg_nll"))
-      .orderBy($"doc_id")
-  }
-
-  /** d53 keep threshold (avg reference-LM nll in nats/bigram): docs
-    * scoring above it are flagged for drop. The knob a deployment
-    * tunes against held-out data; chosen at the fixture's score median
-    * so both flag values occur at every fixture SF. (The synthetic
-    * fixture draws every "language" from one shared vocabulary, so
-    * scores cluster tightly — on a real corpus the en-reference LM
-    * separates languages by whole nats and the threshold is lax.) */
-  private[graft] val RefLmKeepNll = 3.4
-
-  /** d53: reference-LM quality filter — the CCNet-style gate: score
-    * EVERY document's bigram cross-entropy under an LM trained only on
-    * a TRUSTED REFERENCE slice (the 'en' documents — the
-    * target-language-wiki stand-in), and keep docs under
-    * [[RefLmKeepNll]] nats/bigram. Unlike d16 (each doc scored by the
-    * corpus's own statistics — no out-of-vocabulary possible), the
-    * reference LM must handle bigrams it never saw: add-one (Laplace)
-    * smoothing, p(w2|w1) = (c2+1)/(c1+V) with V = reference bigram-head
-    * vocabulary size, so an unseen continuation costs ln(c1+V) and a
-    * fully-OOV head costs ln(V) — the smoothing that makes the score a
-    * total function of the corpus.
-    *
-    * Determinism: like d16, per-bigram nll is frozen to integer
-    * micro-nats (round(ln(rational)·10⁶) — both engines' libm agree
-    * through the 6th decimal on these magnitudes, the d16 precedent),
-    * summed exactly, averaged via the integer half-up division; the
-    * keep flag compares the exact 4-decimal average to the literal.
-    *
-    * Scale design: reference counts (c2, c1, V) are REFERENCE-sized —
-    * a trusted slice is orders smaller than the corpus, so on a
-    * cluster they broadcast (here AQE does it) and scoring is map-side
-    * over one corpus-bigram exchange; the per-doc rollup rides the
-    * same doc_id key. The corpus is never self-joined; adding a
-    * document to the corpus (not the reference) changes only its own
-    * score — the incremental property a rolling curation pipeline
-    * needs. */
-  def referenceLmFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val big = docBigrams(spark, sfDir)
-    val refBig = big.join(
-      Tables.documents(spark, sfDir).filter($"lang" === "en")
-        .select($"doc_id"), Seq("doc_id"), "left_semi")
-    val c2 = refBig.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = refBig.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val v = refBig.agg(countDistinct($"w1").as("v"))
-    big.join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
-      .withColumn("micro_nll",
-        round(log((coalesce($"c1", lit(0L)) + $"v") /
-          (coalesce($"c2", lit(0L)) + 1L).cast("double")) * 1e6, 0)
-          .cast("long"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"micro_nll").as("sum_micro"))
-      .select($"doc_id", $"n_bigrams",
-        (call_function("div",
-          $"sum_micro" * 20000L + $"n_bigrams" * 1000000L,
-          $"n_bigrams" * 2000000L) / 10000.0).as("avg_nll"))
-      .withColumn("kept", $"avg_nll" <= RefLmKeepNll)
-      .orderBy($"doc_id")
-  }
-
-  /** Training-sequence packing: concatenate documents in deterministic
-    * order and chunk the token stream into fixed-capacity context
-    * windows (2048 tokens) — the "concat and chunk" packing every LLM
-    * trainer runs between curation and tokenized shards. A document's
-    * sequence is the window containing its FIRST token (greedy
-    * concatenation; long docs may span boundaries, as in real packing).
-    *
-    * Scale design: packing is inherently sequential, so the unit of
-    * sequentiality is the SHARD (`source` here) — each shard packs
-    * independently under one window partition, which is exactly how a
-    * cluster job lays out shard-parallel packing; no global sort, no
-    * driver loop, pure integer arithmetic (no float risk). */
-  /** Packing core over any (doc_id, source, n_tok) table — split out so
-    * boundary shapes the fixture lacks (docs longer than the window)
-    * are unit-testable. */
-  private[graft] def packCore(docs: DataFrame, cap: Long): DataFrame = {
-    import docs.sparkSession.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("cum", sum($"n_tok").over(w))
-      .withColumn("seq_id", call_function("div", $"cum" - $"n_tok", lit(cap)))
-      .groupBy($"source", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .orderBy($"source", $"seq_id")
-  }
-
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    packCore(docsWithToks(spark, sfDir)
-      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok")),
-      2048L)
-  }
-
-  /** Gopher-style repetition signals: per document, the duplicate
-    * fraction of 3-gram occurrences and the highest single 2-gram
-    * repeat count — the standard repetitive-text quality filters.
-    * All counting is within-document (explode + per-doc hash-agg on a
-    * (doc, gram) key — the gram space is sharded by doc, so there is no
-    * hot-key skew at any corpus size), and the ratios round in exact
-    * integer arithmetic like [[qualityScore]]. */
-  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val toks = docsWithToks(spark, sfDir).filter(size($"toks") >= 3)
-    val g3 = toks.select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-3),
-          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2]))""")).as("g"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_3grams"),
-        countDistinct($"g").as("n_distinct_3grams"))
-    val g2top = toks.select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-2),
-          g -> concat_ws(' ', toks[g], toks[g+1]))""")).as("g"))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("top_2gram_count"))
-    g3.join(g2top, "doc_id")
-      .select($"doc_id", $"n_3grams", $"n_distinct_3grams",
-        r4($"n_3grams" - $"n_distinct_3grams", $"n_3grams")
-          .as("dup_3gram_frac"),
-        $"top_2gram_count")
-      .orderBy($"doc_id")
-  }
-
-  /** Training-mix weights: per-source token share and the resampling
-    * weight that would equalize the mix (weight = uniform-target share
-    * over actual share) — the static data-mixing computation behind
-    * every corpus recipe. One hash-agg plus a broadcast one-row totals
-    * join; shares and weights are rationals rounded in exact integer
-    * arithmetic (see [[qualityScore]]), so both engines agree bit-
-    * for-bit. */
-  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val perSource = docsWithToks(spark, sfDir)
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size($"toks")).cast("long").as("n_tokens"))
-    val totals = perSource.agg(
-      sum($"n_tokens").as("total_tokens"),
-      count(lit(1)).as("n_sources"))
-    perSource.crossJoin(broadcast(totals))
-      .select($"source", $"n_docs", $"n_tokens",
-        r4($"n_tokens", $"total_tokens").as("token_share"),
-        // weight = (total/n_sources) / n_tokens = total / (n_sources·n_tokens)
-        r4($"total_tokens", $"n_sources" * $"n_tokens").as("uniform_weight"))
-      .orderBy($"source")
-  }
-
-  /** Duplicate clusters: connected components over the MinHash near-dup
-    * pair graph (see [[Graph.connectedComponents]] for the
-    * min-label-propagation scale design). Cluster id = min doc_id in
-    * the component, the representative a dedup pass would keep. */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // session-cache the RESULT (one row per clustered doc — bounded by
-    // the dup structure, tiny): three consumers (d12, d27's drop list,
-    // d40's capstone) would otherwise each re-run the whole
-    // connected-components iteration ladder
-    cached(spark, sfDir, "dup_clusters") {
-      Graph.connectedComponents(lshPairs(spark, sfDir).select($"d1", $"d2"))
-        .select($"id".as("doc_id"), $"cluster_id")
-    }.orderBy($"doc_id")
-  }
-
-  /** Cross-source duplication matrix: how many near-dup pairs link
-    * each (source, source) combination — the diagnostic that decides
-    * which corpus sources to drop or down-weight before training (a
-    * source that mostly duplicates another contributes tokens but no
-    * diversity). Reuses the session-cached d06 pair table, so the
-    * marginal cost is two joins against the 2-column doc→source map
-    * and a tiny aggregation; source pairs are canonically ordered
-    * (least, greatest) so A→B and B→A collapse. */
-  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
-    lshPairs(spark, sfDir)
-      .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
-      .join(src.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
-      .select(least($"s1", $"s2").as("src_a"),
-        greatest($"s1", $"s2").as("src_b"))
-      .groupBy($"src_a", $"src_b")
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy($"src_a", $"src_b")
-  }
-
-  /** d25: exact shared-substring detection (the "Deduplicating Training
-    * Data Makes Language Models Better" shape): for every document pair
-    * sharing at least one 8-token window, report the LONGEST contiguous
-    * shared token run and the total shared-window count. Rolling
-    * stride-1 windows hash to int64; windows shared by a pair at
-    * positions (pa, pb) belong to one contiguous run iff they sit on
-    * the same diagonal (pa−pb) at consecutive pa — the classic
-    * gaps-and-islands grouping `pa − row_number()`.
-    *
-    * Scale design: windows travel as xxhash64 int64s (never the token
-    * strings); a document-frequency cap (≤ [[SubDfCap]] docs) drops
-    * boilerplate windows BEFORE the pair self-join, which is what keeps
-    * the join linear-ish at corpus scale — a window shared by a million
-    * docs is boilerplate (d24's territory), not substring duplication,
-    * and would otherwise contribute O(df²) pairs. The run grouping
-    * shuffles by (doc_a, doc_b) — bounded by the true near-dup pair
-    * count, not the corpus size. Collision risk of the 64-bit window
-    * hash is the same corpus-scale bound documented at
-    * [[decontaminate]] (~n²/2⁶⁴; switch both sides to a 128-bit hash
-    * pair if a trillion-window corpus needs it). */
-  private val SubW = 8
-  private val SubDfCap = 20
-  def sharedSubstrings(spark: SparkSession, sfDir: String): DataFrame =
-    sharedSubstringsCore(docsWithToks(spark, sfDir))
-
-  private[graft] def sharedSubstringsCore(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val w = docs
-      .filter(size($"toks") >= SubW)
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, size(toks)-$SubW),
-           i -> xxhash64(concat_ws(' ', slice(toks, i+1, $SubW))))"""))
-        .as(Seq("pos", "h")))
-    // ONE shuffle of the window table: gather each window's (doc, pos)
-    // occurrence list and expand ordered pairs in place — the corpus is
-    // never hashed twice and never self-joined. Singleton windows
-    // (one distinct doc — can never pair) and boilerplate windows
-    // (> SubDfCap distinct docs) prune inside the same aggregation.
-    // Per-window list size is bounded by the df cap × within-doc
-    // repeats, so the m² pair expansion is a small map-side loop.
-    val p = w.groupBy($"h")
-      .agg(collect_list(struct($"doc_id", $"pos")).as("occ"),
-        countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2 && $"nd" <= SubDfCap)
-      .select(explode(expr(
-        """flatten(transform(occ, a ->
-             transform(filter(occ, b -> b.doc_id > a.doc_id),
-               b -> struct(a.doc_id AS da, b.doc_id AS db,
-                 a.pos AS pa, b.pos AS pb))))""")).as("pr"))
-      .select($"pr.da", $"pr.db", $"pr.pa", $"pr.pb")
-    val runs = p
-      .withColumn("diag", $"pa" - $"pb")
-      .withColumn("grp", $"pa" - row_number().over(
-        Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")))
-      .groupBy($"da", $"db", $"diag", $"grp")
-      .agg(count(lit(1)).as("nwin"))
-    runs.groupBy($"da", $"db")
-      .agg((max($"nwin") + lit(SubW - 1L)).as("longest_tokens"),
-        sum($"nwin").as("n_windows"))
-      .orderBy($"da", $"db")
-  }
-
-  /** d26: per-document token-distribution Shannon entropy (nats) — the
-    * "repetitive junk" quality signal a pretraining filter thresholds
-    * low (a doc that is one token repeated has entropy 0; rich text
-    * approaches ln(n_types)). H = Σ (c_i/n)·ln(n/c_i) over the doc's
-    * token counts.
-    *
-    * Determinism across engines: like [[bigramLm]], each type's
-    * ln(n/c_i) is rounded ONCE to integer micro-nats (one double op,
-    * identical in both engines to well below the grain), weighted by
-    * the exact integer count c_i, summed as exact int64, and the final
-    * per-doc average rounds in exact integer arithmetic — no
-    * order-dependent float summation anywhere.
-    *
-    * Scale design: two chained hash-aggs — (doc, token) counts, then
-    * per-doc roll-up — both map-side combined; the second groupBy and
-    * the count join reuse the doc_id-prefixed exchange. No windows, no
-    * joins wider than doc_id. */
-  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
-    tokenEntropyCore(docsWithToks(spark, sfDir))
-
-  private[graft] def tokenEntropyCore(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val cnt = docs
-      .select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("c"))
-    val n = cnt.groupBy($"doc_id")
-      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
-    cnt.join(n, "doc_id")
-      .withColumn("wmicro",
-        $"c" * round(log($"n" / $"c".cast("double")) * 1e6).cast("long"))
-      .groupBy($"doc_id")
-      .agg(first($"n").as("n_tokens"), first($"n_types").as("n_types"),
-        sum($"wmicro").as("sm"))
-      .select($"doc_id", $"n_tokens", $"n_types",
-        (call_function("div",
-          $"sm" * 20000L + $"n_tokens" * 1000000L,
-          $"n_tokens" * 2000000L) / 10000.0).as("entropy"))
-      .orderBy($"doc_id")
-  }
-
-  /** Fixed keyword workload for d28 — terms drawn from the fixture
-    * vocabulary; a retrieval benchmark's query set is a bounded literal
-    * input, never data-dependent. */
-  private[graft] val Bm25Terms = Seq("spark", "join", "vector", "customer", "window")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
-
-  /** d28: BM25 keyword retrieval — top-5 documents per query term under
-    * the Okapi BM25 ranking function (k1=1.2, b=0.75, the
-    * Robertson/Sparck-Jones idf in its always-positive `ln(1 + …)`
-    * form). The inverted-index scoring pass of a search engine,
-    * expressed relationally: tf per (term, doc), df per term, doc
-    * length vs corpus average for length normalization.
-    *
-    * Scale design: the term filter lands directly on the exploded token
-    * stream, so only postings of the 5 query terms survive the first
-    * hash-agg (at 100 TB: the posting lists, not the corpus, get
-    * shuffled); doc lengths are a second map-side-combined hash-agg;
-    * corpus totals (N, Σdl) and per-term df are single-row/5-row
-    * broadcasts. Per-term top-5 is a window over ≤ df rows partitioned
-    * by term — at scale the [[graft.functions.TopKAggregator]] bounded
-    * buffer (v11) would replace the window; df here is fixture-small.
-    *
-    * Cross-engine determinism: tf, df, dl, N, Σdl are exact integers;
-    * the score is a handful of double ops on those integers with
-    * literal constants, rounded once to 1e-4 — same residual risk class
-    * as d09/d16 (a value within 1 ulp of a rounding boundary could
-    * differ; accepted there, accepted here). Rank ties break on doc_id
-    * over the ROUNDED score, so both engines rank identically. */
-  /** The BM25 scored table (doc_id, term, score) — shared by d28's
-    * ranking and v17's retrieve-then-expand seed selection
-    * ([[graft.operators.VectorOps]]); mirrors [[bm25Cte]]. */
-  private[graft] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val toks = docsWithToks(spark, sfDir)
-    val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
-    val totals = dl.agg(sum($"dl").as("sum_dl"),
-      count(lit(1)).as("n_docs"))
-    val tf = toks.select($"doc_id", explode($"toks").as("term"))
-      .filter($"term".isin(Bm25Terms: _*))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    tf.join(dl, "doc_id")
-      .join(broadcast(df_), "term")
-      .crossJoin(broadcast(totals))
-      .withColumn("idf",
-        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-      .withColumn("score", round(
-        $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
-          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
-            lit(Bm25B) * $"dl" * $"n_docs" / $"sum_dl")), 4))
-  }
-
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    bm25Scored(spark, sfDir)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"term").orderBy(desc("score"), $"doc_id")))
-      .filter($"rank" <= 5)
-      .select($"term", $"rank".cast("long").as("rank"), $"doc_id", $"score")
-      .orderBy($"term", $"rank")
-  }
-
-  /** d29: PageRank over the document similarity graph (nodes = all
-    * docs, undirected edges = the d06 LSH near-dup pairs) — the graph
-    * centrality a curation pipeline uses to pick the CANONICAL copy of
-    * a duplicated document: highly-replicated content accumulates rank.
-    * Five power iterations, damping 0.85.
-    *
-    * Cross-engine determinism, by construction rather than tolerance:
-    * ranks are INTEGER pico-units (10¹² ≈ total mass), every update is
-    * integer arithmetic — r₀ = 10¹²÷N, per-edge contribution
-    * r÷deg, next r = (15·(10¹²÷N))÷100 + (85·Σcontrib)÷100 with ÷ =
-    * floor division — so both engines produce bit-identical BIGINTs;
-    * no float summation order anywhere. The oracle unrolls the five
-    * iterations as CTEs over the same shared band/pair chain.
-    *
-    * Scale design: the edge list with degrees is checkpointed once and
-    * re-joined per iteration; each iteration is one shuffled
-    * contribution aggregation + one left join back to the node set —
-    * the [[Graph.connectedComponents]] loop shape with a fixed
-    * iteration count, linear per iteration in |E|. Ranks are
-    * checkpointed per iteration so the plan never grows with the loop.
-    * The only driver-side values are N (one count) and the two derived
-    * Long constants. */
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id")
-    val n = docs.count()
-    val unit = 1000000000000L / n
-    val base = 15L * unit / 100L
-    val pairs = lshPairs(spark, sfDir).select($"d1", $"d2")
-    val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
-      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").localCheckpoint()
-    var ranks = docs.select($"doc_id", lit(unit).as("r")).localCheckpoint()
-    for (_ <- 1 to 5) {
-      val contrib = ed.join(ranks.withColumnRenamed("doc_id", "src"), "src")
-        .select($"dst", expr("r div deg").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = docs
-        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .select($"doc_id",
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
-    }
-    ranks.select($"doc_id", $"r".as("rank_pico")).orderBy($"doc_id")
-  }
-
-  /** d30: corpus-order novelty scoring — per document, the fraction of
-    * its distinct 3-token shingles that NO earlier document (smaller
-    * doc_id = earlier ingest) contains. The freshness signal an
-    * incremental ingest pipeline tracks as it appends data: a crawl
-    * whose novelty trend decays is re-crawling what the corpus already
-    * holds. Complements s24 (which flags near-dup DOCS incrementally;
-    * this measures marginal n-gram-level information).
-    *
-    * Scale design: one exploded distinct-shingle table feeds a
-    * min(doc_id) hash-agg (the "first owner" of each shingle) and the
-    * per-doc roll-up joins back ON THE SHINGLE KEY — the join reuses
-    * the agg's exchange, so the pipeline is two map-side-combined aggs
-    * + one co-partitioned join. Novelty ratio rounds in exact integer
-    * rational arithmetic ([[graft.functions.Det.r4]]). */
-  /** One row per (doc, distinct 3-token shingle) — the raw-string
-    * shingle table shared by d30 and the s26 streaming novelty
-    * ([[graft.streaming.StreamOps]]), so the shingle definition cannot
-    * drift between the batch and streaming contracts. */
-  private[graft] def distinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2])))""")).as("s"))
-  }
-
-  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // first-owner via ONE window over the shingle-partitioned table —
-    // the d08 document-frequency lesson: the min-agg + join-back
-    // alternative pays the (map-side) shingle explode TWICE and
-    // shuffles the shingle table by s twice (agg + join); the window
-    // rides a single exchange (measured ~35% off d30's sf0.1 wall)
-    val sh = distinctShingles(spark, sfDir)
-    sh.withColumn("first_doc",
-        min($"doc_id").over(Window.partitionBy($"s")))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-      .select($"doc_id", $"n_grams", $"n_novel",
-        r4($"n_novel", $"n_grams").as("novelty"))
-      .orderBy($"doc_id")
-  }
-
-  /** How many of the global top terms to track per source in d43 —
-    * the bounded vocabulary that makes distribution drift a broadcast
-    * problem instead of a full-vocabulary shuffle. */
-  private[graft] val DriftTerms = 100
-
-  /** d43: token-distribution drift per source — the mixture-monitoring
-    * op a training-data pipeline runs when a new crawl snapshot lands:
-    * "which source's language has moved away from the corpus mix, and
-    * on which words?" Per source, total-variation-style distance
-    * between the source's term distribution and the corpus-wide one,
-    * over the global top-[[DriftTerms]] terms (the bounded head; the
-    * tail is noise for drift purposes), plus the single most drifted
-    * term.
-    *
-    * Determinism: rates are exact integer parts-per-billion via
-    * [[Det.fdiv]] (tf·10⁹ ≤ 10⁹·corpus-tokens stays well inside
-    * BIGINT), the distance is a plain BIGINT sum of absolute rate
-    * differences, and the arg-max term breaks ties lexicographically.
-    *
-    * Scale design: one exchange builds (source, term) counts; term
-    * totals re-aggregate those partials map-side; the top-100 term set
-    * and the per-source token totals are tiny broadcasts, so the
-    * source×term drift grid (n_sources × 100 rows) never shuffles the
-    * corpus again. At 100 TB the only big job is the first token
-    * count — exactly the d02 shape. */
-  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val tok = docsWithToks(spark, sfDir)
-      .select($"source", explode($"toks").as("term"))
-    // st is referenced four times below (per-source totals, term totals,
-    // the grid probe, the corpus total); localCheckpoint materializes the
-    // vocab-sized aggregate once so the corpus explode+count runs exactly
-    // one scan — AQE exchange reuse only deduplicated 2 of the 4
-    val st = tok.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val totSrc = st.groupBy($"source").agg(sum($"tf").as("tot_src"))
-    val termTot = st.groupBy($"term").agg(sum($"tf").as("tf_all"))
-    val top = termTot.orderBy($"tf_all".desc, $"term").limit(DriftTerms)
-    val grid = broadcast(totSrc).crossJoin(broadcast(top))
-      .join(st, Seq("source", "term"), "left")
-      .na.fill(0L, Seq("tf"))
-      .crossJoin(broadcast(termTot.agg(sum($"tf_all").as("tot_all"))))
-      .withColumn("diff_ppb", abs(
-        Det.fdiv($"tf" * 1000000000L, $"tot_src") -
-          Det.fdiv($"tf_all" * 1000000000L, $"tot_all")))
-    grid
-      .withColumn("rn", row_number().over(Window.partitionBy($"source")
-        .orderBy($"diff_ppb".desc, $"term")))
-      .withColumn("drift_ppb",
-        sum($"diff_ppb").over(Window.partitionBy($"source")))
-      .filter($"rn" === 1)
-      .select($"source", $"tot_src".as("total_tokens"), $"drift_ppb",
-        $"term".as("top_term"), $"diff_ppb".as("top_term_ppb"))
-      .orderBy($"source")
-  }
-
-  /** d44: bigram-coverage quality score — the n-gram-LM-lite fluency
-    * filter (the CCNet/Gopher-style "does this document look like the
-    * corpus head?" signal without transcendental math): the corpus's
-    * top-200 word bigrams form the head model, and each document is
-    * scored by the fraction of ITS bigrams that land in that head.
-    * Low coverage flags boilerplate, shuffled-token spam, and
-    * out-of-domain text; unlike a real LM perplexity it is exactly
-    * reproducible across engines (pure counting + one rational
-    * rounding — no log/exp whose last-ulp behavior differs).
-    *
-    * Scale design: pass 1 is a two-level hash-agg (map-side combine
-    * collapses each partition's bigram counts before ONE shuffle) +
-    * a 200-row TakeOrdered to the driver; pass 2 broadcast-joins that
-    * 200-row head to the corpus bigrams — the corpus never shuffles
-    * on the bigram key, and per-doc aggregation shuffles on doc_id
-    * only. At 100 TB the head stays 200 rows: both passes are scans. */
-  def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val bi = docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
-        .as("bigram"))
-    val head = bi.groupBy($"bigram").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), $"bigram").limit(200)
-      .select($"bigram", lit(1).as("hit"))
-    bi.join(broadcast(head), Seq("bigram"), "left")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(coalesce($"hit", lit(0))).cast("long").as("covered"))
-      .withColumn("coverage", Det.r4($"covered", $"n_bigrams"))
-      .orderBy($"doc_id")
-  }
-
-  /** d45: sliding-window chunking with overlap — the ingest step every
-    * RAG / long-context training pipeline runs before embedding: each
-    * document splits into 32-token chunks on a 16-token stride (50%
-    * overlap so no boundary sentence is lost), each chunk carrying its
-    * provenance (doc_id, index, token offset) and a content hash for
-    * downstream chunk-level dedup. Tail chunks keep their natural
-    * (shorter) length — the deterministic naive contract, identical in
-    * both engines' clamped list slicing.
-    *
-    * Scale design: chunk generation is a map-side explode of a
-    * per-doc index sequence (⌈n/stride⌉ rows per doc — no shuffle,
-    * no self-join); the only exchange is the output ordering. At
-    * 100 TB this is a pure scan whose output feeds the embedding
-    * stage partitioned however that stage needs. */
-  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val C = ChunkLen; val S = ChunkStride
-    docsWithToks(spark, sfDir)
-      .withColumn("n", size($"toks"))
-      .select($"doc_id", $"toks",
-        explode(expr(s"sequence(0, cast((n - 1) / $S AS int))")).as("i"))
-      .withColumn("start_tok", ($"i" * S).cast("long"))
-      .withColumn("chunk", expr(s"slice(toks, start_tok + 1, $C)"))
-      .select($"doc_id", $"i".cast("long").as("chunk_idx"), $"start_tok",
-        size($"chunk").cast("long").as("n_tok"),
-        md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_idx")
-  }
-
-  /** d56 banding constants: each FULL 32-token chunk splits into
-    * [[ChunkSubN]] positional [[ChunkSub]]-token sub-chunks; a chunk
-    * pair is a near-dup if ≥ [[ChunkMinPos]] same-position sub-hashes
-    * match (tolerates edits confined to the other sub-chunks — the
-    * SimHash segment-banding pigeonhole at chunk granularity); a
-    * (pos, sub-hash) bucket holding more than [[ChunkDfCap]] chunks is
-    * excluded (the d46 df-cap discipline: skew bound + boilerplate
-    * attractors are exactly the buckets that would chain unrelated
-    * text). */
-  private[graft] val ChunkSub = 8
-  private[graft] val ChunkSubN = 4
-  private[graft] val ChunkMinPos = 2
-  private[graft] val ChunkDfCap = 50L
-
-  /** d56: CHUNK-LEVEL near-dup with DOC-LEVEL rollup — the
-    * fine-grained dedup shape fine-data pipelines actually run (the
-    * C4/RefinedWeb paragraph-dedup): whole-doc near-dup (d06) and
-    * containment (d46) bracket it but neither says HOW MUCH of each
-    * document is duplicated text. Over d45's chunk grid (32-token
-    * windows, 16-token stride — the shared `chunkCte` text), each FULL
-    * chunk's 4 positional 8-token sub-hashes are banded; chunks of
-    * DIFFERENT documents matching on ≥ 2 positions are near-dup
-    * chunk pairs (cross-doc only — intra-doc repetition is d18's
-    * statistic, and the 50%-overlapping grid would trivially self-match
-    * neighbors); the per-doc rollup reports the fraction of full
-    * chunks with any cross-doc near-match and the keep/trim decision
-    * (trim when more than half the doc is duplicated text — the
-    * integer comparison n_dup·2 > n_chunks, no float threshold).
-    *
-    * Scale design: the candidate generator is banded AND df-capped —
-    * every (pos, sub-hash) bucket holds ≤ [[ChunkDfCap]] chunks, so
-    * candidate volume is Σ min(df, cap)² per bucket, NEVER chunk-pairs²
-    * (the 100× probe pins the slope); the rollup joins flagged chunks
-    * back on the (doc, chunk) key the grid already carries. Sub-hashes
-    * travel as md5 strings of 8-token windows — one codegen'd pass,
-    * no self-join before the bucket cap. */
-  def chunkDupRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val chunks = docsWithToks(spark, sfDir)
-      .withColumn("n", size($"toks"))
-      .select($"doc_id", $"toks",
-        explode(expr(s"sequence(0, cast((n - 1) / $ChunkStride AS int))"))
-          .as("i"))
-      .withColumn("chunk",
-        expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
-      .filter(size($"chunk") === ChunkLen)
-      .select($"doc_id", $"i".cast("long").as("chunk_idx"), $"chunk")
-    val subs = chunks.select($"doc_id", $"chunk_idx",
-      posexplode(expr(
-        s"""transform(sequence(0, ${ChunkSubN - 1}),
-           j -> md5(concat_ws(' ', slice(chunk, j * $ChunkSub + 1, $ChunkSub))))"""))
-        .as(Seq("pos", "sh")))
-    val rare = subs.join(
-      subs.groupBy($"pos", $"sh").agg(count(lit(1)).as("dfc"))
-        .filter($"dfc" <= ChunkDfCap),
-      Seq("pos", "sh"))
-    val pairs = rare.as("a")
-      .join(rare.as("b"),
-        col("a.pos") === col("b.pos") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
-        col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
-      .agg(count(lit(1)).as("npos"))
-      .filter($"npos" >= ChunkMinPos)
-    val flagged = pairs.select($"d1".as("doc_id"), $"c1".as("chunk_idx"))
-      .union(pairs.select($"d2".as("doc_id"), $"c2".as("chunk_idx")))
-      .distinct()
-      .withColumn("dup", lit(1L))
-    chunks.select($"doc_id", $"chunk_idx")
-      .join(flagged, Seq("doc_id", "chunk_idx"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce($"dup", lit(0L))).as("n_dup"))
-      .select($"doc_id", $"n_chunks", $"n_dup",
-        r4($"n_dup", $"n_chunks").as("dup_frac"),
-        when($"n_dup" * 2L > $"n_chunks", "trim").otherwise("keep")
-          .as("action"))
-      .orderBy($"doc_id")
-  }
-
-  /** The d45/d56 chunk-grid geometry — ONE pair of constants shared by
-    * the chunker, the rollup, and both oracle texts. */
-  private[graft] val ChunkLen = 32
-  private[graft] val ChunkStride = 16
-
-  /** Containment (overlap-coefficient) threshold and the rare-shingle
-    * document-frequency cap that defines d46's candidate contract. */
-  private val ContainDfCap = 50L
-
-  /** d46: sub-document containment — partial duplication that Jaccard
-    * dedup (d06/d08) is BLIND to: a short document wholly quoted inside
-    * a much longer one has overlap coefficient |A∩B|/min(|A|,|B|) ≈ 1
-    * but Jaccard ≈ |A|/|B| ≈ 0, so it collides in no MinHash band.
-    * Contract: pairs sharing at least one RARE 3-shingle (corpus df ≤
-    * 50 — the d37 posting-cap discipline, here doubling as the skew
-    * bound) whose exact overlap coefficient is ≥ 0.8, with the Jaccard
-    * alongside so a consumer sees which pairs plain near-dup would have
-    * caught. The df cap is part of the declared contract: containment
-    * evidence lives in rare shingles; boilerplate shingles (df > cap)
-    * are exactly the ones that would chain unrelated documents.
-    *
-    * Scale design: the candidate self-join keys on rare shingles only,
-    * so every bucket holds ≤ cap docs (≤ cap² pairs per shingle) — the
-    * unbounded-bucket skew of a full shingle join cannot occur. Exact
-    * verification touches candidates only: one codegen'd sorted-array
-    * intersection over the per-doc hash sets (the d08 verify shape).
-    * Threshold test is the cross-multiplied integer predicate 5·common
-    * ≥ 4·min(n1,n2) — no double compare. Like every pair-emitting op
-    * here, output is c² per duplicate group (see the d08/SURVEY §6
-    * caveat); the cluster-emitting composition canonicalizes first.
-    *
-    * COLLISION CAVEAT: shingle sets are xxhash64 values, not raw
-    * strings, so two DISTINCT shingles colliding in 64 bits would
-    * inflate `common` / shrink n (and diverge from a raw-string
-    * oracle). Birthday bound: P(any collision) ≈ m²/2⁶⁵ for m distinct
-    * corpus shingles — negligible at fixture scale, ~3% at m = 10¹⁰
-    * (a 100 TB corpus). The d08 Jaccard path carries the same caveat.
-    * At that scale either accept the ppb-level per-pair error (each
-    * collision perturbs one count by 1; the 0.8 threshold is not
-    * knife-edge) or confirm candidates on raw shingles in the verify
-    * join — the candidate generator is unaffected (a collision only
-    * ADDS a candidate pair, which exact verify then rejects). */
-  def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    val sh = cached(spark, sfDir, "d46_sh") {
-      docsWithToks(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-    }
-    val byDoc = cached(spark, sfDir, "d46_bydoc") {
-      sh.groupBy($"doc_id")
-        .agg(sort_array(collect_list($"h")).as("hs"),
-          count(lit(1)).as("n"))
-    }
-    val rare = sh.filter($"df" <= ContainDfCap).select($"doc_id", $"h")
-    // dedup BEFORE verify here (unlike d08): a contained pair shares
-    // every rare shingle of the smaller doc, so candidate multiplicity
-    // is ~doc-length — one exchange over the slim pair list beats
-    // hundreds of redundant array intersections per pair
-    val cand = rare.as("a")
-      .join(rare.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-    cand
-      .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
-      .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
-      .withColumn("common",
-        call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
-      .filter($"common" * 5L >= least($"n1", $"n2") * 4L)
-      .select($"d1", $"d2", $"n1", $"n2", $"common",
-        r4($"common", least($"n1", $"n2")).as("containment"),
-        r4($"common", $"n1" + $"n2" - $"common").as("jaccard"))
-      .orderBy($"d1", $"d2")
-  }
-
-  /** d47: hashed linear quality classifier — the fastText/CCNet-style
-    * model-based filter shape: every token hashes into one of 64
-    * feature buckets, each bucket carries a fixed integer weight (here
-    * a closed-form LCG of the bucket id standing in for trained
-    * weights; a production run broadcasts the real weight vector), the
-    * document's margin is the mean token weight and the keep decision
-    * is its sign. The point is the EXECUTION shape of model scoring at
-    * corpus scale, with a deterministic stand-in model both engines
-    * can agree on bit-exactly.
-    *
-    * Determinism: one codegen'd md5 per token occurrence (the
-    * [[minhashSigs]] measurement: beats interpreted per-element
-    * lambdas), bucket/weight are pure int64 arithmetic on non-negative
-    * operands, the margin is the r4 exact rational Σw / (1000·n).
-    *
-    * Scale design: scoring is map work; the only exchange is the
-    * per-doc hash-agg, collapsed map-side to one row per document per
-    * partition before shuffling — |docs| rows move, never |tokens|. */
-  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWithToks(spark, sfDir)
-      .select($"doc_id", explode($"toks").as("t"))
-      .withColumn("b",
-        expr("conv(substr(md5(t), 1, 8), 16, 10)").cast("long") % 64L)
-      .withColumn("w",
-        (lit(2654435761L) * $"b" + lit(1013904223L)) % 2001L - 1000L)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("sum_w"))
-      .select($"doc_id", $"n_tokens", $"sum_w",
-        r4($"sum_w", $"n_tokens" * 1000L).as("score"),
-        ($"sum_w" > 0L).as("kept"))
-      .orderBy($"doc_id")
-  }
-
-  /** d49: corpus snapshot diff — the incremental-ingest planning step:
-    * given the previous and current snapshot of a keyed corpus, which
-    * documents were ADDED, REMOVED, or CHANGED (content hash differs),
-    * and how much re-embedding/re-indexing work that implies (changed +
-    * added character volume). The fixture stands the two snapshots up
-    * deterministically so all four statuses occur: the OLD snapshot
-    * holds docs with id % 5 ≠ 4 (original text), the NEW one docs with
-    * id % 7 ≠ 6, where docs with id % 3 = 0 carry an edited text
-    * (suffix marker) — so removed/added/changed/unchanged are all
-    * non-empty and the diff logic is what is under test. Output:
-    * per-status doc counts and char volumes plus the per-status min
-    * key as a spot-check anchor.
-    *
-    * Scale design: the diff is ONE full-outer hash join on the snapshot
-    * key (both sides pre-collapsed to (key, md5, chars) map-side — the
-    * text column never shuffles), then a ≤4-row status rollup. At
-    * 100 TB this is the shape that decides how much of the embedding/
-    * index pipeline reruns — the whole point of keying corpora. */
-  /** d49/s39 synthetic-snapshot split rules — ONE definition for the
-    * batch diff, the streaming CDC changelog builder, and both oracle
-    * strings (drift-proof literals). */
-  private[graft] val SnapOldMod = 5L   // in OLD iff k % 5 ≠ 4
-  private[graft] val SnapNewMod = 7L   // in NEW iff k % 7 ≠ 6
-  private[graft] val SnapEditMod = 3L  // NEW text edited iff k % 3 = 0
-
-  /** The old/new snapshot projections (k, h, chars) — shared by the
-    * d49 batch join and the s39 streaming changelog builder. */
-  private[graft] def snapshotSides(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id".as("k"), $"text",
-        $"n_chars".cast("long").as("n_chars"))
-    val old = docs.filter($"k" % SnapOldMod =!= (SnapOldMod - 1))
-      .select($"k", md5($"text").as("h"), $"n_chars".as("chars"))
-    val nw = docs.filter($"k" % SnapNewMod =!= (SnapNewMod - 1))
-      .select($"k",
-        md5(when($"k" % SnapEditMod === 0, concat($"text", lit(" v2")))
-          .otherwise($"text")).as("h"),
-        (when($"k" % SnapEditMod === 0, $"n_chars" + 3L)
-          .otherwise($"n_chars")).as("chars"))
-    (old, nw)
-  }
-
-  /** The d49 per-status rollup over (k, status, old_chars, new_chars)
-    * rows — shared verbatim by the s39 streaming reduction. */
-  private[graft] def snapshotDiffReduce(j: DataFrame): DataFrame = {
-    import j.sparkSession.implicits._
-    j.groupBy($"status")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce($"new_chars", lit(0L))).as("new_chars"),
-        sum(coalesce($"old_chars", lit(0L))).as("old_chars"),
-        min($"k").as("min_key"))
-      .orderBy($"status")
-  }
-
-  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (old, nw) = snapshotSides(spark, sfDir)
-    snapshotDiffReduce(old
-      .select($"k", $"h".as("old_h"), $"chars".as("old_chars"))
-      .join(nw.select($"k", $"h".as("new_h"), $"chars".as("new_chars")),
-        Seq("k"), "full_outer")
-      .withColumn("status",
-        when($"old_h".isNull, "added")
-          .when($"new_h".isNull, "removed")
-          .when($"old_h" === $"new_h", "unchanged")
-          .otherwise("changed")))
-  }
-
-  /** d52: incremental near-dup — the PRODUCTION dedup shape once a
-    * corpus is live: when a batch of new documents lands, find each
-    * new doc's near-duplicates against the EXISTING corpus and within
-    * the new batch itself, WITHOUT ever re-pairing old×old (that work
-    * was done when the old corpus was deduped; redoing it is the
-    * difference between an O(new) nightly job and an O(corpus) one).
-    * New arrivals are the d49 snapshot rules' "added" set (in NEW,
-    * not OLD — shared [[SnapOldMod]]/[[SnapNewMod]] literals, so the
-    * incremental split can never drift from the d49/s39 diff), the
-    * existing corpus is the OLD snapshot. Output: (d_new, d_match,
-    * phase ∈ {corpus, batch}, est_jaccard ≥ 0.5) — d06's MinHash
-    * pipeline restricted to pairs touching a new doc. This is the
-    * batch face of s24 (which does the same thing one micro-batch at
-    * a time against a RocksDB band index).
-    *
-    * Scale design: both candidate joins probe the SHARED band table
-    * ([[lshBands]] — same cache the full d06 run uses): new-batch
-    * band rows (≈ |new|·4) hash-join the old corpus's band index on
-    * (band, bh) — the cost is driven by the new batch and the bucket
-    * hit rate, not corpus size — and the within-batch self-join is
-    * |new|-sized. Signature verification joins only candidate ids.
-    * At 100 TB corpus + 100 GB daily batch, every shuffle here is
-    * batch-sized; the corpus contributes one build-side scan of its
-    * band index (on a cluster: a bucketed/stored index, point
-    * lookups). */
-  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
-    val bands = lshBands(spark, sfDir)
-    val isOld = col("doc_id") % SnapOldMod =!= (SnapOldMod - 1)
-    val isNew = (col("doc_id") % SnapOldMod === (SnapOldMod - 1)) &&
-      (col("doc_id") % SnapNewMod =!= (SnapNewMod - 1))
-    val oldBands = bands.filter(isOld)
-    val newBands = bands.filter(isNew)
-    val vsCorpus = newBands.as("a").join(oldBands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
-      .select($"a.doc_id".as("d_new"), $"b.doc_id".as("d_match"),
-        lit("corpus").as("phase"))
-    val vsBatch = newBands.as("a").join(newBands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d_new"), $"b.doc_id".as("d_match"),
-        lit("batch").as("phase"))
-    vsCorpus.unionByName(vsBatch).distinct()
-      .join(sigs.select($"doc_id".as("d_new"), $"sig".as("sig_n")), "d_new")
-      .join(sigs.select($"doc_id".as("d_match"), $"sig".as("sig_m")),
-        "d_match")
-      .select($"d_new", $"d_match", $"phase",
-        round(expr(
-          "size(filter(zip_with(sig_n, sig_m, (x, y) -> x = y), m -> m))")
-          / lit(16.0), 4).as("est_jaccard"))
-      .filter($"est_jaccard" >= 0.5)
-      .orderBy($"d_new", $"d_match")
-  }
-
-  /** d54 band layouts over the 16 minhash permutations: (bands,
-    * rows-per-band) with b·r = 16 — from high-precision (2 bands of 8:
-    * a candidate must match 8 straight permutations) to the degenerate
-    * recall-max (16 bands of 1: any shared permutation minimum is a
-    * candidate). The deployed d06 layout is (4, 4). */
-  private[graft] val BandLayouts = Seq((2, 8), (4, 4), (8, 2), (16, 1))
-
-  /** d54: LSH banding tuning curve — the (b, r) trade-off every
-    * MinHash deployment sets, measured instead of guessed: for each
-    * [[BandLayouts]] layout over the SAME 16-permutation signatures,
-    * the candidate-pair volume (the cost axis: pairs that must be
-    * verified) and the candidate recall against d08's exact-Jaccard
-    * ≥ 0.5 ground truth (the quality axis). Banding theory says a
-    * true pair at similarity s survives with 1-(1-s^r)^b — wider
-    * bands (big r) crush the candidate volume but lose borderline
-    * pairs, and r = 1 explodes: on the sf0.1 fixture the candidate
-    * count runs 236 → 282 → 1 061 → 159 424 across the four layouts.
-    * v26 is the same readout for the IVF index (nprobe); this is the
-    * dedup-index counterpart.
-    *
-    * Determinism: exact counts; recall is the r4 exact rational;
-    * layouts ride as literals.
-    *
-    * Scale design: signatures are computed ONCE (the shared d06
-    * cache); each layout is one band self-join whose cost IS the
-    * measured quantity — the r = 1 row exists precisely to show the
-    * blow-up a deployment must avoid (its bucket key is a single
-    * permutation minimum, so bucket sizes approach document frequency
-    * of the commonest shingle — the curve is how you find that out at
-    * sf0.1, not at 100 TB). The truth set rides d08's declared
-    * prefix-filtered contract; hit-counting joins only candidate
-    * pairs. */
-  def bandingCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = cached(spark, sfDir, "sigs")(minhashSigs(spark, sfDir))
-    val truth = ngramJaccard(spark, sfDir)
-      .select($"d1", $"d2", lit(1L).as("t"))
-    val perLayout = BandLayouts.map { case (b, r) =>
-      val bands = sigs.select($"doc_id", explode(expr(
-        s"""transform(sequence(0, ${b - 1}),
-          bb -> struct(bb AS band,
-            array_join(transform(slice(sig, bb*$r + 1, $r),
-              v -> cast(v as string)), '|') AS bh))""")).as("x"))
-        .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
-      bands.as("a")
-        .join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-        .join(truth, Seq("d1", "d2"), "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum($"t"), lit(0L)).as("n_hit"))
-        .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
-          $"n_candidates", $"n_hit")
-    }
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    perLayout.reduce(_ unionByName _)
-      .crossJoin(broadcast(nTruth))
-      .select($"b", $"r", $"n_candidates", $"n_hit", $"n_truth",
-        graft.functions.Det.r4($"n_hit", $"n_truth").as("recall"))
-      .orderBy($"b")
-  }
-
-  /** d50: cross-source contamination matrix — the provenance-hygiene
-    * report run before mixing crawl snapshots: for every unordered
-    * source pair, the number of distinct 3-token shingles present in
-    * BOTH sources, each side's distinct shingle count, and the overlap
-    * coefficient |A∩B| / min(|A|,|B|) — the containment-style measure
-    * that stays meaningful when source sizes differ 100× (1.0 means
-    * the smaller source's shingle set is a subset of the larger: a
-    * mirror). Complements d21 (which finds cross-source duplicate
-    * DOCUMENTS); this measures corpus-level content sharing even when
-    * no single document crosses a dedup threshold.
-    *
-    * Determinism: exact distinct counts; overlap is the r4 exact
-    * rational; (src_a, src_b) lexicographic with src_a < src_b.
-    *
-    * Shingles travel as xxhash64 int64s (the d15/d46 collision bound:
-    * a ~2⁻⁶⁵-per-pair birthday collision could merge two shingles —
-    * negligible at fixture scale, and at ~10B distinct shingles the
-    * documented widening is two independent xxhash64 seeds); the
-    * oracle states the same counts over raw shingle strings.
-    *
-    * Scale design: raw text collapses to DISTINCT (shingle-hash,
-    * source) rows in ONE map-side-combined shuffle; per-shingle source
-    * sets are ≤ |sources| = 20 by construction so the pair explode is
-    * ≤ C(20,2) per shingle — map-side, bounded — and the (src_a,
-    * src_b) hash-agg output is the bounded 20×20 triangle; per-source
-    * totals are a |sources|-row broadcast. No corpus self-join
-    * anywhere; at 10⁴ sources the per-shingle set bound grows and the
-    * explode caps at sources-sharing-a-shingle (df-style skew: a
-    * shingle in EVERY source costs C(n,2) — prune shingles above a
-    * source-df cap first, as d46 does for doc-df). */
-  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sh = docsWithToks(spark, sfDir)
-      .filter(size($"toks") >= 3)
-      .select($"source", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))"""))
-        .as("h"))
-      .distinct()
-    val totals = sh.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.groupBy($"h")
-      .agg(sort_array(collect_set($"source")).as("srcs"))
-      .filter(size($"srcs") >= 2)
-      .select(explode(expr(
-        """flatten(transform(srcs, (a, i) ->
-          transform(slice(srcs, i + 2, size(srcs)),
-            b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
-      .select($"p.src_a", $"p.src_b")
-      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(broadcast(totals.toDF("src_a", "n_a")), Seq("src_a"))
-      .join(broadcast(totals.toDF("src_b", "n_b")), Seq("src_b"))
-      .select($"src_a", $"src_b", $"n_common", $"n_a", $"n_b",
-        r4($"n_common", least($"n_a", $"n_b")).as("overlap"))
-      .orderBy($"src_a", $"src_b")
-  }
-
-  /** d51: dedup-method agreement matrix — the methods-quality audit a
-    * pipeline owner runs before trusting a near-dup detector: for each
-    * pair of methods among MinHash-LSH (d06, estimated Jaccard ≥ 0.5),
-    * SimHash (d19, Hamming ≤ 1), and exact n-gram Jaccard (d08, ≥ 0.5
-    * — the ground truth the other two approximate), the sizes of the
-    * two detected pair sets, their intersection and union, and the
-    * pair-set Jaccard agreement. Composes the three DECLARED queries
-    * unchanged, so the audited sets are exactly what d06/d19/d08
-    * report (and their session-cached signature/pair tables are
-    * reused, not rebuilt).
-    *
-    * Determinism: exact counts; agreement is the r4 exact rational,
-    * NULL on an empty union; method names give the total order.
-    *
-    * Scale design: inputs are the c²-per-dup-group pair TABLES (tiny
-    * relative to the corpus — the d06/d08 scale notes apply to
-    * producing them); the method self-join keys on (d1, d2) where
-    * each method contributes at most one row, so fan-out is ≤ 3 per
-    * pair; the 3-row method-pair seed and per-method totals are
-    * broadcasts. */
-  def methodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val all =
-      minhashLsh(spark, sfDir).select($"d1", $"d2", lit("minhash").as("m"))
-        .unionAll(simhashNearDup(spark, sfDir)
-          .select($"d1", $"d2", lit("simhash").as("m")))
-        .unionAll(ngramJaccard(spark, sfDir)
-          .select($"d1", $"d2", lit("jaccard").as("m")))
-    val totals = all.groupBy($"m").agg(count(lit(1)).as("n"))
-    val seed = Seq(("jaccard", "minhash"), ("jaccard", "simhash"),
-      ("minhash", "simhash")).toDF("method_a", "method_b")
-    val both = all.toDF("d1", "d2", "ma")
-      .join(all.toDF("d1", "d2", "mb"), Seq("d1", "d2"))
-      .filter($"ma" < $"mb")
-      .groupBy($"ma".as("method_a"), $"mb".as("method_b"))
-      .agg(count(lit(1)).as("n_both"))
-    seed
-      .join(both, Seq("method_a", "method_b"), "left_outer")
-      .join(broadcast(totals.toDF("method_a", "n_a")),
-        Seq("method_a"), "left_outer")
-      .join(broadcast(totals.toDF("method_b", "n_b")),
-        Seq("method_b"), "left_outer")
-      .withColumn("n_a", coalesce($"n_a", lit(0L)))
-      .withColumn("n_b", coalesce($"n_b", lit(0L)))
-      .withColumn("n_both", coalesce($"n_both", lit(0L)))
-      .withColumn("n_union", $"n_a" + $"n_b" - $"n_both")
-      .select($"method_a", $"method_b", $"n_a", $"n_b", $"n_both",
-        $"n_union",
-        when($"n_union" > 0L, r4($"n_both", $"n_union")).as("agreement"))
-      .orderBy($"method_a", $"method_b")
-  }
-
-  /** d55 bin width (chars). */
-  private[graft] val LenBinChars = 100L
-
-  /** d55: per-source document-length quantiles (p25/p50/p75/p95) via
-    * binned read-off — the corpus-composition statistic a data-mixing
-    * pipeline reads before setting source weights (short-doc sources
-    * behave differently under d17's packing and d27's curation; d03
-    * reports per-LANG means, this is the distribution per SOURCE).
-    * e54's binned shape generalized from the median to arbitrary
-    * ranks: per-(source, 100-char-bin) counts are ONE map-side-
-    * combined hash-agg, and the four type-1 targets
-    * (max(1, ⌈n·p/100⌉), e55's convention) read off the bin cumsum
-    * with intra-bin interpolation floored to the char — within one bin
-    * width of the exact per-group quantile, at full parallelism (the
-    * exact per-group rank sort this avoids is the e53-class shape,
-    * parallelism-capped at |sources| = 20).
-    *
-    * Determinism: pure int64 throughout; (source, pct) is a total
-    * output order.
-    *
-    * Scale design: one hash-agg shuffle of |docs| rows; the cumsum
-    * windows run over BIN rows (≤ length-range/width per source); the
-    * ×4 percentile fan-out replicates bins, never documents. Bin
-    * counts are monoid state — the s46 streaming shape applies
-    * unchanged. */
-  def sourceLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val j = Tables.documents(spark, sfDir)
-      .select($"source", $"n_chars".cast("long").as("len"))
-    val bins = j.groupBy($"source",
-        Det.fdiv($"len", lit(LenBinChars)).as("bin"))
-      .agg(count(lit(1)).as("bc"))
-    val w = Window.partitionBy($"source").orderBy($"bin")
-    val wN = Window.partitionBy($"source")
-    val pcts = Seq(25L, 50L, 75L, 95L).toDF("pct")
-    bins
-      .withColumn("cum", sum($"bc").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum($"bc").over(wN))
-      .crossJoin(broadcast(pcts))
-      .withColumn("tgt",
-        greatest(lit(1L), Det.fdiv($"n" * $"pct" + 99L, lit(100L))))
-      .filter($"cum" >= $"tgt" && $"cum" - $"bc" < $"tgt")
-      .select($"source", $"pct", $"n",
-        ($"bin" * LenBinChars +
-          Det.fdiv(($"tgt" - ($"cum" - $"bc")) * LenBinChars, $"bc"))
-          .as("chars"))
-      .orderBy($"source", $"pct")
-  }
-
-  /** d57's shard count. 16 here; production sets thousands — every
-    * shape below is |shards|-bounded only AFTER the per-doc hash-agg,
-    * so the constant is free to grow. */
-  private[graft] val ShardN = 16L
-
-  /** The deterministic shard of the current row's `doc_id` — salted
-    * md5 ("shard:"), top 8 hex chars as an unsigned int32, mod
-    * [[ShardN]]; the d13 hash-split idiom at shard granularity. Pure
-    * per-row codegen arithmetic: stable under corpus growth and input
-    * order, which is the whole point of hash sharding (a re-run on a
-    * re-partitioned copy of the corpus produces identical shards — the
-    * 8×-splits sweep axis exercises exactly that). */
-  private[graft] def shardOf: org.apache.spark.sql.Column =
-    expr(s"CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), " +
-      s"1, 8), 16, 10) AS BIGINT) % $ShardN")
-
-  /** The manifest read-off over an EXPLICIT `cells(shard, n_docs,
-    * n_tokens, n_bytes)` counter table — shared by d57 (batch-built
-    * cells) and s51 (cells served out of streaming state), the
-    * x05/s49 discipline: the two faces cannot drift. The balance
-    * column is each shard's tokens against the perfectly-level ideal
-    * (r4(n_tokens·N, total); 1.0 = level) — the skew statistic a
-    * trainer's data loader cares about, since its epoch time is
-    * max-over-shards. */
-  private[graft] def shardManifestFrom(cells: DataFrame): DataFrame = {
-    import cells.sparkSession.implicits._
-    val tot = cells.agg(sum($"n_tokens").cast("long").as("total_tokens"))
-    cells.crossJoin(broadcast(tot))
-      .select($"shard", $"n_docs", $"n_tokens", $"n_bytes",
-        r4($"n_tokens" * lit(ShardN), $"total_tokens").as("balance"))
-      .orderBy($"shard")
-  }
-
-  /** d57: training-output shard manifest — the deterministic sharding
-    * step a corpus writer runs before handing data to a trainer.
-    * Every document is hash-assigned to one of [[ShardN]] fixed
-    * shards ([[shardOf]]), and the manifest audits what the data
-    * loader depends on: per-shard doc/token/byte totals plus the
-    * tokens-vs-ideal balance ratio.
-    *
-    * Scale design (100 TB): ONE map-side-combined hash-agg over the
-    * documents scan — the shard id is per-row codegen'd md5
-    * arithmetic, so nothing shuffles except |shards| partial-agg rows
-    * per task; the totals join broadcasts one row. Uniform hashing
-    * keeps every shard within ~1/√(docs-per-shard) of level
-    * regardless of corpus skew (the manifest MEASURES it rather than
-    * assuming it). */
-  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    shardManifestFrom(
-      docsWithToks(spark, sfDir)
-        .select(shardOf.as("shard"),
-          size($"toks").cast("long").as("n_toks"), $"n_chars")
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_toks").cast("long").as("n_tokens"),
-          sum($"n_chars").cast("long").as("n_bytes")))
-  }
-
-  /** d58: token-budget water-filling across languages — the mixture
-    * solver behind an LLM language-mix decision: given a global token
-    * budget B = ⌊3·total/4⌋ and an EQUAL per-language target,
-    * low-resource languages are capped at their full capacity (you
-    * take every token they have) and their unused share is
-    * redistributed to the rest (water-filling) — on the fixtures that
-    * caps de/zh/fr/es at capacity and fills the remainder with en,
-    * exactly the up-sample-low-resource shape. Emits per language its
-    * capacity, the allocation, the capped flag, and the sampling rate
-    * the downstream reader applies (r4(alloc, capacity); capped ⇒ 1.0).
-    *
-    * Closed form, no iteration: sort languages by capacity ascending
-    * (lang asc ties); language i (1-based, n languages, prefix sums P)
-    * is capped iff capacityᵢ·(n−i+1) ≤ B−Pᵢ₋₁ — under ascending order
-    * the capped set is provably a prefix, so one window pass finds it
-    * — and the shared level for the n−k uncapped languages is
-    * L = ⌊(B−P_k)/(n−k)⌋. Σalloc ≤ B with residue < n−k (the floor's
-    * remainder; a production writer hands the residue to the largest
-    * language or ignores it — we document rather than hide it).
-    * All-capped is impossible for B = ⌊3·total/4⌋ < total, so the n−k
-    * divisor is never 0; both branches occur on every fixture SF
-    * (GraftSpec asserts it).
-    *
-    * Scale design: the per-language capacity table is ONE hash-agg
-    * over the documents scan; everything after runs over |languages|
-    * rows (config-bounded, like bins), so the unpartitioned windows
-    * are driver-trivial at any corpus size. Independent truth: the
-    * ITERATIVE water-filling algorithm recomputed in plain Scala must
-    * produce the identical allocation (GraftSpec) — a different
-    * derivation, so a drifted closed-form inequality diverges there
-    * while the mirrored oracle stays green. */
-  def mixBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mixBudgetFrom(docsWithToks(spark, sfDir)
-      .groupBy($"lang")
-      .agg(sum(size($"toks")).cast("long").as("n_tokens"))
-      .filter($"n_tokens" > 0L))
-  }
-
-  /** d58's closed-form water-filling over an EXPLICIT `(lang,
-    * n_tokens)` capacity table — the seam GraftSpec uses to drive
-    * synthetic capacity sets (one-giant, all-equal, exact-tie) through
-    * the SAME closed form the declared query runs, pinned against the
-    * iterative algorithm (the x06 `hllSetOpsOf` discipline). */
-  private[graft] def mixBudgetFrom(per: DataFrame): DataFrame = {
-    import per.sparkSession.implicits._
-    val tot = per.agg(sum($"n_tokens").cast("long").as("total_tokens"),
-      count(lit(1)).as("n_langs"))
-    val w = Window.orderBy($"n_tokens", $"lang")
-    val ranked = per.crossJoin(broadcast(tot))
-      .withColumn("b", Det.fdiv($"total_tokens" * 3L, lit(4L)))
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("pfx", coalesce(sum($"n_tokens").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("capped",
-        $"n_tokens" * ($"n_langs" - $"i" + 1L) <= $"b" - $"pfx")
-    val capTot = ranked.agg(
-      count(when($"capped", 1)).as("k"),
-      coalesce(sum(when($"capped", $"n_tokens")), lit(0L)).cast("long")
-        .as("sum_capped"))
-    ranked.crossJoin(broadcast(capTot))
-      .withColumn("alloc_tokens", when($"capped", $"n_tokens")
-        .otherwise(Det.fdiv($"b" - $"sum_capped", $"n_langs" - $"k")))
-      .select($"lang", $"n_tokens", $"alloc_tokens",
-        when($"capped", 1L).otherwise(0L).as("capped"),
-        r4($"alloc_tokens", $"n_tokens").as("sample_rate"))
-      .orderBy($"lang")
-  }
+object TextOps
+    extends TextCoreOps
+    with TextLshOps
+    with TextStatsOps
+    with TextRetrievalOps
+    with TextCurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d57_shard_manifest" -> shardManifest _,
