@@ -333,9 +333,12 @@ object Events {
     * output is row-sized — the DistRank machinery (persist + offsets +
     * join + the final re-sort) costs more than the 5-way sort saves at
     * 10M rows. So unlike e50/e52 (whose outputs collapse per-user and
-    * measured faster distributed at 100×), e18's threshold is 1 GiB:
-    * the flip engages only where the plain branch would stop
-    * finishing. Above it the ranks come from ONE range exchange over
+    * measured faster distributed at 100×), e18's threshold is a
+    * FEASIBILITY fence derived from the session's memory geometry
+    * ([[rankSortFenceBytes]] — heap × memory.fraction / 4, ≈1.2 GiB on
+    * this host, reproducing the r12-measured 1 GiB calibration): the
+    * flip engages only where the plain branch would stop finishing.
+    * Above it the ranks come from ONE range exchange over
     * the combined (event_type, value, event_id) order: group slices
     * are contiguous, so within-group rank = global rank − group offset
     * (a 5-row broadcast), and the readouts are pure arithmetic from
@@ -343,7 +346,38 @@ object Events {
     * ties by construction). Both branches are value-identical (pinned
     * in GraftSpec via the threshold seam). */
   def rankVariants(spark: SparkSession, sfDir: String): DataFrame =
-    rankVariantsThresholded(spark, sfDir, 1L << 30)
+    rankVariantsThresholded(spark, sfDir, rankSortFenceBytes(spark))
+
+  /** e18's feasibility fence, DERIVED from the session's memory
+    * geometry instead of a host-calibrated literal (r12 verdict item
+    * 6): a per-event-type window sort is feasible while the worst-case
+    * single-task slice (conservatively the WHOLE input — group sizes
+    * are unknowable at plan time) fits one task's execution memory:
+    *
+    *   fence = executorHeap × spark.memory.fraction / 4
+    *
+    * where ÷2 covers the in-memory sort's overhead versus the Catalyst
+    * on-heap size estimate (row pointers + object headers ≈ 2× the
+    * estimate) and another ÷2 keeps the flip BEFORE spill-dominated
+    * degradation, not at hard OOM. On this host (8g heap × 0.6 / 4 =
+    * 1.2 GiB) the formula reproduces the r12-measured 1 GiB
+    * calibration point within 20%; on a real cluster the fence scales
+    * with the executor's actual geometry. Executor heap comes from
+    * `spark.executor.memory` where set (cluster mode); in local mode
+    * the driver JVM IS the executor, so `Runtime.maxMemory` is the
+    * truth. */
+  private[graft] def rankSortFenceBytes(spark: SparkSession): Long = {
+    val heap = spark.conf.getOption("spark.executor.memory")
+      .filter(_ => spark.sparkContext.master.startsWith("spark") ||
+        spark.sparkContext.master.startsWith("yarn") ||
+        spark.sparkContext.master.startsWith("k8s"))
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val fraction =
+      spark.conf.getOption("spark.memory.fraction").map(_.toDouble)
+        .getOrElse(0.6)
+    (heap * fraction / 4.0).toLong
+  }
 
   private[graft] def rankVariantsThresholded(spark: SparkSession,
       sfDir: String, thresholdBytes: Long): DataFrame = {

@@ -2063,6 +2063,27 @@ class GraftSpec extends AnyFunSuite {
       .collect().toSeq
     assert(dist == plain)
     assert(plain.nonEmpty)
+    // the fence is DERIVED from the session's memory geometry (r13:
+    // heap × spark.memory.fraction / 4, no host-calibrated literal).
+    // Pin (a) the formula against this JVM's actual geometry, (b) that
+    // the DECLARED query takes the plain branch at fixture scale under
+    // the derived fence (its plan windows by event_type — the flip
+    // would show a repartition-by-range instead), and (c) the fence
+    // sits in a sane band on ANY host this suite runs on: above the
+    // 100×-probe input (~400 MB, where plain measured FASTER) only
+    // when the heap actually affords it
+    val fence = Events.rankSortFenceBytes(spark)
+    val expect = (Runtime.getRuntime.maxMemory *
+      spark.conf.getOption("spark.memory.fraction").map(_.toDouble)
+        .getOrElse(0.6) / 4.0).toLong
+    assert(fence == expect)
+    assert(fence > 0L)
+    val declaredPlan = Events.rankVariants(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("event_type"), "plain branch expected")
+    assert(!declaredPlan.contains("__gr"),
+      "declared plan must not contain the DistRank rank column at " +
+        "fixture scale — the derived fence flipped where it should not")
   }
 
   test("e56 gini equals the mean-absolute-difference identity") {
