@@ -3601,6 +3601,42 @@ class SketchBoundsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(est - 5000.0) / 5000.0 <= 0.20, s"raw-branch est=$est")
   }
 
+  test("x01's RAW-branch estimate EXACTLY equals a plain-Scala HLL with the published alpha") {
+    import org.apache.spark.sql.functions.col
+    // the r13 mutation-kill audit's one survivor: a 2.8% alpha drift
+    // (0.7213 -> 0.7013) stayed inside the 3-sigma tolerance of every
+    // accuracy pin (rsd at m=256 is 6.5%). This fixture kills it: the
+    // full register build + readout recomputed driver-side with java
+    // MessageDigest md5 and the PUBLISHED alpha_256 hard-coded HERE
+    // (the d28 published-constants discipline) — exact Long equality,
+    // so ANY engine-side constant drift (alpha, the 2^25 Z scale, the
+    // hash geometry, the selector at this n) fails.
+    val n = 5000L
+    val ids = spark.range(n).select(col("id").as("user_id"))
+    val est = graft.operators.Extras.hllEstimateOf(ids)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    (0L until n).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => "%02x".format(b & 0xff)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val w = 1L << 24
+      val (bucket, rem) = (Math.floorDiv(h, w), h % w)
+      val rho =
+        if (rem == 0L) 25L
+        else 25L - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      regs(bucket) = math.max(regs.getOrElse(bucket, Long.MinValue), rho)
+    }
+    val (m, z25) = (256, 1L << 25)
+    val nb = regs.size
+    val s = regs.values.map(r => 1L << (25 - r).toInt).sum
+    val zd = (s + (m - nb).toLong * z25) / z25.toDouble
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+    val eRaw = alphaM2 / zd
+    assert(!(eRaw <= 640.0 && nb < m), "expected the RAW branch at n=5000")
+    assert(est == math.round(eRaw), s"engine $est vs plain-Scala ${math.round(eRaw)}")
+  }
+
   test("hllEst stays accurate ACROSS the linear/raw branch boundary") {
     import org.apache.spark.sql.functions.col
     // the branch SELECTOR (eRaw <= 640 && nb < m) is itself a shared
