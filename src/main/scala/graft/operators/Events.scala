@@ -1643,28 +1643,63 @@ object Events {
     * N are one hash-agg over |users| riding the rank's partitioning;
     * the decile rollup is ≤10 groups and the cumulative sum runs on
     * those 10 rows. */
-  def spendConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+  def spendConcentration(spark: SparkSession, sfDir: String): DataFrame =
+    spendConcentrationOf(perUserCents(spark, sfDir))
+
+  /** The e56/e58 per-user purchase-cents frame — ONE build shared by
+    * both arithmetic faces so they cannot drift upstream of the seam. */
+  private[graft] def perUserCents(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
-    spendConcentrationOf(
-      Tables.events(spark, sfDir).groupBy($"user_id").agg(
-        sum(when($"event_type" === "purchase",
-          expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
-          .as("cents")))
+    Tables.events(spark, sfDir).groupBy($"user_id").agg(
+      sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
   }
 
   /** The e56 plan over an explicit per-user `(user_id, cents)` frame —
     * split out so EnvelopeGuardSpec can drive the [[Det.guarded]] envelope
     * with a synthetic breach the fixtures cannot produce. */
-  private[graft] def spendConcentrationOf(per: DataFrame): DataFrame = {
+  /** e58: e56's DECIMAL(38) branch — the executable remediation the
+    * Gini int64 raise names (the e41→e57 discipline, applied after the
+    * r13 full probe sweep showed e56's guard FIRING at the 100× probe
+    * itself: rank enters the numerator quadratically, so 100× users
+    * blow the 4·10¹⁴ envelope at 1.2·10¹⁶ — the raise IS the at-scale
+    * behavior, and before this branch it was a dead end). Same plan
+    * through the shared `spendConcentrationOf(dec128)` seam; envelope
+    * 4·10¹⁴ → 5·10³³ ([[Det.r4DecBound]]) admits ~10¹² users at $100
+    * lifetime spend. Oracle = e56's text verbatim (DuckDB's sums are
+    * HUGEINT already). */
+  def spendConcentrationDecimal(spark: SparkSession,
+      sfDir: String): DataFrame =
+    spendConcentrationOf(perUserCents(spark, sfDir), dec128 = true)
+
+  private[graft] def spendConcentrationOf(per: DataFrame,
+      dec128: Boolean = false): DataFrame = {
     import per.sparkSession.implicits._
+    val p =
+      if (dec128) per.withColumn("cents", $"cents".cast("decimal(38,0)"))
+      else per
     val ranked = DistRank.globalRowNumber(
-      per, Seq($"cents", $"user_id"), "arank", "n")
+      p, Seq($"cents", $"user_id"), "arank", "n")
     val tots = ranked.agg(max($"n").as("nu"),
       sum($"cents").as("tc"), sum($"arank" * $"cents").as("ic"),
       // max |cents|, not max cents: a refund-valued user (negative cents
       // sum) would otherwise under-bound the |arank·cents| / |tc|
       // intermediates and the guard could pass while the int64 wraps
       max(abs($"cents")).cast("double").as("mxc"))
+    val guardedGini =
+      if (dec128)
+        Det.guarded($"ic" * 2L - ($"nu" + 1L) * $"tc",
+          lit(3.0) * $"nu".cast("double") * $"nu".cast("double") * $"mxc",
+          Det.r4DecBound, "e58_gini", label = "decimal128",
+          hint = "partition the user base; no wider arithmetic exists")
+      else
+        Det.guarded($"ic" * 2L - ($"nu" + 1L) * $"tc",
+          lit(3.0) * $"nu".cast("double") * $"nu".cast("double") * $"mxc",
+          Det.r4NumBound, "e56_gini",
+          hint = "rerun with DECIMAL(38) arithmetic (declared branch " +
+            "e58_gini_decimal / spendConcentrationDecimal)")
     ranked
       .withColumn("decile",
         DistRank.ntileOf($"n" - $"arank" + 1L, $"n", 10))
@@ -1678,16 +1713,14 @@ object Events {
         round($"dcents" / 100.0, 2).as("revenue"),
         Det.r4($"dcents", $"tc").as("share"),
         Det.r4($"cum", $"tc").as("cum_share"),
-        Det.r4(Det.guarded($"ic" * 2L - ($"nu" + 1L) * $"tc",
-            lit(3.0) * $"nu".cast("double") * $"nu".cast("double") * $"mxc",
-            Det.r4NumBound, "e56_gini"),
-          $"nu" * $"tc").as("gini"))
+        Det.r4(guardedGini, $"nu" * $"tc").as("gini"))
       .orderBy($"decile")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e55_exact_percentiles" -> exactPercentiles _,
     "e56_spend_concentration" -> spendConcentration _,
+    "e58_gini_decimal" -> spendConcentrationDecimal _,
     "e54_binned_mad_outliers" -> binnedMadOutliers _,
     "e53_value_mad_outliers" -> valueMadOutliers _,
     "e52_decile_lift" -> decileLift _,
@@ -1730,6 +1763,36 @@ object Events {
   )
 
   private val D = Det.sql
+
+  /** e56's oracle text, shared VERBATIM with e58 (its DECIMAL(38)
+    * branch) — registered as a FormulaAudit fragment so both faces
+    * carry audit rows naming their independent-truth pins. */
+  private[graft] val giniOracle: String =
+    s"""WITH per AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS cents
+       |  FROM events GROUP BY user_id),
+       |rk AS (SELECT user_id, cents,
+       |    row_number() OVER (ORDER BY cents, user_id) AS arank,
+       |    CAST(count(*) OVER () AS BIGINT) AS n FROM per),
+       |dx AS (SELECT *, n - arank + 1 AS r,
+       |    ${D.fdiv("n", "10")} AS q, n % 10 AS m FROM rk),
+       |dd AS (SELECT *, CASE WHEN r <= m * (q + 1)
+       |      THEN ${D.fdiv("r - 1", "q + 1")} + 1
+       |      ELSE m + ${D.fdiv("r - m * (q + 1) - 1", "q")} + 1 END
+       |    AS decile FROM dx),
+       |t AS (SELECT max(n) AS nu, CAST(sum(cents) AS BIGINT) AS tc,
+       |    CAST(sum(arank * cents) AS BIGINT) AS ic FROM rk),
+       |g AS (SELECT decile, count(*) AS n_users,
+       |    CAST(sum(cents) AS BIGINT) AS dcents FROM dd GROUP BY decile),
+       |c AS (SELECT *, CAST(sum(dcents) OVER (ORDER BY decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g)
+       |SELECT decile, n_users, round(dcents / 100.0, 2) AS revenue,
+       |  ${D.r4("dcents", "tc")} AS share,
+       |  ${D.r4("cum", "tc")} AS cum_share,
+       |  ${D.r4("ic * 2 - (nu + 1) * tc", "nu * tc")} AS gini
+       |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
 
   /** e41's oracle text, shared VERBATIM with e57 (its DECIMAL(38)
     * branch) — registered as a FormulaAudit fragment so both faces
@@ -1785,32 +1848,11 @@ object Events {
          |FROM s JOIN t ON s.rn = t.tgt ORDER BY t.pct""".stripMargin,
     // ascending-rank Gini + descending-decile Lorenz off ONE ranking;
     // the ntile readout mirrors DistRank.ntileOf's integer formula
-    "e56_spend_concentration" ->
-      s"""WITH per AS (SELECT user_id,
-         |    CAST(sum(CASE WHEN event_type = 'purchase'
-         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
-         |      AS BIGINT) AS cents
-         |  FROM events GROUP BY user_id),
-         |rk AS (SELECT user_id, cents,
-         |    row_number() OVER (ORDER BY cents, user_id) AS arank,
-         |    CAST(count(*) OVER () AS BIGINT) AS n FROM per),
-         |dx AS (SELECT *, n - arank + 1 AS r,
-         |    ${D.fdiv("n", "10")} AS q, n % 10 AS m FROM rk),
-         |dd AS (SELECT *, CASE WHEN r <= m * (q + 1)
-         |      THEN ${D.fdiv("r - 1", "q + 1")} + 1
-         |      ELSE m + ${D.fdiv("r - m * (q + 1) - 1", "q")} + 1 END
-         |    AS decile FROM dx),
-         |t AS (SELECT max(n) AS nu, CAST(sum(cents) AS BIGINT) AS tc,
-         |    CAST(sum(arank * cents) AS BIGINT) AS ic FROM rk),
-         |g AS (SELECT decile, count(*) AS n_users,
-         |    CAST(sum(cents) AS BIGINT) AS dcents FROM dd GROUP BY decile),
-         |c AS (SELECT *, CAST(sum(dcents) OVER (ORDER BY decile
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g)
-         |SELECT decile, n_users, round(dcents / 100.0, 2) AS revenue,
-         |  ${D.r4("dcents", "tc")} AS share,
-         |  ${D.r4("cum", "tc")} AS cum_share,
-         |  ${D.r4("ic * 2 - (nu + 1) * tc", "nu * tc")} AS gini
-         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+    "e56_spend_concentration" -> giniOracle,
+    // e58 is e56's DECIMAL(38) arithmetic branch: ONE oracle text
+    // serves both faces verbatim (the e41/e57 discipline) — DuckDB's
+    // sums are HUGEINT already, exact truth for either width
+    "e58_gini_decimal" -> giniOracle,
     "e54_binned_mad_outliers" ->
       s"""WITH j AS (SELECT event_type,
         |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),

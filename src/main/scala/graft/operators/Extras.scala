@@ -482,25 +482,42 @@ object Extras {
     * of integer COUNTS with frac = k/100 have ≤ 2 exact decimals, so
     * its round(·, 2) has no boundary to straddle.)
     *
-    * Scale note: this shape is also the scalable one — `percentile()`
-    * buffers every value of a group in the aggregator, while the
-    * rank window is a distributed per-group sort. */
+    * Scale note (REPLANNED round 13 — the q26/q28 one-task-sort class,
+    * caught by the full probe sweep): the original per-flag rank
+    * window put each flag's WHOLE row set in one sort task
+    * (parallelism = 3 flags; measured 42× warm at the 100× probe).
+    * The ranks now read off the per-flag count-of-counts cumsum — the
+    * q26/q27/d55/x02 frequency-table discipline, EXACT here because
+    * the value at a rank is the sorted multiset's and cents are a
+    * discrete domain: ONE map-side-combined hash-agg collapses the
+    * fact to (flag, cents, f) — full parallelism where the rows are —
+    * and the cumsum window runs over |distinct cents| per flag
+    * (bounded by the price domain, the q27 note), never |rows|. The
+    * lo/hi rank values come from the bucket whose [cum−f+1, cum]
+    * range covers the target rank; interpolation arithmetic is
+    * unchanged, so the output is value-identical to the window plan
+    * (the GraftSpec sorted-array pin is the proof). */
   def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wRank = Window.partitionBy($"l_returnflag").orderBy($"c")
-    val wN = Window.partitionBy($"l_returnflag")
     val ks = Seq(50, 90, 99)
-    val ranked = Tables.lineitem(spark, sfDir)
+    val freq = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag",
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy($"l_returnflag", $"c").agg(count(lit(1)).as("f"))
+    val wFlag = Window.partitionBy($"l_returnflag")
+    val ranked = freq
+      .withColumn("cum", sum($"f").over(wFlag.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"f").over(
+        wFlag.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
     def loIdx(k: Int) = Det.fdiv(($"n" - 1L) * k, lit(100L)) + 1L
+    def covers(t: Column) = $"cum" >= t && $"cum" - $"f" < t
     val agg = ranked.groupBy($"l_returnflag")
       .agg(max($"n").as("n"),
         ks.flatMap(k => Seq(
-          max(when($"rn" === loIdx(k), $"c")).as(s"lo$k"),
-          max(when($"rn" === least(loIdx(k) + 1L, $"n"), $"c")).as(s"hi$k")
+          max(when(covers(loIdx(k)), $"c")).as(s"lo$k"),
+          max(when(covers(least(loIdx(k) + 1L, $"n")), $"c")).as(s"hi$k")
         )): _*)
     def out(k: Int) = {
       val fn = pmod(($"n" - 1L) * k, lit(100L))

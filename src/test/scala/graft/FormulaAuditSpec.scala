@@ -46,7 +46,8 @@ object FormulaAudit {
           graft.operators.Events.oracles("e44_funnel_stages"),
         "attribution" ->
           graft.operators.Events.oracles("e47_attribution"),
-        "cusum-prefix" -> graft.operators.Events.cusumOracle)
+        "cusum-prefix" -> graft.operators.Events.cusumOracle,
+        "gini-lorenz" -> graft.operators.Events.giniOracle)
 
   val registry: Map[String, AuditRow] = Map(
     // ---- HLL family (hll-registers / hll-estimate) --------------------
@@ -299,6 +300,23 @@ object FormulaAudit {
         "runs past the int64 edge' (exact equality vs a driver-side BigInt " +
         "recomputation — an independent arithmetic path — on a synthetic " +
         "history where e41's int64 guard RAISES)"),
+    // ---- Lorenz/Gini concentration (gini-lorenz, e56 text shared
+    // verbatim with e58, its DECIMAL(38) arithmetic branch) --------------
+    "e56_spend_concentration" -> AuditRow(
+      "rank-formula Gini (2*sum(i*x) - (N+1)*sum(x)) / (N*sum(x)); " +
+        "SQL-standard ntile decile split; int64 arithmetic + " +
+        "3N^2*max|c| envelope guard (FIRES at the 100x probe)",
+      "GraftSpec: 'e56 gini equals the mean-absolute-difference identity' " +
+        "(the pairwise identity needs no ranking — a drifted rank constant " +
+        "diverges); 'e58 decimal gini equals e56 on the overlap region and " +
+        "runs past the int64 edge' (cross-branch identity)"),
+    "e58_gini_decimal" -> AuditRow(
+      "same plan with DECIMAL(38,0) intermediates; 5e33 envelope guard " +
+        "(Det.r4DecBound)",
+      "GraftSpec: 'e58 decimal gini equals e56 on the overlap region and " +
+        "runs past the int64 edge' (exact equality vs a hand-computed " +
+        "3-user truth on a synthetic breach where e56's int64 guard " +
+        "RAISES; fixture identity of both branches)"),
     // ---- water-filling mixture budget (waterfill-alloc) ----------------
     "d58_mix_budget" -> AuditRow(
       "closed-form capping inequality cap_i*(n-i+1) <= B-P_{i-1} " +

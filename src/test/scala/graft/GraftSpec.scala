@@ -4285,6 +4285,46 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("e58 decimal gini equals e56 on the overlap region and runs past the int64 edge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // overlap region: the fixture — both arithmetic branches identical
+    val a = graft.operators.Events.spendConcentration(spark, sf).collect()
+    val b = graft.operators.Events.spendConcentrationDecimal(spark, sf)
+      .collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // past the int64 edge: 3 users at 1.5e13/2e13/5e13 cents — the
+    // gini bound 3*9*5e13 = 1.35e15 >= 4e14 fires e56 (naming e58)
+    // while every UNGUARDED column's r4 stays in int64 range (the
+    // EnvelopeGuardSpec evaluation-order note: larger values overflow
+    // the share multiply before the guard raises). The decimal branch
+    // must return the hand-computed truth; n=3 < 10 buckets, so SQL
+    // ntile gives each descending rank its own decile.
+    val per = Seq((1L, 15000000000000L), (2L, 20000000000000L),
+      (3L, 50000000000000L)).toDF("user_id", "cents")
+    val raised = intercept[Throwable] {
+      graft.operators.Events.spendConcentrationOf(per).collect()
+    }
+    val msgs = Iterator.iterate(raised)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("e56_gini: int64 envelope exceeded"))
+    assert(msgs.contains("e58_gini_decimal"),
+      "the raise text must name the executable branch")
+    val got = graft.operators.Events
+      .spendConcentrationOf(per, dec128 = true).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("share"),
+        r.getAs[Double]("cum_share"), r.getAs[Double]("gini")))
+    // hand truth: ascending ranks 1=1.5e13, 2=2e13, 3=5e13; T=8.5e13;
+    // ic = 1.5e13 + 4e13 + 1.5e14 = 2.05e14; gini = (4.1e14 - 3.4e14)
+    // / 2.55e14 = 7e13/2.55e14, r4-floored to 0.2745; shares/cums are
+    // the r4 floors 0.5882/0.2353/0.1765 and 0.5882/0.8235/1.0
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5.0e11, 0.5882, 0.5882, 0.2745),
+      (2L, 1L, 2.0e11, 0.2353, 0.8235, 0.2745),
+      (3L, 1L, 1.5e11, 0.1765, 1.0, 0.2745)))
+  }
+
   test("e57 decimal CUSUM equals e41 on the overlap region and runs past the int64 edge") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
