@@ -783,21 +783,32 @@ trait TextLshOps extends TextCoreOps {
   def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    val sh = cached(spark, sfDir, "d46_sh") {
-      docsWithToks(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-    }
+    // r13 memory replan (the 100× probe OOM'd the old shape twice,
+    // quietly reproducible): the old plan localCheckpointed the FULL
+    // (doc, shingle, df) table (~2.4 GB of block storage at 100×) and
+    // shuffled the per-doc ARRAY table twice to serve a candidate list
+    // that token-salting keeps tiny. Now: (a) no corpus-sized cache —
+    // the df window pass feeds only the slim rare-shingle join, whose
+    // two self-join sides reuse ONE exchange (ReuseExchange on the
+    // identical subtree), and byDoc aggregates the raw shingle stream
+    // directly (it never needed df); (b) the verify joins read byDoc
+    // SEMI-JOINED down to candidate docs first, so the array shuffle
+    // is proportional to |candidates|, never |corpus| — pure pruning,
+    // output unchanged.
+    def base = docsWithToks(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
     val byDoc = cached(spark, sfDir, "d46_bydoc") {
-      sh.groupBy($"doc_id")
+      base.groupBy($"doc_id")
         .agg(sort_array(collect_list($"h")).as("hs"),
           count(lit(1)).as("n"))
     }
-    val rare = sh.filter($"df" <= ContainDfCap).select($"doc_id", $"h")
+    val rare = base
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"df" <= ContainDfCap).select($"doc_id", $"h")
     // dedup BEFORE verify here (unlike d08): a contained pair shares
     // every rare shingle of the smaller doc, so candidate multiplicity
     // is ~doc-length — one exchange over the slim pair list beats
@@ -807,9 +818,14 @@ trait TextLshOps extends TextCoreOps {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
+      .localCheckpoint()
+    val needed = byDoc.join(
+      cand.select($"d1".as("doc_id"))
+        .unionAll(cand.select($"d2".as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi")
     cand
-      .join(byDoc.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
-      .join(byDoc.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
+      .join(needed.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
+      .join(needed.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
       .withColumn("common",
         call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
       .filter($"common" * 5L >= least($"n1", $"n2") * 4L)

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * DistRankSpec; it has no scale edge to measure and is listed in the
   * SURVEY table as such.
   *
-  * Usage: runMain graft.tools.GuardProbe
+  * Usage: runMain graft.tools.GuardProbe [familyPrefix ...]
+  *        (no args = every ladder; args filter by guard-label prefix,
+  *        e.g. `e57` runs only the decimal-CUSUM rungs)
   */
 object GuardProbe {
 
@@ -60,6 +62,9 @@ object GuardProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    val only = args.toSeq
+    def wanted(label: String): Boolean =
+      only.isEmpty || only.exists(label.startsWith)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
 
     // synthetic per-entity history: one hot key, n events, cents ~1.06e4
@@ -69,7 +74,7 @@ object GuardProbe {
         $"id".as("event_id"),
         (lit(100.0) + ($"id" % 7).cast("double")).as("value"))
 
-    for (n <- Seq(50000L, 100000L, 150000L, 300000L)) {
+    if (wanted("e41")) for (n <- Seq(50000L, 100000L, 150000L, 300000L)) {
       val bound = 2.0 * n * n * 10600.0
       rows += (("e41 (2·n²·max|c|)", s"n=$n/key", f"$bound%.2e",
         outcome(graft.operators.Events.cusumChangepointOf(history(n)))))
@@ -80,14 +85,14 @@ object GuardProbe {
     // synthetic magnitude breach (cent magnitude ~1e29 at n=300:
     // bound 1.8e34 ≥ 5e33 — unreachable by count alone, so the breach
     // axis here is VALUE magnitude)
-    for (n <- Seq(150000L, 300000L)) {
+    if (wanted("e57")) for (n <- Seq(150000L, 300000L)) {
       val bound = 2.0 * n * n * 10600.0
       rows += (("e57 decimal (at e41's firing edge)", s"n=$n/key",
         f"$bound%.2e (int64 edge)",
         outcome(graft.operators.Events.cusumChangepointOf(
           history(n), dec128 = true))))
     }
-    locally {
+    if (wanted("e57")) locally {
       def hugeHistory(n: Long, mag: Double): DataFrame = spark.range(n)
         .select(lit(1L).as("user_id"),
           timestamp_micros($"id" * 3600000000L).as("ts"),
@@ -101,7 +106,7 @@ object GuardProbe {
             hugeHistory(n, mag), dec128 = true))))
       }
     }
-    for (n <- Seq(300000L, 1000000L, 1200000L)) {
+    if (wanted("e43")) for (n <- Seq(300000L, 1000000L, 1200000L)) {
       val bound = 4.0 * n * 10600.0 * 10600.0
       rows += (("e43 (4·n·max|c|²)", s"n=$n/key", f"$bound%.2e",
         outcome(graft.operators.Events.seasonalityOf(history(n)))))
@@ -110,23 +115,46 @@ object GuardProbe {
     def spend(users: Long): DataFrame = spark.range(users)
       .select($"id".as("user_id"),
         (lit(10000L) + $"id" % 997L).as("cents"))
-    for (u <- Seq(30000L, 100000L, 150000L, 300000L)) {
+    if (wanted("e56")) for (u <- Seq(30000L, 100000L, 150000L, 300000L)) {
       val bound = 3.0 * u * u * 10996.0
       rows += (("e56 (3·N²·max|c|)", s"N=$u users", f"$bound%.2e",
         outcome(graft.operators.Events.spendConcentrationOf(spend(u)))))
+    }
+    // e58 — e56's DECIMAL(38) branch: must RUN where e56's int64 guard
+    // fires; its own envelope (3·N²·max|c| vs 5e33) fires on a VALUE
+    // magnitude breach (cents ~7e30 needs only N=20 users: 8.4e33)
+    if (wanted("e58")) for (u <- Seq(150000L, 300000L)) {
+      val bound = 3.0 * u * u * 10996.0
+      rows += (("e58 decimal (at e56's firing edge)", s"N=$u users",
+        f"$bound%.2e (int64 edge)",
+        outcome(graft.operators.Events.spendConcentrationOf(
+          spend(u), dec128 = true))))
+    }
+    if (wanted("e58")) locally {
+      def hugeSpend(users: Long, mag: String): DataFrame = spark.range(users)
+        .select($"id".as("user_id"),
+          (expr(s"CAST($mag AS DECIMAL(38,0))") *
+            (lit(1L) + $"id" % 7L)).as("cents"))
+      for ((u, mag) <- Seq((3L, "1e30"), (20L, "1e30"))) {
+        val bound = 3.0 * u * u * 7e30
+        rows += (("e58 decimal (3·N²·max|c| vs 5e33)",
+          s"N=$u users, |cents|~7e30", f"$bound%.2e",
+          outcome(graft.operators.Events.spendConcentrationOf(
+            hugeSpend(u, mag), dec128 = true))))
+      }
     }
     // e53 plan-time: (event_type, c) frames of growing stats estimate
     def madFrame(n: Long): DataFrame = spark.range(n)
       .select(concat(lit("t"), ($"id" % 5).cast("string")).as("event_type"),
         ($"id" % 20000L).as("c"))
-    for (n <- Seq(1000000L, 3000000L, 8000000L)) {
+    if (wanted("e53")) for (n <- Seq(1000000L, 3000000L, 8000000L)) {
       val est = madFrame(n).queryExecution.optimizedPlan.stats.sizeInBytes
       rows += (("e53 plan (stats vs 64 MiB)", s"rows=$n", s"${est}B",
         outcome(graft.operators.Events.valueMadOutliersGuarded(madFrame(n)))))
     }
     // e53 runtime: one group past the 1M-row ceiling, THROUGH the Of
     // seam (what a stats underestimate would reach)
-    for (n <- Seq(900000L, 1200000L)) {
+    if (wanted("e53")) for (n <- Seq(900000L, 1200000L)) {
       rows += (("e53 runtime (group rows vs 1M)", s"rows=$n/group", s"$n",
         outcome(graft.operators.Events.valueMadOutliersOf(
           madFrame(n).select(lit("hot").as("event_type"), $"c")))))

@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   *                dup MULTIPLICITY ×100, which would contract-quadratic
   *                the pair-emitting ops' OUTPUT and measure the pair
   *                list, not the operator)
-  *   embeddings — vec_id offset (labels unchanged)
+  *   embeddings — vec_id offset + a deterministic per-replica SIGN
+  *                FLIP pattern over the dimensions (an isometry: norms
+  *                and all within-replica distances are EXACTLY
+  *                preserved, so each replica keeps the base corpus's
+  *                dup structure, while cross-replica cosines collapse
+  *                toward 0 — dup DENSITY stays constant like the
+  *                documents' token salting; before r13 the replicas
+  *                were identical, which made every pair-emitting
+  *                v-operator measure its c²-inflated pair list instead
+  *                of its plan — v10's 100× run ground a 10⁴× pair
+  *                graph)
   *   events     — event_id AND user_id offsets (per-key density
   *                constant: 100× the keys, the 1000-executor shape —
   *                per-user windows must not grow with corpus size)
@@ -71,6 +81,9 @@ object ScaleProbe100 {
       val off = src.agg(max(col("vec_id"))).head.getLong(0) + 1L
       build("embeddings", 8) { i =>
         src.withColumn("vec_id", col("vec_id") + lit(i * off))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> " +
+              s"IF(pmod(hash(j, $i), 2) = 0, x, -x))"))
       }
     }
     locally {
