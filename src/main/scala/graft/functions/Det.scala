@@ -50,7 +50,15 @@ object Det {
     * ties round toward +∞ (HALF_UP proper on non-negatives). The
     * floor-tie semantics are LOAD-BEARING: d47's classifierScore
     * passes a signed Σw numerator, and both engines agree only
-    * because fdiv is true floor on each. */
+    * because fdiv is true floor on each.
+    *
+    * DECIMAL input caveat: `div` on decimals computes the integral
+    * quotient exactly but narrows it through `Decimal.toLong`, which
+    * wraps SILENTLY past 2⁶³ — so decimal rationals whose 10⁴-scaled
+    * quotient can leave the long range (e57's cusum_max: num/den is
+    * the unbounded per-key mean) MUST use [[r4Dec]]; this face is
+    * only decimal-safe when the quotient is a-priori bounded (shares
+    * ≤ 1, Gini ≤ ~3 — quotient ≤ ~3·10⁴). */
   def r4(num: Column, den: Column): Column =
     fdiv(num * 20000L + den, den * 2L) / 10000.0
 
@@ -61,12 +69,30 @@ object Det {
     * is sound. */
   val r4NumBound: Double = 4.0e14
 
-  /** The DECIMAL(38,0) analogue of [[r4NumBound]]: [[r4]]'s num·20000
-    * must stay within 38 digits, so |num| < 10³⁸/20000 = 5·10³³ — the
-    * envelope of the e57 decimal CUSUM branch (20 orders of magnitude
-    * of headroom over the int64 edge; a per-key history breaching THIS
-    * needs ~10¹⁴ events at cent magnitude 10⁴, i.e. repartition the
-    * problem, don't widen the type again). */
+  /** [[r4]]'s DECIMAL(38,0) counterpart for the decimal guard branches
+    * (e57/e58): the same exact half-up 4-dp rational, but the floored
+    * quotient stays in DECIMAL(38,0) via [[DecimalFloorDiv]] instead of
+    * the builtin `div`, whose `Decimal.toLong` narrowing WRAPS silently
+    * once the quotient exceeds 2⁶³ — i.e. whenever num/den ≥ ~9.2·10¹⁴,
+    * far inside the 5·10³³ numerator envelope (the r13 ADVICE finding:
+    * [[r4]] on decimal input returned garbage across most of the
+    * magnitude range the decimal branch was built to remediate). The
+    * final division by 10⁴ is the single double conversion, mirroring
+    * the DuckDB oracle's HUGEINT quotient → double exactly. REQUIRES
+    * den > 0 and |num| < 10³⁸/20000 ([[r4DecBound]]) so num·20000
+    * stays within 38 digits. */
+  def r4Dec(num: Column, den: Column): Column = {
+    val d38 = DecimalType(38, 0)
+    DecimalFloorDiv(num.cast(d38) * lit(20000L).cast(d38) + den.cast(d38),
+      den.cast(d38) * lit(2L).cast(d38)).cast("double") / 10000.0
+  }
+
+  /** The DECIMAL(38,0) analogue of [[r4NumBound]]: [[r4Dec]]'s
+    * num·20000 must stay within 38 digits, so |num| < 10³⁸/20000 =
+    * 5·10³³ — the envelope of the e57/e58 decimal branches (20 orders
+    * of magnitude of headroom over the int64 edge; a per-key history
+    * breaching THIS needs ~10¹⁴ events at cent magnitude 10⁴, i.e.
+    * repartition the problem, don't widen the type again). */
   val r4DecBound: Double = 5.0e33
 
   /** Fail-fast integer-envelope guard: returns `v` when `bound` (an

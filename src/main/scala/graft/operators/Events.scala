@@ -367,14 +367,24 @@ object Events {
     * the driver JVM IS the executor, so `Runtime.maxMemory` is the
     * truth. */
   private[graft] def rankSortFenceBytes(spark: SparkSession): Long = {
+    // executors are separate JVMs under cluster masters AND under
+    // local-cluster[...] (the test-only multi-JVM master), so
+    // spark.executor.memory is the executor-heap truth for all of
+    // them; only plain local[...] runs executors inside the driver JVM
+    val master = spark.sparkContext.master
+    val clusterMode = Seq("spark", "yarn", "k8s", "local-cluster")
+      .exists(master.startsWith)
     val heap = spark.conf.getOption("spark.executor.memory")
-      .filter(_ => spark.sparkContext.master.startsWith("spark") ||
-        spark.sparkContext.master.startsWith("yarn") ||
-        spark.sparkContext.master.startsWith("k8s"))
+      .filter(_ => clusterMode)
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
+    // a malformed spark.memory.fraction must degrade to the Spark
+    // default, not throw at PLAN time (the fence is advisory geometry,
+    // not a validation gate — Spark itself would reject the bad conf
+    // at executor startup long before this read)
     val fraction =
-      spark.conf.getOption("spark.memory.fraction").map(_.toDouble)
+      spark.conf.getOption("spark.memory.fraction")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
         .getOrElse(0.6)
     (heap * fraction / 4.0).toLong
   }
@@ -817,8 +827,14 @@ object Events {
       .withColumn("rn", row_number().over(
         byUser.orderBy($"c".desc, $"ts", $"event_id")))
       .filter($"rn" === 1)
+      // the decimal face's quotient C/(n·100) is the per-key mean-shift
+      // magnitude — UNBOUNDED in value, so it must stay in DECIMAL
+      // through the floor division ([[Det.r4Dec]]); the int64 builtin
+      // `div` would narrow it through Decimal.toLong and wrap silently
+      // at ~9.2e14, inside the envelope this branch exists to serve
       .select($"user_id", $"n".as("n_events"),
-        Det.r4(guardedC, $"n" * 100L).as("cusum_max"),
+        (if (dec128) Det.r4Dec(guardedC, $"n" * 100L)
+         else Det.r4(guardedC, $"n" * 100L)).as("cusum_max"),
         $"ts".as("cp_ts"), $"event_id".as("cp_event_id"))
       .orderBy($"user_id")
   }
@@ -1700,6 +1716,8 @@ object Events {
           Det.r4NumBound, "e56_gini",
           hint = "rerun with DECIMAL(38) arithmetic (declared branch " +
             "e58_gini_decimal / spendConcentrationDecimal)")
+    val rat: (Column, Column) => Column =
+      if (dec128) Det.r4Dec else Det.r4
     ranked
       .withColumn("decile",
         DistRank.ntileOf($"n" - $"arank" + 1L, $"n", 10))
@@ -1709,11 +1727,17 @@ object Events {
       .withColumn("cum", sum($"dcents").over(
         Window.orderBy($"decile")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the decimal face's quotients are a-priori bounded (shares ≤ 1,
+      // |gini| ≤ ~3 → 10⁴-scaled quotients ≤ ~3·10⁴, far inside long),
+      // so the builtin-div r4 would stay exact here — but every
+      // decimal-typed rational routes through [[Det.r4Dec]] anyway, so
+      // no decimal r4 call site is left to audit against the silent
+      // Decimal.toLong quotient wrap (the r13 ADVICE finding on e57)
       .select($"decile", $"n_users",
         round($"dcents" / 100.0, 2).as("revenue"),
-        Det.r4($"dcents", $"tc").as("share"),
-        Det.r4($"cum", $"tc").as("cum_share"),
-        Det.r4(guardedGini, $"nu" * $"tc").as("gini"))
+        rat($"dcents", $"tc").as("share"),
+        rat($"cum", $"tc").as("cum_share"),
+        rat(guardedGini, $"nu" * $"tc").as("gini"))
       .orderBy($"decile")
   }
 

@@ -790,23 +790,29 @@ trait TextLshOps extends TextCoreOps {
     // that token-salting keeps tiny. Now: (a) no corpus-sized cache —
     // the df window pass feeds only the slim rare-shingle join, whose
     // two self-join sides reuse ONE exchange (ReuseExchange on the
-    // identical subtree), and byDoc aggregates the raw shingle stream
-    // directly (it never needed df); (b) the verify joins read byDoc
-    // SEMI-JOINED down to candidate docs first, so the array shuffle
-    // is proportional to |candidates|, never |corpus| — pure pruning,
+    // identical subtree); (b) the verify joins read byDoc SEMI-JOINED
+    // down to candidate docs first, so the array shuffle is
+    // proportional to |candidates|, never |corpus| — pure pruning,
     // output unchanged.
-    def base = docsWithToks(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+    // r14 warm-cost fix (the replan paid +57% at sf0.1, worst on the
+    // board): the rare-shingle stream used to re-run the WHOLE
+    // tokenize+shingle subtree every execution; the session-cached
+    // byDoc arrays hold exactly those shingles (hs IS the distinct
+    // shingle set base emitted), so the stream is now an explode of
+    // the cache — per-run cost drops to the df window + the slim
+    // joins, and the corpus text is tokenized once per session.
     val byDoc = cached(spark, sfDir, "d46_bydoc") {
-      base.groupBy($"doc_id")
+      docsWithToks(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+        .groupBy($"doc_id")
         .agg(sort_array(collect_list($"h")).as("hs"),
           count(lit(1)).as("n"))
     }
-    val rare = base
+    val rare = byDoc.select($"doc_id", explode($"hs").as("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
       .filter($"df" <= ContainDfCap).select($"doc_id", $"h")
     // dedup BEFORE verify here (unlike d08): a contained pair shares

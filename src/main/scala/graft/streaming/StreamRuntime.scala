@@ -127,6 +127,28 @@ trait StreamRuntime {
       catch { case _: Throwable => () })
   }
 
+  /** Dirs a [[cachedScratchDir]] cache still points at — these survive
+    * [[reclaimScratch]]; everything else tracked in [[tempDirs]] is
+    * per-run scratch (terminated-stream checkpoints, sink staging)
+    * that only the JVM-exit hook would otherwise reclaim. */
+  private val pinnedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Between-queries disk reclaim for long single-JVM sweeps
+    * (ScaleProbe100 runs up to 15 queries × 2 fixture dirs × 3
+    * executions in one process; at the 100× fixture the terminated
+    * streams' checkpoints add up to tens of GiB of tmpfs — the v08
+    * "No space left on device" probe failure, r13). Deletes every
+    * tracked temp dir no cachedScratchDir cache pins; safe whenever no
+    * stream is active. NOT part of any query path. */
+  private[graft] def reclaimScratch(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.toSeq.filterNot(pinnedDirs.contains).foreach { d =>
+      try { deleteRecursively(java.nio.file.Paths.get(d)); tempDirs.remove(d) }
+      catch { case _: Throwable => () }
+    }
+  }
+
   /** Create a tracked temp dir, cleaned up on JVM exit. Prefers a
     * tmpfs root (/dev/shm) when one exists: streaming checkpoints and
     * flush-file staging are pure scratch — per-micro-batch offset/
@@ -282,8 +304,10 @@ trait StreamRuntime {
       scala.collection.concurrent.TrieMap[String, (Long, String)],
       sfDir: String, srcFixture: String)(build: => String): String = {
     val srcMtime = new java.io.File(s"$sfDir/$srcFixture").lastModified()
-    cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
+    val dir = cache.get(sfDir).filter(_._1 == srcMtime).map(_._2).getOrElse(
       cache.updateWith(sfDir) { _ => Some((srcMtime, build)) }.get._2)
+    pinnedDirs.add(dir) // survives reclaimScratch while this cache lives
+    dir
   }
 
   /** Set `spark.sql.shuffle.partitions` for the duration of `body` and

@@ -39,16 +39,20 @@ import org.apache.spark.sql.functions._
   */
 object GuardProbe {
 
-  private def outcome(body: => DataFrame): String =
-    try { body.collect(); "pass" }
+  private def outcomeOf(body: => Unit): String =
+    try { body; "pass" }
     catch {
       case t: Throwable =>
         val m = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(e => Option(e.getMessage).getOrElse("")).toSeq
-        m.find(s => s.contains("envelope") || s.contains("e53"))
+        m.find(s => s.contains("envelope") || s.contains("e53")
+            || s.contains("VALUE-MISMATCH"))
           .map(s => s"RAISED[${s.takeWhile(_ != '—').trim.take(80)}]")
           .getOrElse(throw t)
     }
+
+  private def outcome(body: => DataFrame): String =
+    outcomeOf(body.collect())
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -98,12 +102,50 @@ object GuardProbe {
           timestamp_micros($"id" * 3600000000L).as("ts"),
           $"id".as("event_id"),
           (lit(mag) * (lit(1.0) + ($"id" % 7).cast("double"))).as("value"))
+      // a rung that RUNS must also return the RIGHT value (the r13
+      // ADVICE finding: pre-r4Dec, these magnitudes ran to completion
+      // with a silently long-wrapped quotient, and the bare RUN
+      // outcome 'proved' garbage) — recompute the cusum readout
+      // driver-side in BigInt and compare exactly, the GraftSpec
+      // bigIntTruth pattern at probe scale
+      def centsOf(v: Double): BigInt = {
+        val rounded = BigDecimal(v * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal(rounded)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }
+      def checkedCusum(df: DataFrame): String = {
+        val o = outcomeOf {
+          val got = graft.operators.Events
+            .cusumChangepointOf(df, dec128 = true).collect()
+          val hist = df.collect()
+            .map(r => (r.getLong(2), centsOf(r.getDouble(3))))
+            .sortBy(_._1)
+          val n = BigInt(hist.length)
+          val sx = hist.map(_._2).sum
+          var p = BigInt(0); var minP = BigInt(0); var bestC = BigInt(-1)
+          hist.foreach { case (_, c) =>
+            p += n * c - sx
+            if (p < minP) minP = p
+            val cu = p - (if (minP < 0) minP else BigInt(0))
+            if (cu > bestC) bestC = cu
+          }
+          val den = n * 100
+          val a = bestC * 20000 + den
+          val want = BigDecimal((a - a.mod(den * 2)) / (den * 2))
+            .toDouble / 10000.0
+          val gotV = got.head.getAs[Double]("cusum_max")
+          require(gotV == want,
+            f"e57 VALUE-MISMATCH: got $gotV%.6e want $want%.6e " +
+              "(long-quotient wrap regressed?)")
+        }
+        if (o == "pass") "pass(=BigInt)" else o
+      }
       for ((n, mag) <- Seq((300L, 1.0e24), (300L, 1.0e27))) {
         val bound = 2.0 * n * n * mag * 100.0 * 7.0
         rows += (("e57 decimal (2·n²·max|c| vs 5e33)",
           s"n=$n/key, |value|~${mag}", f"$bound%.2e",
-          outcome(graft.operators.Events.cusumChangepointOf(
-            hugeHistory(n, mag), dec128 = true))))
+          checkedCusum(hugeHistory(n, mag))))
       }
     }
     if (wanted("e43")) for (n <- Seq(300000L, 1000000L, 1200000L)) {
@@ -135,12 +177,38 @@ object GuardProbe {
         .select($"id".as("user_id"),
           (expr(s"CAST($mag AS DECIMAL(38,0))") *
             (lit(1L) + $"id" % 7L)).as("cents"))
+      // value-check the rung that RUNS (the e57 discipline): recompute
+      // the gini driver-side in BigInt — cents are exact decimals here
+      // (no double rounding to mirror), so the truth is direct
+      def checkedGini(u: Long, mag: String): String = {
+        val o = outcomeOf {
+          val got = graft.operators.Events
+            .spendConcentrationOf(hugeSpend(u, mag), dec128 = true)
+            .collect()
+          val m = BigInt(java.math.BigDecimal.ONE.movePointRight(30)
+            .toBigIntegerExact)
+          val cents = (0L until u).map(id => (id, m * (1 + id % 7)))
+          val ranked = cents.sortBy { case (id, c) => (c, id) }.zipWithIndex
+            .map { case ((_, c), i) => (BigInt(i + 1), c) }
+          val n = BigInt(u)
+          val t = ranked.map(_._2).sum
+          val ic = ranked.map { case (i, c) => i * c }.sum
+          val num = ic * 2 - (n + 1) * t
+          val den = n * t
+          val a = num * 20000 + den
+          val want = BigDecimal((a - a.mod(den * 2)) / (den * 2))
+            .toDouble / 10000.0
+          val gotV = got.head.getAs[Double]("gini")
+          require(gotV == want,
+            f"e58 VALUE-MISMATCH: got $gotV%.6e want $want%.6e")
+        }
+        if (o == "pass") "pass(=BigInt)" else o
+      }
       for ((u, mag) <- Seq((3L, "1e30"), (20L, "1e30"))) {
         val bound = 3.0 * u * u * 7e30
         rows += (("e58 decimal (3·N²·max|c| vs 5e33)",
           s"N=$u users, |cents|~7e30", f"$bound%.2e",
-          outcome(graft.operators.Events.spendConcentrationOf(
-            hugeSpend(u, mag), dec128 = true))))
+          checkedGini(u, mag)))
       }
     }
     // e53 plan-time: (event_type, c) frames of growing stats estimate

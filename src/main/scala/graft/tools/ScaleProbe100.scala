@@ -51,6 +51,11 @@ object ScaleProbe100 {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // shuffle/spill blocks on tmpfs, NOT the default /tmp: the 100×
+      // runs spill tens of GiB and the root disk is the host's scarce
+      // resource (v08's r13 probe death was /tmp "No space left on
+      // device"); /dev/shm is RAM-backed and reclaimed on JVM exit
+      .config("spark.local.dir", s"$dir/spill")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -114,6 +119,24 @@ object ScaleProbe100 {
             .parquet(s"$dir/$t.parquet")
       }
 
+    // Between-queries scrub (the r13 chunk-death fix): a 15-query chunk
+    // runs each query 3× per fixture dir in ONE JVM, and every
+    // terminated streaming run leaves (a) its memory-sink rows pinned
+    // by the StreamingQueryManager's terminated-queries list and the
+    // named temp view — ~1M rows each at 100×, which is what OOM-killed
+    // the s03..s28 chunk at exit code 52 (SparkExitCode.OOM) and took
+    // s14/s28 down with a stopped SparkContext — and (b) its checkpoint
+    // scratch on tmpfs (v08's disk-full). Dropping the references and
+    // reclaiming unpinned scratch makes per-chunk footprint per-QUERY,
+    // not cumulative. Session caches a cachedScratchDir pins survive.
+    def scrub(): Unit = {
+      spark.streams.resetTerminated()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
+      graft.streaming.StreamOps.reclaimScratch()
+    }
+
     args.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       // toRdd.count() forces the FULL physical plan (a bare .count()
@@ -173,6 +196,7 @@ object ScaleProbe100 {
           record(s"""{"q":"$n","error":"${
             esc(s"sf0.1=${s(b)} 100x=${s(x)}".take(200))}"}""")
       }
+      scrub()
     }
     spark.stop()
   }

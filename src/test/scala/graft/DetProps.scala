@@ -89,6 +89,46 @@ object DetProps extends Properties("Det.r4") {
       Prop(under == v && over) :| s"under=$under over=$over"
     }
 
+  // r4Dec must agree with r4 everywhere r4 is exact (the int64-safe
+  // overlap) — the cross-face equality both decimal branches lean on
+  property("r4Dec equals r4 on the int64-safe overlap") =
+    Prop.forAll(Gen.listOfN(20, fracGen)) { pairs =>
+      import spark.implicits._
+      val both = pairs.toDF("num", "den")
+        .select(graft.functions.Det.r4($"num", $"den").as("a"),
+          graft.functions.Det.r4Dec($"num", $"den").as("b"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      both.forall { case (a, b) => a == b }
+    }
+
+  // the r13 ADVICE regression: past the long-quotient edge (num/den ≥
+  // ~9.2e14) the builtin-div r4 wraps through Decimal.toLong; r4Dec
+  // must return the exact BigInt rational at any 38-digit magnitude
+  property("r4Dec equals BigInt truth past the long-quotient edge") =
+    Prop.forAll(Gen.listOfN(10, for {
+      den <- Gen.chooseNum(1L, 1000000L)
+      // num = hi·10¹⁸ + lo up to ~4.9e33 (inside Det.r4DecBound, so
+      // num·20000 stays within 38 digits), quotient up to ~4.9e33/den
+      // — far beyond 2⁶³ for any den in range
+      hi <- Gen.chooseNum(1L, 4900000000000000L) // ≤ 4.9e15
+      lo <- Gen.chooseNum(0L, 999999999999999999L) // 18 digits
+    } yield (BigInt(hi) * BigInt("1000000000000000000") + lo, den))) {
+      pairs =>
+        import spark.implicits._
+        val got = pairs.map { case (n, d) => (n.toString, d) }
+          .toDF("num", "den")
+          .select(graft.functions.Det.r4Dec(
+            $"num".cast("decimal(38,0)"), $"den").as("r"))
+          .collect().map(_.getDouble(0)).toSeq
+        val want = pairs.map { case (n, d) =>
+          val dd = BigInt(d)
+          val a = n * 20000 + dd
+          val b = dd * 2
+          BigDecimal((a - a.mod(b)) / b).toDouble / 10000.0
+        }
+        Prop(got == want) :| s"got=$got want=$want"
+    }
+
   // the boundary the grain exists for: x.00005 exactly — HALF_UP must
   // round UP deterministically in both engines
   property("exact .5-at-grain boundaries round up") = {

@@ -4348,31 +4348,61 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(msgs.contains("e41: int64 envelope exceeded"))
     assert(msgs.contains("e57_cusum_decimal"),
       "the raise text must name the executable branch")
-    val got = graft.operators.Events
-      .cusumChangepointOf(hot, dec128 = true).collect()
     // independent truth: plain-Scala BigInt CUSUM (different arithmetic
     // path: BigInt prefix sums + explicit floor division, not Spark
-    // Decimal), on the collected history
-    val hist = hot.collect().map(r => (r.getLong(2),
-      BigInt(math.round(r.getDouble(3) * 100))))
-    val n = BigInt(hist.length)
-    val sx = hist.map(_._2).sum
-    var p = BigInt(0); var minP = BigInt(0)
-    var bestC = BigInt(-1); var bestId = -1L
-    hist.sortBy(_._1).foreach { case (id, c) =>
-      p += n * c - sx
-      if (p < minP) minP = p
-      val cu = p - (if (minP < 0) minP else BigInt(0))
-      if (cu > bestC) { bestC = cu; bestId = id }
+    // Decimal), on the collected history. The r4 readout must convert
+    // the EXACT BigInt quotient to double — BigDecimal(q).toDouble is
+    // nearest-double like Spark's Decimal.toDouble; a plain
+    // BigInt.toDouble detour would agree here but the mirror keeps the
+    // conversion paths literally parallel.
+    def bigIntTruth(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val hist = df.collect().map(r => (r.getLong(2),
+        BigInt(math.round(r.getDouble(3) * 100))))
+      val n = BigInt(hist.length)
+      val sx = hist.map(_._2).sum
+      var p = BigInt(0); var minP = BigInt(0)
+      var bestC = BigInt(-1); var bestId = -1L
+      hist.sortBy(_._1).foreach { case (id, c) =>
+        p += n * c - sx
+        if (p < minP) minP = p
+        val cu = p - (if (minP < 0) minP else BigInt(0))
+        if (cu > bestC) { bestC = cu; bestId = id }
+      }
+      def floorDiv(x: BigInt, y: BigInt): BigInt = (x - x.mod(y)) / y
+      val den = n * 100
+      (BigDecimal(floorDiv(bestC * 20000 + den, den * 2)).toDouble
+        / 10000.0, bestId)
     }
-    def floorDiv(x: BigInt, y: BigInt): BigInt = (x - x.mod(y)) / y
-    val den = n * 100
-    val want = floorDiv(bestC * 20000 + den, den * 2).toDouble / 10000.0
+    val got = graft.operators.Events
+      .cusumChangepointOf(hot, dec128 = true).collect()
+    val (want, bestId) = bigIntTruth(hot)
     assert(got.length == 1)
     val row = got.head
     assert(row.getAs[Long]("n_events") == 600L)
     assert(row.getAs[Double]("cusum_max") == want)
     assert(row.getAs[Long]("cp_event_id") == bestId)
+    // past the LONG-QUOTIENT edge (the r13 ADVICE finding): with a
+    // mean shift Δ ≈ 2e13 dollars the cusum C ≈ n²·Δcents/4 ≈ 1.8e20
+    // keeps the decimal guard passing (bound 2·600²·1e17 ≈ 7.2e22 <
+    // 5e33) but the 10⁴-scaled quotient C/(n·100)·10⁴ = C/6 ≈ 3e19
+    // exceeds 2⁶³ — the builtin-div r4 narrowed it through
+    // Decimal.toLong and returned silently wrapped garbage across this
+    // whole magnitude range; r4Dec keeps the quotient in DECIMAL(38,0)
+    // and this equality is the regression pin. All value terms are
+    // integer doubles < 2⁵³, so cents are exact in both engines.
+    val hotter = spark.range(600).select(lit(1L).as("user_id"),
+      timestamp_micros($"id" * 1000000L).as("ts"), $"id".as("event_id"),
+      (lit(1.0e15) + when($"id" >= 300, 2.0e13).otherwise(0.0) +
+        ($"id" % 13).cast("double") * 1e8).as("value"))
+    val got2 = graft.operators.Events
+      .cusumChangepointOf(hotter, dec128 = true).collect()
+    val (want2, bestId2) = bigIntTruth(hotter)
+    assert(want2 > 9.2e14,
+      "fixture drifted below the long-quotient wrap edge — the pin " +
+        "would no longer cover the r4Dec regression")
+    assert(got2.length == 1)
+    assert(got2.head.getAs[Double]("cusum_max") == want2)
+    assert(got2.head.getAs[Long]("cp_event_id") == bestId2)
   }
 
   test("TopValAggregator ties break in UTF-8 byte order and are null-safe") {

@@ -183,6 +183,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side should never sort-merge here:\n$plan")
   }
 
+  test("d32: capped (declared) and unbounded (library default) forms " +
+      "agree below the cap") {
+    // the EvalCap is a benchmark-declared bound, not the operator's
+    // semantics (r13 ADVICE): wherever the held-out split fits the cap
+    // — every fixture SF — the two faces must be value-identical
+    val capped = graft.operators.VectorOps
+      .semanticDecontaminate(spark, sf).collect()
+    val unbounded = graft.operators.VectorOps
+      .semanticDecontaminate(spark, sf, evalCap = None).collect()
+    assert(capped.nonEmpty && capped.toSeq == unbounded.toSeq)
+  }
+
   test("d35: triangle enumeration is hash equi-joins only") {
     val plan = planOf(graft.operators.TextOps.dupTriangles(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

@@ -9,6 +9,11 @@ cd /root/repo
 LIST="${1:-/tmp/probe_queries.txt}"
 CHUNK="${2:-15}"
 LEDGER="${GRAFT_PROBE_LEDGER:-docs/probe100.jsonl}"
+# 100x chunks hold transient per-query state (memory-sink rows while a
+# query is being timed, spill maps); 12g was the r13 chunk-OOM (exit 52
+# killed s14/s28 mid-chunk). ScaleProbe100 scrubs between queries, so
+# this only needs to cover ONE query's transient peak.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
 LOG=/tmp/probe_sweep.log
 : > "$LOG"
 
