@@ -41,6 +41,31 @@ import org.apache.spark.sql.functions._
 object ScaleProbe100 {
   val Reps = 100
 
+  /** Replica-i view of the documents fixture: doc_id offset plus the
+    * per-token replica salt (replicas share NO shingles, so dup
+    * DENSITY stays the base corpus's instead of dup MULTIPLICITY
+    * ×Reps). Factored out so [[graft.ProbeFixtureProps]] pins the
+    * exact expression the fixture build uses — the pre-r13
+    * identical-replica flaw silently invalidated every pair-emitting
+    * v-probe for four rounds and must not be reintroducible. */
+  def documentReplica(src: DataFrame, i: Int, off: Long): DataFrame =
+    src.withColumn("doc_id", col("doc_id") + lit(i * off))
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          t => concat(t, lit(s"x$i"))), " "))
+
+  /** Replica-i view of the embeddings fixture: vec_id offset plus a
+    * deterministic per-replica SIGN FLIP over the dimensions — an
+    * isometry (negation is exact in IEEE float, so norms and all
+    * within-replica dot products are BIT-exact preserved) while
+    * cross-replica cosines collapse toward 0. Pinned by
+    * [[graft.ProbeFixtureProps]]. */
+  def embeddingReplica(src: DataFrame, i: Int, off: Long): DataFrame =
+    src.withColumn("vec_id", col("vec_id") + lit(i * off))
+      .withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> " +
+          s"IF(pmod(hash(j, $i), 2) = 0, x, -x))"))
+
   def main(args: Array[String]): Unit = {
     val base = "/root/testdata/sf0.1"
     val dir = "/dev/shm/graft_sf100x"
@@ -74,22 +99,12 @@ object ScaleProbe100 {
     locally {
       val src = spark.read.parquet(s"$base/documents.parquet")
       val off = src.agg(max(col("doc_id"))).head.getLong(0) + 1L
-      build("documents", 8) { i =>
-        src.withColumn("doc_id", col("doc_id") + lit(i * off))
-          .withColumn("text", array_join(
-            transform(split(col("text"), " "),
-              t => concat(t, lit(s"x$i"))), " "))
-      }
+      build("documents", 8)(documentReplica(src, _, off))
     }
     locally {
       val src = spark.read.parquet(s"$base/embeddings.parquet")
       val off = src.agg(max(col("vec_id"))).head.getLong(0) + 1L
-      build("embeddings", 8) { i =>
-        src.withColumn("vec_id", col("vec_id") + lit(i * off))
-          .withColumn("embedding", expr(
-            s"transform(embedding, (x, j) -> " +
-              s"IF(pmod(hash(j, $i), 2) = 0, x, -x))"))
-      }
+      build("embeddings", 8)(embeddingReplica(src, _, off))
     }
     locally {
       val src = spark.read.parquet(s"$base/lineitem.parquet")

@@ -98,22 +98,42 @@ def main() -> int:
             fails.append(f"anchor {rel}:{line} exceeds file length {n}")
 
     # 5. probe coverage (the standing per-query scale gate)
+    # 6. adjudication coverage (VERDICT r13 item 4): every ledger row
+    #    probe_table.py classes ADJUDICATE (ratio>25) or that records a
+    #    guard raise must have a note in docs/probe_adjudications.json;
+    #    stale notes (query no longer qualifying, or not declared) are
+    #    also findings so the registry cannot rot.
     if check_probes:
         ledger = os.path.join(repo, "docs/probe100.jsonl")
-        probed = set()
+        probed, needs_adj = set(), set()
         if os.path.exists(ledger):
             for row in open(ledger, encoding="utf-8"):
                 try:
                     rec = json.loads(row)
-                    if "error" not in rec:
-                        probed.add(rec["q"])
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                if "error" in rec:
+                    continue
+                probed.add(rec["q"])
+                if "raised" in rec or rec.get("ratio", 0) > 25:
+                    needs_adj.add(rec["q"])
         missing = sorted(declared - probed)
         if missing:
             fails.append(f"{len(missing)} declared queries have no "
                          f"probe100 ledger row: {', '.join(missing[:15])}"
                          + (" ..." if len(missing) > 15 else ""))
+        adj_path = os.path.join(repo, "docs/probe_adjudications.json")
+        adj = set()
+        if os.path.exists(adj_path):
+            adj = {k for k in json.load(open(adj_path))
+                   if not k.startswith("_")}
+        for q in sorted(needs_adj - adj):
+            fails.append(f"probe row {q} classes ADJUDICATE (ratio>25 "
+                         "or raised) but has no note in "
+                         "docs/probe_adjudications.json")
+        for q in sorted(adj - needs_adj):
+            fails.append(f"adjudication note {q} is stale: no ledger row "
+                         "with ratio>25 or a raise")
 
     for f in fails:
         print(f"FAIL: {f}")
