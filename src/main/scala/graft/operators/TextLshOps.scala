@@ -751,19 +751,25 @@ trait TextLshOps extends TextCoreOps {
     * dedup (d06/d08) is BLIND to: a short document wholly quoted inside
     * a much longer one has overlap coefficient |A∩B|/min(|A|,|B|) ≈ 1
     * but Jaccard ≈ |A|/|B| ≈ 0, so it collides in no MinHash band.
-    * Contract: pairs sharing at least one RARE 3-shingle (corpus df ≤
-    * 50 — the d37 posting-cap discipline, here doubling as the skew
-    * bound) whose exact overlap coefficient is ≥ 0.8, with the Jaccard
-    * alongside so a consumer sees which pairs plain near-dup would have
-    * caught. The df cap is part of the declared contract: containment
-    * evidence lives in rare shingles; boilerplate shingles (df > cap)
-    * are exactly the ones that would chain unrelated documents.
+    * Contract (r14): pairs whose RARE-shingle overlap — 3-shingles
+    * with corpus df ≤ 50 (the d37 posting-cap discipline, here
+    * doubling as the skew bound) — is ≥ 0.8 of the smaller doc's
+    * distinct-shingle count, with the Jaccard alongside so a consumer
+    * sees which pairs plain near-dup would have caught. The df cap is
+    * part of the declared contract and applies to BOTH the candidate
+    * rule and the overlap count (one definition, oracle-mirrored):
+    * containment evidence lives in rare shingles; boilerplate shingles
+    * (df > cap) are exactly the ones that would chain unrelated
+    * documents. At every fixture and probe df profile the capped
+    * count equals the full intersection (measured max df = 25 at
+    * sf0.1; the probe's token salting preserves per-replica df).
     *
     * Scale design: the candidate self-join keys on rare shingles only,
     * so every bucket holds ≤ cap docs (≤ cap² pairs per shingle) — the
-    * unbounded-bucket skew of a full shingle join cannot occur. Exact
-    * verification touches candidates only: one codegen'd sorted-array
-    * intersection over the per-doc hash sets (the d08 verify shape).
+    * unbounded-bucket skew of a full shingle join cannot occur — and
+    * `common` is COUNTED inside that join (map-side-combined hash-agg
+    * over 32-byte rows), so no per-doc array ever rides an exchange;
+    * see the replan note in the body for the measured history.
     * Threshold test is the cross-multiplied integer predicate 5·common
     * ≥ 4·min(n1,n2) — no double compare. Like every pair-emitting op
     * here, output is c² per duplicate group (see the d08/SURVEY §6
@@ -783,25 +789,44 @@ trait TextLshOps extends TextCoreOps {
   def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    // r13 memory replan (the 100× probe OOM'd the old shape twice,
-    // quietly reproducible): the old plan localCheckpointed the FULL
-    // (doc, shingle, df) table (~2.4 GB of block storage at 100×) and
-    // shuffled the per-doc ARRAY table twice to serve a candidate list
-    // that token-salting keeps tiny. Now: (a) no corpus-sized cache —
-    // the df window pass feeds only the slim rare-shingle join, whose
-    // two self-join sides reuse ONE exchange (ReuseExchange on the
-    // identical subtree); (b) the verify joins read byDoc SEMI-JOINED
-    // down to candidate docs first, so the array shuffle is
-    // proportional to |candidates|, never |corpus| — pure pruning,
-    // output unchanged.
-    // r14 warm-cost fix (the replan paid +57% at sf0.1, worst on the
-    // board): the rare-shingle stream used to re-run the WHOLE
-    // tokenize+shingle subtree every execution; the session-cached
-    // byDoc arrays hold exactly those shingles (hs IS the distinct
-    // shingle set base emitted), so the stream is now an explode of
-    // the cache — per-run cost drops to the df window + the slim
-    // joins, and the corpus text is tokenized once per session.
-    val byDoc = cached(spark, sfDir, "d46_bydoc") {
+    // r14 replan (third iteration — each measured by the 100× probe):
+    // the r12 shape OOM'd twice on a corpus-sized localCheckpoint; the
+    // r13 shape survived but measured 143.6×/668 s, because this
+    // corpus's shingle-overlap DENSITY makes ~9% of all doc pairs
+    // candidates (1.13M distinct pairs at sf0.1, linear ×100 at the
+    // probe) and the verify joins dragged two ~420 B shingle ARRAYS
+    // onto every pair (~96 GB of shuffle at 100× — the measured 57 GB
+    // tmpfs spill). The count-based shape never ships arrays at all:
+    // `common` is counted INSIDE the rare-shingle pair join itself
+    // (one map-side-combined hash-agg over slim (d1, d2, n1, n2)
+    // rows), doc sizes ride the join columns, and the old
+    // distinct/localCheckpoint/semi-join/array-intersect stages all
+    // disappear. Per-pair state through every exchange is 32 bytes.
+    //
+    // CONTRACT (r14, oracle-mirrored): candidates AND the overlap
+    // count share one definition — shingles with df ≤ [[ContainDfCap]].
+    // The old plan mixed definitions (candidates from rare shingles,
+    // `common` from the FULL intersection); the capped count is
+    // value-identical at every fixture and probe df profile (measured
+    // max df = 25 < 50 at sf0.1; the probe's token salting preserves
+    // per-replica df), and at a true 100 TB df distribution it bounds
+    // the pair join where ultra-common shingles would otherwise
+    // explode it quadratically — overlap is scored on the
+    // DISCRIMINATIVE shingles, consistent with the candidate rule
+    // (a pair whose entire overlap is ultra-common shingles was
+    // by-contract unseen already).
+    //
+    // The session cache holds the RARE-SHINGLE POSTING INDEX itself —
+    // (doc_id, n, h) rows, df-filtered — not the per-doc arrays the
+    // r13 cache held: it is what every run actually consumes (the
+    // arrays existed only to be re-exploded), it is SLIMMER (24-byte
+    // rows vs array blobs), and caching it keeps the tokenize +
+    // explode + df-window index build out of the per-run path (AQE
+    // broadcasts the small side of the pair join, which would
+    // otherwise evaluate the window subtree TWICE per run). Cold pays
+    // the index build once per session; the ledger's cold column
+    // records it (the d06/v08 session-cache convention).
+    val rare = cached(spark, sfDir, "d46_rare") {
       docsWithToks(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
         .filter(size($"toks") >= 3)
@@ -811,29 +836,17 @@ trait TextLshOps extends TextCoreOps {
         .groupBy($"doc_id")
         .agg(sort_array(collect_list($"h")).as("hs"),
           count(lit(1)).as("n"))
+        .select($"doc_id", $"n", explode($"hs").as("h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+        .filter($"df" <= ContainDfCap)
+        .select($"doc_id", $"n", $"h")
     }
-    val rare = byDoc.select($"doc_id", explode($"hs").as("h"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-      .filter($"df" <= ContainDfCap).select($"doc_id", $"h")
-    // dedup BEFORE verify here (unlike d08): a contained pair shares
-    // every rare shingle of the smaller doc, so candidate multiplicity
-    // is ~doc-length — one exchange over the slim pair list beats
-    // hundreds of redundant array intersections per pair
-    val cand = rare.as("a")
+    rare.as("a")
       .join(rare.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-      .localCheckpoint()
-    val needed = byDoc.join(
-      cand.select($"d1".as("doc_id"))
-        .unionAll(cand.select($"d2".as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi")
-    cand
-      .join(needed.select($"doc_id".as("d1"), $"hs".as("h1"), $"n".as("n1")), "d1")
-      .join(needed.select($"doc_id".as("d2"), $"hs".as("h2"), $"n".as("n2")), "d2")
-      .withColumn("common",
-        call_function("graft_sorted_isect", $"h1", $"h2").cast("long"))
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.n".as("n1"), $"b.n".as("n2"))
+      .agg(count(lit(1)).as("common"))
       .filter($"common" * 5L >= least($"n1", $"n2") * 4L)
       .select($"d1", $"d2", $"n1", $"n2", $"common",
         r4($"common", least($"n1", $"n2")).as("containment"),

@@ -397,9 +397,9 @@ object TextOps
          |FROM pr JOIN tot ta ON ta.source = pr.src_a
          |JOIN tot tb ON tb.source = pr.src_b
          |ORDER BY src_a, src_b""".stripMargin,
-    // brute-force semantics of d46's contract: candidates = pairs
-    // sharing a rare (df ≤ cap) shingle; exact intersection over ALL
-    // distinct shingles; cross-multiplied 5·common ≥ 4·min threshold
+    // brute-force semantics of d46's contract (r14): candidates AND
+    // the overlap count share one definition — rare (df ≤ cap)
+    // shingles; cross-multiplied 5·common ≥ 4·min threshold
     "d46_containment" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
          |  WHERE len(str_split(text, ' ')) >= 3),
@@ -407,17 +407,15 @@ object TextOps
          |  for g in range(1, len(toks) - 1)])) AS s FROM t),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  JOIN df ON df.s = a.s WHERE df.df <= $ContainDfCap),
          |c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN df ON df.s = a.s WHERE df.df <= $ContainDfCap
          |  GROUP BY 1, 2)
          |SELECT c.d1, c.d2, CAST(sa.n AS BIGINT) AS n1,
          |  CAST(sb.n AS BIGINT) AS n2, CAST(c.common AS BIGINT) AS common,
          |  ${D.r4("c.common", "least(sa.n, sb.n)")} AS containment,
          |  ${D.r4("c.common", "sa.n + sb.n - c.common")} AS jaccard
-         |FROM cand JOIN c ON c.d1 = cand.d1 AND c.d2 = cand.d2
+         |FROM c
          |JOIN sz sa ON sa.doc_id = c.d1 JOIN sz sb ON sb.doc_id = c.d2
          |WHERE c.common * 5 >= least(sa.n, sb.n) * 4
          |ORDER BY c.d1, c.d2""".stripMargin,

@@ -62,6 +62,13 @@ object VectorOps {
       .limit(20)
   }
 
+  /** v11/v14 anchor-batch id bound — the kNN-join "fixed query
+    * workload" contract as a constant: covers every fixture vec_id
+    * (max 1999 at sf0.1) so fixture results are unchanged, and stays
+    * CONSTANT as the corpus grows so the scored-pair space is
+    * O(corpus), never O(corpus²). Mirrored verbatim in both oracles. */
+  private[graft] val KnnAnchorIdBound = 2048L
+
   /** kNN-join classification: every label-0 vector is a query; its
     * label is re-predicted as the majority label among its 5 nearest
     * neighbors (cosine, self excluded), ties broken toward the smaller
@@ -78,11 +85,21 @@ object VectorOps {
     * ≤ 5 rows per (query, partition) instead of every scored pair —
     * the v01 TakeOrderedAndProject pattern generalized per query.
     * Ranking uses round(cos, 6) with a vec_id tiebreak so both engines
-    * agree on the neighbor set despite last-ulp float differences. */
+    * agree on the neighbor set despite last-ulp float differences.
+    *
+    * The query batch is EXPLICITLY bounded at [[KnnAnchorIdBound]]
+    * (r14): "every label-0 vector" is a batch that scales WITH the
+    * corpus, which makes the scored-pair space quadratic — the r13
+    * 100× probe died on exactly that (the per-task partial-agg sort
+    * fallback spilling the n²/10 scored rows). The kNN-join contract
+    * is a FIXED query workload against a growing corpus; the constant
+    * id bound covers every fixture id (max 1999), so fixture results
+    * are unchanged, while at any larger corpus the batch stays the
+    * base queries instead of growing with it. */
   def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    val q = e.filter($"label" === 0)
+    val q = e.filter($"label" === 0 && $"vec_id" < KnnAnchorIdBound)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.select($"vec_id", $"label", $"v")
       .crossJoin(broadcast(q))
@@ -114,16 +131,21 @@ object VectorOps {
     * the bounded [[graft.functions.TopKAggregator]] buffer (≤ 3 rows per
     * (anchor, partition) reach the shuffle).
     *
-    * The anchor set is EXPLICITLY bounded (vec_id < 100000): the
+    * The anchor set is EXPLICITLY bounded ([[KnnAnchorIdBound]]): the
     * kNN-join contract is a fixed query workload against a growing
     * corpus — an anchor set that scaled WITH the corpus makes the
     * scored-pair space quadratic (measured: 123 s on the 10× dup-heavy
-    * probe without the bound, linear with it). At fixture scale the
-    * bound is a no-op; a production run sizes it to its anchor batch. */
+    * probe without any bound, linear with it). The bound was 100000
+    * until r14; the 100× probe showed an id bound re-inflates when the
+    * id space densifies (50 replicas slipped under it → ~10k anchors →
+    * 2·10⁹ scored rows → executor-memory death), so it is now the
+    * shared constant sized to the fixture id range. At fixture scale
+    * the bound is a no-op; a production run sizes it to its anchor
+    * batch. */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embDouble(spark, sfDir)
-    val q = e.filter($"label" === 0 && $"vec_id" < 100000L)
+    val q = e.filter($"label" === 0 && $"vec_id" < KnnAnchorIdBound)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.filter($"label" =!= 0)
       .select($"vec_id", $"label", $"v")
@@ -219,9 +241,27 @@ object VectorOps {
     * per bit is 1 − θ/π, so genuinely near-identical vectors
     * (cos ≥ 0.9) collide in some band with high probability while
     * orthogonal pairs almost never do. The declared output contract is
-    * "colliding pairs with cos ≥ 0.4", which the oracle replicates
-    * exactly — v04 (brute force) is the recall cross-check at sampled
-    * scale. */
+    * "colliding pairs with cos ≥ 0.4 within a bucket sub-block", which
+    * the oracle replicates exactly — v04 (brute force) is the recall
+    * cross-check at sampled scale.
+    *
+    * Sub-block cap (REPLANNED r14 — the 100× probe killed the
+    * uncapped plan's JVM): the code space per band is FIXED at 2⁸
+    * buckets, so bucket sizes grow LINEARLY with the corpus and the
+    * within-bucket pair count grows QUADRATICALLY — n²/(2·2⁸) per
+    * band by pigeonhole, ~6·10⁸ candidates at the 200k-vector probe
+    * (measured bucket profile at sf0.1: max 28, avg 7.9 over 2032
+    * occupied buckets). The v15 SemB discipline applies verbatim:
+    * within a (band, code) bucket rows pair only inside their
+    * ⌊rank/[[LshBlk]]⌋ sub-block (rank = row_number by vec_id —
+    * explicit, oracle-mirrored), so a bucket of size s costs
+    * ≤ s·LshBlk/2 pairs instead of s²/2 and total candidates are
+    * O(n·L·LshBlk) — linear at any corpus size. The cap never binds
+    * below ~LshBlk·2⁸ corpus vectors per band (every fixture SF:
+    * max bucket 28 < 64); past it, pairs across sub-blocks of an
+    * over-cap bucket are by-contract unseen — the LSH recall trade
+    * in its usual form (a production run re-tiers with more bands /
+    * wider codes; the fixture contract keeps 8×8). */
   // materialized once per session: v08 declares the pairs, v10 clusters
   // them — same sharing pattern as d06/d12
   private[operators] def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -246,23 +286,38 @@ object VectorOps {
         posexplode(call_function("graft_lsh_bands", $"v")).as(Seq("band", "code")))
   }
 
+  /** v08/v10 bucket sub-block size — see [[lshNearDup]]'s cap note. */
+  private[graft] val LshBlk = 64L
+
   private def lshNearDupUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = embDouble(spark, sfDir)
-    // the self-join key is a primitive (band, code) pair
-    val bands = bandCodes(spark, sfDir)
-    val cand = bands.as("a")
+    // the self-join key is a primitive (band, code, blk) triple; the
+    // rank window's exchange is 8n (band, code) rows — linear.
+    // The VECTORS ride the band table through that one exchange
+    // (8n × ~550 B), and the cosine is computed ON THE JOIN OUTPUT
+    // ITERATOR — project + filter pipelined inside the join stage —
+    // so the candidate-pair stream (which saturated sub-blocks make
+    // ~n·L·LshBlk/2 rows at 100×) is never materialized or shuffled.
+    // The previous shape shuffled the embedding table onto the
+    // DISTINCT pair list twice (~50 GB at the 100× probe: 643 s cold
+    // and an OOM-marginal heap); only the ~|output| survivors reach
+    // the distinct here.
+    val bands = embDouble(spark, sfDir)
+      .select($"vec_id", $"v",
+        posexplode(call_function("graft_lsh_bands", $"v"))
+          .as(Seq("band", "code")))
+      .withColumn("blk", Det.fdiv(
+        row_number().over(Window.partitionBy($"band", $"code")
+          .orderBy($"vec_id")).cast("long") - lit(1L), lit(LshBlk)))
+    bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.code" === $"b.code" &&
-          $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
-      .distinct()
-    cand
-      .join(e.select($"vec_id".as("d1"), $"v".as("v1")), "d1")
-      .join(e.select($"vec_id".as("d2"), $"v".as("v2")), "d2")
-      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+          $"a.blk" === $"b.blk" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", call_function("graft_cosine", $"a.v", $"b.v"))
       .filter($"cos" >= 0.4)
-      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
+        round($"cos", 6).as("cos"))
+      .distinct()
   }
 
   /** Semantic benchmark decontamination — d15's hygiene pass in
@@ -1511,12 +1566,27 @@ object VectorOps {
        |  FROM bits GROUP BY vec_id, b)""".stripMargin
   }
 
+  /** The v08/v10 blocked candidate-pair CTE chain (reads `bands` from
+    * [[lshBandsCteSql]], ends at `cand(d1, d2)`) — ONE text shared by
+    * both oracles so the pair-set definition cannot drift between the
+    * near-dup list and its cluster rollup. The ⌊rank/[[LshBlk]]⌋
+    * sub-block mirrors the Spark side's rank salting (see
+    * [[lshNearDup]]'s cap note). */
+  private[graft] val lshBlockedCandCteSql: String =
+    s"""bb AS (SELECT vec_id, b, code,
+       |  CAST(floor((row_number() OVER (PARTITION BY b, code
+       |    ORDER BY vec_id) - 1) / $LshBlk) AS BIGINT) AS blk FROM bands),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+       |  FROM bb a JOIN bb c ON a.b = c.b AND a.code = c.code
+       |  AND a.blk = c.blk AND a.vec_id < c.vec_id)""".stripMargin
+
   /** Oracle-text fragments this module shares verbatim between its
     * Spark formulas and its DuckDB oracles (or across query faces) —
     * see [[graft.operators.Extras.sharedOracleFragments]] for the
     * FormulaAuditSpec contract these feed. */
   private[graft] def sharedOracleFragments: Map[String, String] = Map(
     "sign-lsh-bands" -> lshBandsCteSql,
+    "sign-lsh-blocked-cand" -> lshBlockedCandCteSql,
     "ivf-centroids" -> ivfCentCte,
     "retrieval-pipeline" -> retrievalPipelineSql)
 
@@ -1759,7 +1829,8 @@ object VectorOps {
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "v11_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE label = 0 AND vec_id < $KnnAnchorIdBound),
          |sc AS (SELECT q_id, e.vec_id, e.label,
          |  round(${cos("e.v", "q.qv")}, 6) AS cos
          |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
@@ -1959,9 +2030,7 @@ object VectorOps {
          |GROUP BY k ORDER BY k""".stripMargin,
     "v08_lsh_neardup" ->
       s"""WITH $lshBandsCteSql,
-         |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.code = c.code
-         |  AND a.vec_id < c.vec_id)
+         |$lshBlockedCandCteSql
          |SELECT d1, d2, round(${cos("ea.v", "eb.v")}, 6) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
          |WHERE ${cos("ea.v", "eb.v")} >= 0.4
@@ -1992,22 +2061,11 @@ object VectorOps {
          |    AS contaminated
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "v10_embed_dup_clusters" -> {
-      // v08's band pipeline + recursive transitive closure (the same
-      // reach/nodes tail as d12's oracle)
-      val bitExpr =
-        """CASE WHEN list_dot_product(v, [CASE WHEN substr(md5(g::VARCHAR ||
-          |  ':' || (b*8 + k)::VARCHAR), 1, 1) IN
-          |  ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
-          |  for g in range(0, 64)]) >= 0 THEN (1::BIGINT << k) ELSE 0 END""".stripMargin
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bits AS (SELECT vec_id, b, k, $bitExpr AS bit
-         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS b)
-         |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
-         |bands AS (SELECT vec_id, b, SUM(bit) AS code
-         |  FROM bits GROUP BY vec_id, b),
-         |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.code = c.code
-         |  AND a.vec_id < c.vec_id),
+      // v08's band pipeline + blocked candidates (both SHARED texts —
+      // the pair-set definition cannot drift from v08's) + recursive
+      // transitive closure (the same reach/nodes tail as d12's oracle)
+      s"""WITH RECURSIVE $lshBandsCteSql,
+         |$lshBlockedCandCteSql,
          |m AS (SELECT d1, d2 FROM cand
          |  JOIN e ea ON ea.vec_id = d1 JOIN e eb ON eb.vec_id = d2
          |  WHERE ${cos("ea.v", "eb.v")} >= 0.4),
@@ -2022,9 +2080,9 @@ object VectorOps {
          |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
     },
     "v14_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-        |  WHERE label = 0 AND vec_id < 100000),
+        |  WHERE label = 0 AND vec_id < $KnnAnchorIdBound),
         |s AS (SELECT q_id, vec_id, label,
         |  round(list_cosine_similarity(v, qv), 6) AS cos
         |  FROM e CROSS JOIN q WHERE label <> 0),

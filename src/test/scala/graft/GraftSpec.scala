@@ -3517,6 +3517,43 @@ class LshRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     info(f"recall@cos>=0.4: $overall%.3f (${lsh.size}/${exact.size})")
   }
 
+  test("r14 scale caps never bind at fixture scale: sub-blocked v08 == " +
+    "unblocked band join; buckets under LshBlk; anchor ids under bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.1"
+    // (a) the declared (rank-sub-blocked) pair set equals the UNBLOCKED
+    // band join's verified pairs — an independent recomputation without
+    // the blk column, so the cap provably changes nothing at fixture
+    // scale (the bench SF, where the oracle hash also pins it)
+    val e = graft.operators.VectorOps.embDouble(spark, sf01)
+    val bands = graft.operators.VectorOps.bandCodes(spark, sf01)
+    val unblocked = bands.as("a")
+      .join(bands.as("b"), $"a.band" === $"b.band" &&
+        $"a.code" === $"b.code" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2")).distinct()
+      .join(e.select($"vec_id".as("d1"), $"v".as("v1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"v".as("v2")), "d2")
+      .withColumn("cos", call_function("graft_cosine", $"v1", $"v2"))
+      .filter($"cos" >= 0.4)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val declared = graft.operators.VectorOps.lshNearDup(spark, sf01)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(declared === unblocked,
+      "LshBlk sub-blocking changed the fixture pair set — the cap binds")
+    // (b) the margin behind (a): every (band, code) bucket is smaller
+    // than LshBlk at the bench SF
+    val maxBucket = bands.groupBy($"band", $"code").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(maxBucket < graft.operators.VectorOps.LshBlk,
+      s"max bucket $maxBucket >= LshBlk — blocking now binds at sf0.1")
+    // (c) v11/v14's anchor-batch id bound covers every fixture vec_id
+    val maxId = e.agg(max($"vec_id")).head.getLong(0)
+    assert(maxId < graft.operators.VectorOps.KnnAnchorIdBound,
+      s"fixture vec_id $maxId >= KnnAnchorIdBound — anchors truncated")
+  }
+
   test("band planes: >=90% recall on near-identical twins, selective on random pairs") {
     // The fixtures contain no cos>=0.9 pairs, so the recall contract
     // above is vacuous there; pin the PLANE QUALITY directly instead.
@@ -4225,11 +4262,14 @@ class FunnelRekeyCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
     val df = shingles.values.flatten
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val ids = shingles.keys.toSeq.sorted
+    // the r14 contract: candidates AND the overlap count share one
+    // definition — shared shingles with df ≤ cap (ultra-common
+    // shingles score nothing, just as they nominate nothing)
     val exp = (for {
       i <- ids; j <- ids if i < j
       si = shingles(i); sj = shingles(j)
-      if (si & sj).exists(s => df(s) <= 50)
-      common = (si & sj).size
+      common = (si & sj).count(s => df(s) <= 50)
+      if common > 0
       if common * 5 >= math.min(si.size, sj.size) * 4
     } yield (i, j, common)).toSet
     val got = graft.operators.TextOps.containmentDups(spark, sf).collect()

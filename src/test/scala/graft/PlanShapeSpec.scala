@@ -403,14 +403,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one user_id exchange for the LOCF window, got $userEx:\n$plan")
   }
 
-  test("d46 containment: codegen'd verify, no cartesian anywhere") {
+  test("d46 containment: counted overlap, no cartesian, no array shuffle") {
     val df = operators.TextOps.containmentDups(spark, sf)
     df.collect()
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"),
       s"candidate generation must bucket on rare shingles:\n$plan")
-    assert(plan.contains("graft_sorted_isect"),
-      s"verify must use the codegen'd sorted intersection:\n$plan")
+    // the r14 count-based shape: overlap is a map-side-combined
+    // hash-agg inside the pair join — per-doc shingle ARRAYS must
+    // never ride an exchange (the r13 shape shipped two ~420 B arrays
+    // per candidate pair: 96 GB of shuffle at the 100× probe)
+    assert(!plan.contains("graft_sorted_isect"),
+      s"overlap must be counted in the join, not array-intersected:\n$plan")
+    val exchanges = "Exchange[^\n]*".r.findAllIn(plan).toSeq
+    assert(!exchanges.exists(_.contains("hs")),
+      s"per-doc shingle arrays must not be shuffled:\n${exchanges.mkString("\n")}")
   }
 
   test("d47 classifier: scoring is map work; ONE doc-key exchange") {
