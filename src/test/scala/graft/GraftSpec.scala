@@ -590,11 +590,19 @@ class GraftSpec extends AnyFunSuite {
     }
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val seeds = vecs.filter(_._1 < 8)
+    // the r14 contract: k = ⌈√n⌉ corpus-derived seeds, SemB=512 rank
+    // sub-blocks within a cluster (a no-op at fixture scale — cluster
+    // sizes ≈ √n ≪ 512 — asserted below so the pin stays honest)
+    val k = math.ceil(math.sqrt(vecs.length.toDouble)).toLong
+    assert(k == graft.operators.VectorOps.semK(vecs.length.toLong))
+    val seeds = vecs.filter(_._1 < k)
     def assign(v: Array[Double]): Long =
       seeds.map { case (cl, c) => (dot(c, c) - 2.0 * dot(v, c), cl) }
         .min._2
     val byCluster = vecs.groupBy { case (_, v) => assign(v) }
+    byCluster.values.foreach(m => assert(m.length <= 512,
+      s"fixture cluster of ${m.length} rows — the SemB block cap now " +
+        "binds at fixture scale and this brute force must block too"))
     val expected = (for {
       (cl, members) <- byCluster.toSeq
       Array((i1, v1), (i2, v2)) <- members.sortBy(_._1).combinations(2)
