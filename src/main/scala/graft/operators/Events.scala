@@ -238,29 +238,58 @@ object Events {
     val m = SubqM
     val q = SubqPattern
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wf = w.rowsBetween(Window.currentRow, m - 1)
     val pos = row_number().over(w)
-    // the 8-term window math unrolls into explicit element_at
+    // the 8-term window math unrolls into explicit per-slot
     // expressions so the whole scoring pass stays inside whole-stage
     // codegen; the aggregate/zip_with lambda formulation is
     // CodegenFallback (interpreted per row) — at a fixed m the unroll
     // is the house rule (same reason minhashSigs inlines its 16
-    // permutations)
-    val ts = (1 to m).map(i => s"element_at(win, $i)")
-    val muExpr = s"round((${ts.mkString(" + ")}) / $m, 6)"
-    val sdExpr = s"round(sqrt((${ts.map(t => s"($t - mu) * ($t - mu)")
-      .mkString(" + ")}) / $m), 6)"
-    val distExpr = s"round(${ts.zip(q).map { case (t, p) =>
-      s"(round(($t - mu) / sd, 6) - $p) * (round(($t - mu) / sd, 6) - $p)"
-    }.mkString(" + ")}, 4)"
-    Tables.events(spark, sfDir)
+    // permutations).
+    //
+    // r15 replan (measured, OPTIMIZATION_r15.md): the candidate window
+    // used to be a sliding collect_list frame — an ImperativeAggregate
+    // with no inverse, so WindowExec re-aggregated all m rows into a
+    // fresh unsafe array PER ROW, and the scoring then re-evaluated
+    // round((element_at(win,i) − mu)/sd, 6) twice per term. m lead()
+    // offsets are OffsetWindowFunctionFrames (one cursor each, no
+    // array, no per-row re-aggregation) over the SAME sort, and each
+    // z-score is computed ONCE in its own projection. Same one
+    // exchange, same arithmetic in the same left-assoc order, same
+    // TakeOrdered — 3.7 s → ~0.9 s at sf0.1. `t$m` is null exactly
+    // where the old size(win) < m filter dropped the row (v is
+    // round(value, 2) over the fixture's non-null value column; a null
+    // would have shifted the old collect_list window silently, so the
+    // two formulations agree everywhere the contract is defined).
+    //
+    // The explicit same-key repartition PINS the window exchange at
+    // defaultParallelism (the d46 idiom): the scoring stage costs
+    // ~12 round() calls per row (each a BigDecimal.valueOf round trip,
+    // ~2 µs — the 6-dp rounding IS the cross-engine contract, so it
+    // cannot be dropped), and AQE's size-based coalescing would run it
+    // on ONE task at fixture scale. Window partitioning is identical
+    // (user_id), so this is the same single exchange, just not
+    // serialized; at cluster scale AQE never coalesces it anyway.
+    val slots = (1 to m).map(i => s"t$i")
+    val withSlots = Tables.events(spark, sfDir)
       .select($"user_id", $"ts", $"event_id", round($"value", 2).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism, $"user_id")
       .withColumn("pos", pos.cast("long"))
-      .withColumn("win", collect_list($"v").over(wf))
-      .filter(size($"win") === m)
+      .select(Seq($"user_id", $"pos", $"v".as("t1")) ++
+        (2 to m).map(i => lead($"v", i - 1).over(w).as(s"t$i")): _*)
+      .filter(col(s"t$m").isNotNull)
+    val muExpr = s"round((${slots.mkString(" + ")}) / $m, 6)"
+    val sdExpr = s"round(sqrt((${slots.map(t => s"($t - mu) * ($t - mu)")
+      .mkString(" + ")}) / $m), 6)"
+    val zExprs = slots.map(t => s"round(($t - mu) / sd, 6)")
+    val distExpr = s"round(${zExprs.zipWithIndex.map { case (_, i) =>
+      s"(z${i + 1} - ${q(i)}) * (z${i + 1} - ${q(i)})"
+    }.mkString(" + ")}, 4)"
+    withSlots
       .withColumn("mu", expr(muExpr))
       .withColumn("sd", expr(sdExpr))
       .filter($"sd" > 0)
+      .select(Seq($"user_id", $"pos") ++
+        zExprs.zipWithIndex.map { case (z, i) => expr(z).as(s"z${i + 1}") }: _*)
       .withColumn("dist", expr(distExpr))
       .select($"user_id", $"pos", $"dist",
         round($"dist" * 10000).cast("long").as("dist_micro"))

@@ -568,13 +568,25 @@ object Extras {
       .select($"p_partkey".as("k"), $"p_name".as("name"),
         element_at(split($"p_name", " "), -1).as("block"),
         length($"p_name").as("len"))
-    p.as("a").join(p.as("b"),
+    // r15 (measured, OPTIMIZATION_r15.md): the verify kernel is ~25M
+    // candidate pairs × edit distance, and the block domain is TINY
+    // (|last-name tokens| ≈ 8) — far fewer blocks than cores, so any
+    // block-keyed distribution (or a single-split probe scan, the
+    // local-fixture case) serializes the quadratic verify. Round-robin
+    // repartition of the PROBE side of the broadcast join spreads pair
+    // generation + verify evenly across the cluster regardless of the
+    // block histogram — the guide §2.5 skew move for a broadcast join.
+    // The verify itself uses the THRESHOLD form of levenshtein (banded
+    // O(len·k) DP + length early-exit, -1 when dist > 2), which is
+    // value-identical under the dist ≤ 2 predicate: 2.7 s → ~0.4 s.
+    p.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(p.as("b"),
         $"a.block" === $"b.block" && $"a.k" < $"b.k" &&
           abs($"a.len" - $"b.len") <= 2)
-      .withColumn("dist", levenshtein($"a.name", $"b.name"))
+      .withColumn("dist", levenshtein($"a.name", $"b.name", 2))
       .groupBy($"a.block".as("block"))
       .agg(count(lit(1)).as("n_cand"),
-        sum(when($"dist" <= 2, 1L).otherwise(0L)).as("n_match"))
+        sum(when($"dist" >= 0, 1L).otherwise(0L)).as("n_match"))
       .orderBy($"block")
   }
 

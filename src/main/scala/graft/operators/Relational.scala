@@ -294,12 +294,20 @@ object Relational {
     * division). */
   def brandSupplierStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r15 (measured, OPTIMIZATION_r15.md): `base` feeds BOTH the output
+    // and the avg_sup scalar — left as a lazy plan, the lineitem join +
+    // two-distinct Expand aggregation ran TWICE per execution (Catalyst
+    // does not dedup shared subtrees across a crossJoin boundary).
+    // Materializing the |brands×sizes|-row aggregate once (bounded by
+    // the brand/size domain at every SF, never by lineitem) halves the
+    // query: one fact-table pass instead of two. 1.4 s → ~0.75 s.
     val base = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
       .filter($"p_brand" =!= "Brand#1")
       .groupBy($"p_brand", $"p_size")
       .agg(countDistinct($"l_suppkey").as("n_suppliers"),
         countDistinct($"p_partkey").as("n_parts"))
+      .localCheckpoint()
     val avgSup = base.agg(avg($"n_suppliers").as("avg_sup"))
     base.crossJoin(broadcast(avgSup))
       .filter($"n_suppliers" > $"avg_sup")

@@ -837,6 +837,14 @@ trait TextLshOps extends TextCoreOps {
         .agg(sort_array(collect_list($"h")).as("hs"),
           count(lit(1)).as("n"))
         .select($"doc_id", $"n", explode($"hs").as("h"))
+        // r15: pin the df-window exchange at defaultParallelism (the
+        // e38/e37 discipline, OPTIMIZATION_r15.md): AQE's size-based
+        // coalescing collapsed this post-shuffle stage — and therefore
+        // the cached index's partitioning, and with it the ~1.3M-pair
+        // join + count-agg that every run executes — to ONE task at
+        // fixture scale. Same single exchange (the window reuses the
+        // hash(h) partitioning); at cluster scale AQE never coalesces.
+        .repartition(spark.sparkContext.defaultParallelism, $"h")
         .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
         .filter($"df" <= ContainDfCap)
         .select($"doc_id", $"n", $"h")
