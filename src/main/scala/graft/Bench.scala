@@ -17,10 +17,18 @@ object Bench {
       // single-file fixture tables would otherwise scan as one task each;
       // split them like a cluster would see many splits
       .config("spark.sql.files.maxPartitionBytes", "8m")
-      // coalesce tiny post-shuffle partitions to the advisory size
-      // instead of preserving parallelism (docs-recommended production
-      // setting; cuts per-task overhead when data << cluster)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // r15 (measured, OPTIMIZATION_r15.md): back to Spark's DEFAULT
+      // (true). The r8 'false' followed the docs' production advice,
+      // but at fixture scale it coalesced nearly every post-shuffle
+      // stage to ONE task (advisory 64 MB ≫ any intermediate), running
+      // window/join/agg pipelines serially on a 32-core session —
+      // measured 203 s → 146 s full-bench A/B on identical plans. At
+      // cluster scale the two settings coincide for every large stage
+      // (partitions ≫ advisory; coalescing only touches small
+      // intermediates, where preserving parallelism is the default's
+      // point). Parameterized for A/B (driver sets nothing → true).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup at the TARGET SF: execute every query once, untimed. This

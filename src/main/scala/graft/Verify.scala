@@ -45,10 +45,11 @@ object Verify {
       // single-file fixture tables would otherwise scan as one task each;
       // split them like a cluster would see many splits
       .config("spark.sql.files.maxPartitionBytes", "8m")
-      // coalesce tiny post-shuffle partitions to the advisory size
-      // instead of preserving parallelism (docs-recommended production
-      // setting; cuts per-task overhead when data << cluster)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // r15: Spark's default (true), matching Bench — the r8 'false'
+      // serialized post-shuffle stages at fixture scale (see the Bench
+      // config note + OPTIMIZATION_r15.md; 203 s → 146 s full-bench A/B)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
     // sweep confs LAST so they win over the declared ones on collision
     val spark = extraConf.foldLeft(base)(
       (b, kv) => b.config(kv._1, kv._2)).getOrCreate()
