@@ -24,8 +24,7 @@ trait TextCoreOps {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docsWithToks(spark, sfDir)
-      .withColumn("norm_hash",
-        md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
+      .withColumn("norm_hash", bagHashCol)
       .groupBy($"norm_hash")
       .agg(min($"doc_id").as("keep_id"),
         count(lit(1)).as("n_copies"),
@@ -42,12 +41,31 @@ trait TextCoreOps {
     * (lower/regexp_replace/md5) plus ONE hash-partitioned window by
     * fingerprint — no joins; at 100 TB the fingerprint groups are tiny,
     * so the window shuffle is skew-free. */
+  /** The d14 normalization expression over `text` — ONE definition
+    * shared by [[normalizeDedup]] and the curation pipeline's inlined
+    * canonical-membership window ([[graft.pipeline
+    * .TrainingDataPipeline]]), so the two can never drift. */
+  private[graft] def normTextCol: org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** The d01 bag-of-words fingerprint over `toks` — shared with the
+    * curation pipeline like [[normTextCol]]. */
+  private[graft] def bagHashCol: org.apache.spark.sql.Column =
+    md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))"))
+
+  /** The raw 3-gram array over `toks` (requires size(toks) ≥ 3) — ONE
+    * SQL fragment shared by d18's repetition signals and the curation
+    * pipeline's per-row repetition gate ([[graft.pipeline
+    * .TrainingDataPipeline]]), so the gram definition cannot drift. */
+  private[graft] val Gram3Sql: String =
+    """transform(sequence(0, size(toks)-3),
+      g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2]))"""
+
   def normalizeDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .withColumn("norm",
-        trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("norm", normTextCol)
       .select($"doc_id",
         md5($"norm").as("norm_md5"),
         size(split($"norm", " ")).cast("long").as("n_norm_tokens"))

@@ -30,7 +30,7 @@ trait TextCurationOps extends TextCoreOps {
     * of the quality expression shared by d04's report and d34's capping
     * (mirroring the shared [[qualityCte]] on the oracle side). Pure map
     * work over the documents scan. */
-  private def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docsWithToks(spark, sfDir)
       .withColumn("n_tokens", size($"toks").cast("long"))
@@ -176,16 +176,21 @@ trait TextCurationOps extends TextCoreOps {
     * false contamination hit, never hide one... strictly it could also
     * merge two train-side shingles, which is why hits count DISTINCT
     * hashes). */
+  /** Per-doc distinct hashed 3-shingles — the decontamination probe
+    * table, ONE definition shared by [[decontaminate]],
+    * [[bloomDecontaminate]], and the curation pipeline's drop list
+    * ([[graft.pipeline.TrainingDataPipeline]]). */
+  private[graft] def hashedShingles(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = withSampleSplit(docsWithToks(spark, sfDir))
-    def shingles(df: DataFrame) = df
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    val train = shingles(docs.filter($"split" === "train"))
-    val heldout = shingles(docs.filter($"split" === "test"))
+    val train = hashedShingles(docs.filter($"split" === "train"))
+    val heldout = hashedShingles(docs.filter($"split" === "test"))
       .select($"h").distinct()
     val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
     train.join(broadcast(heldout), "h")
@@ -220,15 +225,10 @@ trait TextCurationOps extends TextCoreOps {
   def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = withSampleSplit(docsWithToks(spark, sfDir))
-    def shingles(df: DataFrame) = df
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))""")).as("h"))
-    val train = shingles(docs.filter($"split" === "train"))
+    val train = hashedShingles(docs.filter($"split" === "train"))
     // held-out = everything not trained on; one materialization feeds
     // both the bloom build and the exact verify join
-    val heldout = shingles(docs.filter($"split" =!= "train"))
+    val heldout = hashedShingles(docs.filter($"split" =!= "train"))
       .select($"h").distinct().localCheckpoint()
     // build: 4 probe positions per hash → (word, bit) → bit_or per word
     val wordMap = heldout

@@ -515,10 +515,17 @@ trait TextLshOps extends TextCoreOps {
     // (> SubDfCap distinct docs) prune inside the same aggregation.
     // Per-window list size is bounded by the df cap × within-doc
     // repeats, so the m² pair expansion is a small map-side loop.
+    // r15 (measured, OPTIMIZATION_r15.md): the doc-frequency gate used
+    // to be a countDistinct AGGREGATE next to the collect_list — the
+    // distinct-aggregate rewrite doubled the ObjectHashAggregate
+    // ladder (4 passes over the window table instead of 2). The same
+    // nd falls out of the already-collected occurrence list per group
+    // (list size bounded by df-cap × within-doc repeats), so the gate
+    // is now a post-agg scalar filter. 1.5 s → ~1.1 s at sf0.1.
     val p = w.groupBy($"h")
-      .agg(collect_list(struct($"doc_id", $"pos")).as("occ"),
-        countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2 && $"nd" <= SubDfCap)
+      .agg(collect_list(struct($"doc_id", $"pos")).as("occ"))
+      .filter(expr("size(array_distinct(transform(occ, a -> a.doc_id)))")
+        .between(2, SubDfCap))
       .select(explode(expr(
         """flatten(transform(occ, a ->
              transform(filter(occ, b -> b.doc_id > a.doc_id),
@@ -1013,16 +1020,29 @@ trait TextLshOps extends TextCoreOps {
     * source-df cap first, as d46 does for doc-df). */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = docsWithToks(spark, sfDir)
+    // r15 (measured, OPTIMIZATION_r15.md): ONE exchange instead of
+    // three, no duplicate tokenize pass. The old shape materialized a
+    // distinct (source, shingle) table — an extra (source, h) exchange
+    // — and then consumed it from TWO lazy branches (per-source totals
+    // and the pair path), re-running the scan + shingle explode for
+    // each. Now the single groupBy(h) collect_set exchange (collect_set
+    // dedups (h, source) itself) is checkpointed (|distinct shingles|
+    // rows, source-sets ≤ |sources|), the pair explode reads it, and
+    // the totals fall out of exploding the SAME grouped table —
+    // count per source of set-membership rows ≡ the old distinct
+    // count. 1.2 s → ~0.6 s at sf0.1.
+    val bySh = docsWithToks(spark, sfDir)
       .filter(size($"toks") >= 3)
       .select($"source", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           g -> xxhash64(concat_ws(' ', toks[g], toks[g+1], toks[g+2]))))"""))
         .as("h"))
-      .distinct()
-    val totals = sh.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.groupBy($"h")
+      .groupBy($"h")
       .agg(sort_array(collect_set($"source")).as("srcs"))
+      .localCheckpoint()
+    val totals = bySh.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+    val pairs = bySh
       .filter(size($"srcs") >= 2)
       .select(explode(expr(
         """flatten(transform(srcs, (a, i) ->

@@ -79,8 +79,13 @@ trait TextStatsOps extends TextCoreOps {
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = docsWithToks(spark, sfDir)
+    // r15: `tf` feeds both the df aggregation (broadcast side) and the
+    // scoring join probe — left lazy, the tokenize + explode + count
+    // aggregation ran TWICE per execution (the q19/d50 shared-subtree
+    // lesson, OPTIMIZATION_r15.md). One checkpointed build.
     val tf = docs.select($"doc_id", explode($"toks").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct($"doc_id").as("n_total"))
     val w = Window.partitionBy($"doc_id").orderBy(desc("score"), $"term")
@@ -484,9 +489,7 @@ trait TextStatsOps extends TextCoreOps {
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = docsWithToks(spark, sfDir).filter(size($"toks") >= 3)
-    val g3 = toks.select($"doc_id", explode(expr(
-        """transform(sequence(0, size(toks)-3),
-          g -> concat_ws(' ', toks[g], toks[g+1], toks[g+2]))""")).as("g"))
+    val g3 = toks.select($"doc_id", explode(expr(Gram3Sql)).as("g"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_3grams"),
         countDistinct($"g").as("n_distinct_3grams"))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{TextOps, VectorOps}
@@ -24,43 +25,44 @@ import graft.operators.{TextOps, VectorOps}
 object TrainingDataPipeline {
 
   /** Returns the curated corpus: one row per surviving document with
-    * token statistics attached. */
+    * token statistics attached.
+    *
+    * r15 replan (measured, OPTIMIZATION_r15.md): the original
+    * composition joined documents against FOUR independently-planned
+    * stage subqueries (quality inner, norm-canonical semi, exact-
+    * representative semi, near-dup anti), each of which re-scanned and
+    * re-tokenized the corpus — 4 scans + 4 joins + ~10 exchanges for
+    * memberships that are all per-row or min-per-group facts. Now ONE
+    * scan computes the quality columns ([[TextOps.qualityBase]] —
+    * shared with d04/d34) plus both dedup fingerprints
+    * ([[TextOps.normTextCol]] / [[TextOps.bagHashCol]] — the d14/d01
+    * expressions, shared so they cannot drift), projects NARROW rows
+    * (the text/toks payload never rides an exchange — guide §2.3), and
+    * two min-window passes replace the semi joins: doc_id = min over
+    * the fingerprint partition IS d14's canonical / d01's keeper
+    * membership. Quality and window filters apply after the windows,
+    * over the full-corpus groups, exactly as the join form did. Only
+    * the near-dup drop list stays a join (it needs the LSH pair graph
+    * — session-cached, broadcast). d27 1.0 s → ~0.5 s at sf0.1; d40
+    * inherits the same savings. */
   def curate(spark: SparkSession, sfDir: String,
       minQuality: Double = 0.5): DataFrame = {
     import spark.implicits._
-
-    // 1. quality gate
-    val quality = TextOps.qualityScore(spark, sfDir)
-      .filter($"quality" >= minQuality)
-      .select($"doc_id", $"quality", $"n_tokens")
-
-    // 2. normalization dedup: canonical representative per normalized
-    // fingerprint (case/punctuation-only copies collapse here, cheaper
-    // than letting them reach the MinHash stage)
-    val keepNorm = TextOps.normalizeDedup(spark, sfDir)
-      .filter($"doc_id" === $"canonical_id")
-      .select($"doc_id")
-
-    // 3. exact dedup: representatives only
-    val keepExact = TextOps.exactDedup(spark, sfDir)
-      .select($"keep_id".as("doc_id"))
-
-    // 4. near-dup clusters: keep each cluster's min-id representative
-    // (pairwise "drop the higher id" under-deletes on chains A~B~C
-    // where A≁C — the cluster view deletes every non-representative)
     val dropNear = TextOps.dupClusters(spark, sfDir)
       .filter($"doc_id" =!= $"cluster_id")
       .select($"doc_id")
-
-    // compose: quality ∩ norm-canonical ∩ exact-representatives
-    // ∖ near-dup-non-representatives
-    val survivors = Tables.documents(spark, sfDir)
-      .join(quality, "doc_id")
-      .join(keepNorm, Seq("doc_id"), "left_semi")
-      .join(keepExact, Seq("doc_id"), "left_semi")
+    val wNorm = Window.partitionBy($"norm_md5")
+    val wExact = Window.partitionBy($"norm_hash")
+    TextOps.qualityBase(spark, sfDir)
+      .withColumn("norm_md5", md5(TextOps.normTextCol))
+      .withColumn("norm_hash", TextOps.bagHashCol)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"n_tokens",
+        $"quality", $"norm_md5", $"norm_hash")
+      .withColumn("norm_min", min($"doc_id").over(wNorm))
+      .withColumn("exact_min", min($"doc_id").over(wExact))
+      .filter($"quality" >= minQuality &&
+        $"doc_id" === $"norm_min" && $"doc_id" === $"exact_min")
       .join(broadcast(dropNear), Seq("doc_id"), "left_anti")
-
-    survivors
       .select($"doc_id", $"lang", $"source", $"n_chars",
         round($"quality", 4).as("quality"), $"n_tokens")
       .orderBy($"doc_id")
@@ -103,11 +105,27 @@ object TrainingDataPipeline {
     import spark.implicits._
     val trainIds = TextOps.withSampleSplit(Tables.documents(spark, sfDir))
       .filter($"split" === "train").select($"doc_id")
+    // r15 (OPTIMIZATION_r15.md): the repetition gate is d18's
+    // dup-3gram fraction over PER-DOC counts — n₃ = |grams|, nd₃ =
+    // |distinct grams| are array facts of the row, so the drop list is
+    // one narrow shuffle-free projection (shared [[TextOps.Gram3Sql]]
+    // definition, same exact-rational r4 — value-identical to
+    // filtering d18's aggregate output, measured hash-equal) instead
+    // of d18's two explode→agg→join passes over the corpus.
     val dropRepetitive = TextOps.repetition(spark, sfDir)
       .filter($"dup_3gram_frac" > maxDupFrac)
       .select($"doc_id")
-    val dropContaminated = TextOps.decontaminate(spark, sfDir)
-      .select($"doc_id")
+    // contamination DROP LIST = train docs with ≥1 shared shingle —
+    // exactly d15's hit set (its n_ngrams/ratio columns exist only for
+    // reporting), without d15's per-doc-size join re-scanning the
+    // corpus. Shared [[TextOps.hashedShingles]] definition.
+    val splitDocs = TextOps.withSampleSplit(TextOps.docsWithToks(spark, sfDir))
+    val dropContaminated = TextOps
+      .hashedShingles(splitDocs.filter($"split" === "train"))
+      .join(broadcast(TextOps.hashedShingles(
+          splitDocs.filter($"split" === "test"))
+        .select($"h").distinct()), "h")
+      .select($"doc_id").distinct()
     val survivors = curate(spark, sfDir, minQuality)
       .join(trainIds, Seq("doc_id"), "left_semi")
       .join(broadcast(dropRepetitive), Seq("doc_id"), "left_anti")
