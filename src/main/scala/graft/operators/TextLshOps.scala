@@ -859,9 +859,13 @@ trait TextLshOps extends TextCoreOps {
     rare.as("a")
       .join(rare.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.n".as("n1"), $"b.n".as("n2"))
-      .agg(count(lit(1)).as("common"))
+      // r15: n1/n2 are functions of d1/d2 — carrying them as GROUP
+      // KEYS doubled the hash-map key width of the biggest agg in the
+      // plan (1.1M groups × partial+final); min() returns the same
+      // constant per pair at half the key bytes
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"),
+        min($"a.n").as("n1"), min($"b.n").as("n2"))
       .filter($"common" * 5L >= least($"n1", $"n2") * 4L)
       .select($"d1", $"d2", $"n1", $"n2", $"common",
         r4($"common", least($"n1", $"n2")).as("containment"),

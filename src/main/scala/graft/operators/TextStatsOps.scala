@@ -54,8 +54,12 @@ trait TextStatsOps extends TextCoreOps {
     * filter prunes before the marginal joins. */
   def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r15: marginals + both self-join sides consume `dt` — checkpoint
+    // the distinct-token explode once (the d09/d16 shared-subtree
+    // lesson, OPTIMIZATION_r15.md)
     val dt = docsWithToks(spark, sfDir)
       .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+      .localCheckpoint()
     val nDocs = Tables.documents(spark, sfDir)
       .agg(count(lit(1)).as("n_total"))
     val marg = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
@@ -400,7 +404,12 @@ trait TextStatsOps extends TextCoreOps {
     * average rounds in exact integer arithmetic like [[qualityScore]]. */
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val big = docBigrams(spark, sfDir)
+    // r15: three consumers (c2, c1, probe) — left lazy, the tokenize +
+    // bigram explode ran three times per execution (the q19/d09/d50
+    // shared-subtree lesson, OPTIMIZATION_r15.md). The aggregate+join
+    // shape itself stays: the per-head counts keep map-side partial
+    // aggregation, which a head-keyed window would trade for skew.
+    val big = docBigrams(spark, sfDir).localCheckpoint()
     val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
     big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
