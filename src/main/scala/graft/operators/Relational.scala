@@ -619,17 +619,34 @@ object Relational {
     val f = Tables.lineitem(spark, sfDir)
       .withColumn("c", expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
       .groupBy($"c").agg(count(lit(1)).as("cnt"))
-    // r15 (measured, OPTIMIZATION_r15.md): the cumulative count is now
-    // the range-partition + offset-recombination shape the r12 scaladoc
-    // promised "at a larger domain" — the cents domain is ~|rows| here
-    // (583 k distinct values at sf0.1), so the old single-partition
-    // ORDER BY c window was a serial sort+scan of the whole frequency
-    // table. Ordered chunks sort in parallel; each chunk adds the
-    // broadcast sum of the chunks before it (32 rows). The global
-    // cumulative is IDENTICAL wherever the sampled range boundaries
-    // fall, so determinism is untouched. 1.9 s → ~0.9 s at sf0.1.
-    val fp = f.repartitionByRange(spark.sparkContext.defaultParallelism, $"c")
-      .withColumn("pid", spark_partition_id())
+    // r15 (measured, OPTIMIZATION_r15.md): the cumulative count runs as
+    // ordered chunks + offset recombination — the at-scale shape the r12
+    // scaladoc promised (the cents domain is ~|rows| here: 583 k
+    // distinct values at sf0.1, so a single ORDER BY c window would be a
+    // serial sort+scan of the whole frequency table).
+    // r16 (measured, OPTIMIZATION_r16.md): the chunk id is now a PURE
+    // FUNCTION of the value — equal-width cents ranges between the
+    // table's min/max, chunk count derived from defaultParallelism —
+    // instead of spark_partition_id() over a repartitionByRange. That
+    // (a) deletes the range exchange outright (ensureRequirements
+    // inserts the one hash(chunk) exchange the per-chunk window needs;
+    // the range pass also paid a hidden boundary-sampling read), and
+    // (b) makes chunk assignment replay-stable BY CONSTRUCTION: the r15
+    // form relied on runtime exchange reuse to keep the two consumers'
+    // sampled range boundaries identical (ADVICE r15) — a recomputed
+    // chunk id is now the same value on every branch, every retry, any
+    // config sweep. Equal-WIDTH chunks of a value domain are not
+    // equal-DEPTH, but chunking only sets parallel grain: the global
+    // cumulative is identical wherever chunk boundaries fall. The
+    // explicit repartition pins the window exchange at
+    // defaultParallelism so AQE cannot coalesce the ~|domain|-row sort
+    // onto a few tasks (the e38/d46 discipline).
+    val nChunks = 4 * spark.sparkContext.defaultParallelism
+    val mm = f.agg(min($"c").as("cmin"), max($"c").as("cmax"))
+    val fp = f.crossJoin(broadcast(mm))
+      .withColumn("pid", Det.fdiv(($"c" - $"cmin") * nChunks,
+        $"cmax" - $"cmin" + 1L).cast("int"))
+      .drop("cmin", "cmax")
     val offs = fp.groupBy($"pid").agg(sum($"cnt").as("psum"))
     val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
     val wAllOff = Window.partitionBy()
@@ -641,6 +658,7 @@ object Relational {
     val wIn = Window.partitionBy($"pid").orderBy($"c")
       .rowsBetween(Window.unboundedPreceding, -1)
     fp.join(broadcast(offsets), "pid")
+      .repartition(spark.sparkContext.defaultParallelism, $"pid")
       .withColumn("cum_excl",
         $"offset" + coalesce(sum($"cnt").over(wIn), lit(0L)))
       .withColumn("bucket", Det.fdiv($"cum_excl" * 16L, $"n_rows"))
